@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory.
+  *
+  * Every implemented operator has a `queries` entry; SQL-expressible ones
+  * also have a DuckDB `oracleSql` twin with identical column aliases,
+  * rounding and ORDER BY (SURVEY.md §6).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1Agg(Tables.lineitem(spark, "/root/testdata/sf0.001"))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // §B core relational
+    "q1_agg" -> ((s, d) => Relational.q1Agg(Tables.lineitem(s, d))),
+    "q3_topk" -> ((s, d) =>
+      Relational.q3TopK(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_multijoin" -> ((s, d) =>
+      Relational.q5MultiJoin(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
+    "window_topk_per_group" -> ((s, d) => Relational.windowTopKPerGroup(Tables.orders(s, d))),
+    "rollup_agg" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
+    "semi_anti_join" -> ((s, d) =>
+      Relational.semiAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
+    "incremental_new_keys" -> ((s, d) =>
+      Relational.incrementalNewKeys(Tables.part(s, d), Tables.lineitem(s, d))),
+    "json_extract" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
+    "streaming_window_agg" -> ((s, d) => Relational.streamingWindowAgg(Tables.events(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> Relational.q1AggSql,
+    "q3_topk" -> Relational.q3TopKSql,
+    "q5_multijoin" -> Relational.q5MultiJoinSql,
+    "window_topk_per_group" -> Relational.windowTopKPerGroupSql,
+    "rollup_agg" -> Relational.rollupAggSql,
+    "semi_anti_join" -> Relational.semiAntiJoinSql,
+    "incremental_new_keys" -> Relational.incrementalNewKeysSql,
+    "json_extract" -> Relational.jsonExtractSql,
+    "streaming_window_agg" -> Relational.streamingWindowAggSql,
+  )
 }
