@@ -25,14 +25,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized parquet
     * reader rejects; read nanos as long and truncate to microseconds (DuckDB
-    * oracle side reads the same instants natively as TIMESTAMP_NS).
+    * oracle side applies date_trunc('microseconds', ts) for exact parity).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set at session
+    * build in Verify/Bench/specs (not here — loaders must not mutate session
+    * config as a side effect).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     load(s, d, "events").withColumn(
       "ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

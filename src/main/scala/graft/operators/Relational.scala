@@ -149,15 +149,18 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
-  /** EXISTS / NOT EXISTS as left_semi + left_anti joins. Mirrors the
-    * reference's skip-if-exists ingest check (bronze-to-silver.py:49-54,74). */
+  /** EXISTS / NOT EXISTS tagging in ONE pass: left join against the distinct
+    * big-order customer keys + null-test, instead of left_semi + left_anti
+    * over the same inputs (which scans customer and orders twice). Mirrors
+    * the reference's skip-if-exists ingest check (bronze-to-silver.py:49-54,74). */
   def semiAntiJoin(customer: DataFrame, orders: DataFrame): DataFrame = {
-    val bigOrders = orders.filter(col("o_totalprice") > 400000.0)
-    val semi = customer.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
-      .select(col("c_custkey"), col("c_name"), lit("has_big_order").as("tag"))
-    val anti = customer.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"), lit("no_big_order").as("tag"))
-    semi.unionAll(anti).orderBy("c_custkey", "tag")
+    val bigCust = orders.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey")).distinct()
+    customer.join(bigCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        when(col("o_custkey").isNotNull, "has_big_order")
+          .otherwise("no_big_order").as("tag"))
+      .orderBy("c_custkey", "tag")
   }
 
   val semiAntiJoinSql: String =
