@@ -34,6 +34,15 @@ object SparkEntry {
       Relational.incrementalNewKeys(Tables.part(s, d), Tables.lineitem(s, d))),
     "json_extract" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
     "streaming_window_agg" -> ((s, d) => Relational.streamingWindowAgg(Tables.events(s, d))),
+    // §A signal pipeline
+    "bronze_ingest" -> ((s, d) => SignalOps.bronzeIngestQ(Tables.events(s, d))),
+    "silver_zscore" -> ((s, d) => SignalOps.silverZscoreQ(Tables.events(s, d))),
+    "gold_trial_stats" -> ((s, d) => SignalOps.goldTrialStatsQ(Tables.events(s, d))),
+    "gold_epoch_features" -> ((s, d) => SignalOps.goldEpochFeaturesQ(Tables.events(s, d))),
+    "hjorth_features" -> ((s, d) => SignalOps.hjorthFeaturesQ(Tables.events(s, d))),
+    "qc_report" -> ((s, d) => SignalOps.qcReportQ(Tables.events(s, d))),
+    "feature_wide" -> ((s, d) => SignalOps.featureWideQ(Tables.events(s, d))),
+    "signal_fir_bandpass" -> ((s, d) => SignalOps.firBandpassQ(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -46,5 +55,13 @@ object SparkEntry {
     "incremental_new_keys" -> Relational.incrementalNewKeysSql,
     "json_extract" -> Relational.jsonExtractSql,
     "streaming_window_agg" -> Relational.streamingWindowAggSql,
+    "bronze_ingest" -> SignalOps.bronzeIngestSql,
+    "silver_zscore" -> SignalOps.silverZscoreSql,
+    "gold_trial_stats" -> SignalOps.goldTrialStatsSql,
+    "gold_epoch_features" -> SignalOps.goldEpochFeaturesSql,
+    "hjorth_features" -> SignalOps.hjorthFeaturesSql,
+    "qc_report" -> SignalOps.qcReportSql,
+    "feature_wide" -> SignalOps.featureWideSql,
+    "signal_fir_bandpass" -> SignalOps.firBandpassSql,
   )
 }
