@@ -43,6 +43,13 @@ object SparkEntry {
     "qc_report" -> ((s, d) => SignalOps.qcReportQ(Tables.events(s, d))),
     "feature_wide" -> ((s, d) => SignalOps.featureWideQ(Tables.events(s, d))),
     "signal_fir_bandpass" -> ((s, d) => SignalOps.firBandpassQ(Tables.events(s, d))),
+    // §C text
+    "text_stats" -> ((s, d) => TextOps.textStatsQ(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextOps.textQualityQ(Tables.documents(s, d))),
+    "lang_id" -> ((s, d) => TextOps.langIdQ(Tables.documents(s, d))),
+    "token_count" -> ((s, d) => TextOps.tokenCountQ(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextOps.docFingerprintQ(Tables.documents(s, d))),
+    "dedup_exact" -> ((s, d) => TextOps.dedupExactQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -63,5 +70,11 @@ object SparkEntry {
     "qc_report" -> SignalOps.qcReportSql,
     "feature_wide" -> SignalOps.featureWideSql,
     "signal_fir_bandpass" -> SignalOps.firBandpassSql,
+    "text_stats" -> TextOps.textStatsSql,
+    "text_quality" -> TextOps.textQualitySql,
+    "lang_id" -> TextOps.langIdSql,
+    "token_count" -> TextOps.tokenCountSql,
+    "doc_fingerprint" -> TextOps.docFingerprintSql,
+    "dedup_exact" -> TextOps.dedupExactSql,
   )
 }

@@ -322,23 +322,9 @@ object SignalOps {
 
   // ---------------------------------------------------- presented queries
 
-  /** Rounding for oracle-compared doubles. Spark's round(x, d) goes through
-    * BigDecimal HALF_UP on the exact decimal expansion while DuckDB computes
-    * round(x·10^d)/10^d in floating point — they disagree whenever the true
-    * value sits on a .5·10^-d boundary (frequent here: cents-exact variances
-    * of n=2 groups are exact .5 multiples). Both sides therefore use the
-    * explicit `round(x * 10^d) / 10^d` text (scale-0 round agrees across
-    * engines on every double); `+ 0.0` normalizes -0.0. */
-  private def pow10(d: Int): String = "1" + "0" * d + ".0"
-
-  private def rexpr(x: String, d: Int): String =
-    s"round($x * ${pow10(d)}) / ${pow10(d)} + 0.0"
-
-  private def r(c: String, d: Int): Column = expr(rexpr(c, d)).as(c)
-
-  /** SQL twin of [[r]]. */
-  private def rsql(x: String, d: Int, alias: String): String =
-    s"${rexpr(x, d)} AS $alias"
+  // engine-stable rounding (see Parity): cents-exact variances of n=2
+  // groups are exact .5 multiples, so the boundary case is frequent here
+  import Parity.{r, rexpr, rsql}
 
   def bronzeIngestQ(events: DataFrame): DataFrame =
     bronzeIngest(events)
