@@ -50,6 +50,13 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCountQ(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprintQ(Tables.documents(s, d))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExactQ(Tables.documents(s, d))),
+    // §C near-dup + similarity
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardQ(Tables.documents(s, d))),
+    "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
+    "embedding_dedup" -> ((s, d) => Similarity.embeddingDedupQ(Tables.embeddings(s, d))),
+    // §B event analytics
+    "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
+    "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -76,5 +83,10 @@ object SparkEntry {
     "token_count" -> TextOps.tokenCountSql,
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "dedup_exact" -> TextOps.dedupExactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
+    "embedding_dedup" -> Similarity.embeddingDedupSql,
+    "sessionize" -> Sessionize.sessionizeSql,
+    "asof_join" -> Sessionize.asofJoinSql,
   )
 }

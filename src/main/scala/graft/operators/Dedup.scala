@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Parity.rsql
+
+/** Near-duplicate detection over `documents` (SURVEY.md §2.C 28): exact
+  * word-bigram Jaccard via an inverted-index self-join.
+  *
+  * Scale shape (100 TB): explode distinct shingles → hash self-join on the
+  * shingle string → count shared shingles per pair → exact Jaccard. This is
+  * the classic sub-quadratic candidate generation: cost is Σ df(s)² over
+  * shingles, NOT n² over documents — no cross join anywhere in the plan
+  * (the spec asserts the join is a hash join). At corpus scale you would
+  * additionally drop ultra-frequent shingles (df cap) before the join;
+  * with this corpus every bigram is rare, so no cap is applied.
+  */
+object Dedup {
+
+  val JaccardThreshold = 0.8
+
+  /** doc_id → distinct word-bigram shingles + shingle count. */
+  def shingleSets(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), expr("split(lower(trim(text)), '\\\\s+')").as("w"))
+      .select(col("doc_id"),
+        expr("array_distinct(transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1])))")
+          .as("shingles"))
+      .select(col("doc_id"), col("shingles"), expr("size(shingles)").as("nsh"))
+
+  /** Exact Jaccard ≥ τ pairs via the inverted-index join. */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    val ex = shingleSets(documents)
+      .select(col("doc_id"), col("nsh"), explode(col("shingles")).as("s"))
+    val a = ex.select(col("doc_id").as("id1"), col("nsh").as("n1"), col("s"))
+    val b = ex.select(col("doc_id").as("id2"), col("nsh").as("n2"), col("s"))
+    a.join(b, Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2", "n1", "n2")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (n1 + n2 - inter)"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  def ngramJaccardQ(documents: DataFrame): DataFrame =
+    ngramJaccardPairs(documents)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
+        Parity.r("jaccard", 4))
+      .orderBy("id1", "id2")
+
+  val ngramJaccardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS shingles
+       |  FROM toks
+       |), ex AS (
+       |  SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh
+       |), pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |         any_value(a.nsh) AS n1, any_value(b.nsh) AS n2,
+       |         count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), j AS (
+       |  SELECT id1, id2, n1, n2, inter,
+       |         CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+       |  FROM pairs
+       |)
+       |SELECT id1, id2, n1, n2, inter, ${rsql("jaccard", 4, "jaccard")}
+       |FROM j
+       |WHERE jaccard >= $JaccardThreshold
+       |ORDER BY id1, id2""".stripMargin
+}

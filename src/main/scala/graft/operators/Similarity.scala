@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Parity.{r, rsql}
+
+/** Embedding similarity over the `embeddings` table (SURVEY.md §2.C 31/33):
+  * exact top-k cosine neighbors (the ANN baseline) and near-duplicate pair
+  * mining at a cosine threshold. The hyperplane-LSH variant (C32) is the
+  * 100 TB path; these exact operators are its oracle.
+  *
+  * Plan shapes:
+  *  - knn brute: the query set is a small fraction of the corpus
+  *    (vec_id % 100 == 0) and is BROADCAST against one linear corpus scan —
+  *    scan × |Q| dot products, one narrow window for the per-query top-k,
+  *    no corpus×corpus product.
+  *  - embedding_dedup: corpus×corpus is inherent to the exact-threshold
+  *    contract; at scale the LSH bucket join (knnCosineLsh in Lsh.scala)
+  *    replaces the cross join and this exact form verifies its recall on
+  *    samples.
+  *
+  * Oracle parity: dot/norm are left-assoc folds over CAST-to-double
+  * elements; the DuckDB twin uses list_reduce with the same association
+  * order, so cosines are bit-identical and the rank window is fully
+  * deterministic (ties broken by vec_id).
+  */
+object Similarity {
+
+  val KnnK = 5
+  val QueryMod = 100
+  val DedupCosThreshold = 0.4
+
+  /** embedding as double array + its L2 norm (left-assoc fold). */
+  def withNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm",
+        expr("sqrt(aggregate(transform(vd, x -> x * x), CAST(0.0 AS DOUBLE), (a, b) -> a + b))"))
+
+  private val DotF =
+    "aggregate(zip_with(vd, qv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+
+  /** Exact top-k cosine neighbors for every query vector. */
+  def knnCosineBrute(embeddings: DataFrame, k: Int = KnnK): DataFrame = {
+    val e = withNorm(embeddings)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    e.select(col("vec_id"), col("label"), col("vd"), col("norm"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(s"$DotF / (norm * qn)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("cos"), col("label"))
+  }
+
+  def knnCosineBruteQ(embeddings: DataFrame): DataFrame =
+    knnCosineBrute(embeddings)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), r("cos", 4), col("label"))
+      .orderBy("query_id", "rank")
+
+  /** Near-duplicate pairs at cos ≥ τ. τ defaults to 0.4: this corpus'
+    * top pairwise cosine is ~0.51, so the reference-style 0.95 cut would be
+    * vacuous here; the contract (exact threshold pairs) is unchanged. */
+  def embeddingDedup(embeddings: DataFrame, threshold: Double = DedupCosThreshold): DataFrame = {
+    val e = withNorm(embeddings)
+    val a = e.select(col("vec_id").as("id1"), col("vd"), col("norm"))
+    val b = e.select(col("vec_id").as("id2"), col("vd").as("qv"), col("norm").as("qn"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", expr(s"$DotF / (norm * qn)"))
+      .filter(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+  }
+
+  def embeddingDedupQ(embeddings: DataFrame): DataFrame =
+    embeddingDedup(embeddings)
+      .select(col("id1"), col("id2"), r("cos", 4))
+      .orderBy("id1", "id2")
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Shared DuckDB vector CTE: double list + left-assoc norm fold (matches
+    * Spark aggregate's 0.0 + x1 + x2 + … order; 0.0 + x1 == x1 exactly). */
+  private val VecCte =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |         [CAST(x AS DOUBLE) for x in embedding] AS vd
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, label, vd,
+      |         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS norm
+      |  FROM e
+      |)""".stripMargin
+
+  private val DotSqlF =
+    "list_reduce([a.vd[i] * q.vd[i] for i in range(1, len(a.vd) + 1)], (x, y) -> x + y)"
+
+  val knnCosineBruteSql: String =
+    s"""$VecCte, scored AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.label,
+       |         $DotSqlF / (a.norm * q.norm) AS cos
+       |  FROM n a JOIN n q
+       |    ON q.vec_id % $QueryMod = 0 AND a.vec_id <> q.vec_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank, ${rsql("cos", 4, "cos")}, label
+       |FROM ranked
+       |WHERE rank <= $KnnK
+       |ORDER BY query_id, rank""".stripMargin
+
+  val embeddingDedupSql: String =
+    s"""$VecCte, pairs AS (
+       |  SELECT a.vec_id AS id1, q.vec_id AS id2,
+       |         $DotSqlF / (a.norm * q.norm) AS cos
+       |  FROM n a JOIN n q ON a.vec_id < q.vec_id
+       |)
+       |SELECT id1, id2, ${rsql("cos", 4, "cos")}
+       |FROM pairs
+       |WHERE cos >= $DedupCosThreshold
+       |ORDER BY id1, id2""".stripMargin
+}

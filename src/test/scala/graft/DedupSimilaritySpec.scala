@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sessionize, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val events = Tables.events(spark, sf)
+
+  test("jaccard inverted-index join plans a hash join, not a cartesian product") {
+    val plan = Dedup.ngramJaccardPairs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+  }
+
+  test("jaccard pairs on a seeded corpus find the planted near-dup only") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (3L, "completely different words appear in this document body")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("knn brute: k neighbors per query, self excluded, ranks ordered by cos") {
+    val out = Similarity.knnCosineBrute(emb, k = 3).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      val cs = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("knn query set is broadcast (no corpus x corpus product)") {
+    val plan = Similarity.knnCosineBrute(emb).queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"no broadcast in plan:\n$plan")
+  }
+
+  test("embedding_dedup pairs are symmetric-free and above threshold") {
+    val rows = Similarity.embeddingDedup(emb, threshold = 0.3).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id1") < r.getAs[Long]("id2"))
+      assert(r.getAs[Double]("cos") >= 0.3)
+    }
+  }
+
+  test("sessionize: sessions partition each user's events, durations within gaps") {
+    val sess = Sessionize.sessionize(events)
+    val nEvents = sess.agg(sum("n_events")).collect().head.getLong(0)
+    assert(nEvents == events.count())
+    // session bounds are ordered
+    val bad = sess.filter(col("session_end_us") < col("session_start_us")).count()
+    assert(bad == 0)
+    // consecutive sessions of a user do not overlap
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_seq")
+    val overlap = sess
+      .withColumn("prev_end", lag("session_end_us", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("session_start_us") - col("prev_end") <= Sessionize.GapUs)
+      .count()
+    assert(overlap == 0)
+  }
+
+  test("asof join: matched purchase is the latest at-or-before the click") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: purchases at t=100, 300; clicks at 200, 400, 50
+      (1L, 1L, "purchase", 100L, 10.0), (1L, 2L, "click", 200L, 1.0),
+      (1L, 3L, "purchase", 300L, 20.0), (1L, 4L, "click", 400L, 2.0),
+      (1L, 5L, "click", 50L, 3.0)
+    ).map { case (u, e, t, us, v) => (u, e, t, new java.sql.Timestamp(us), v) }
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+    val out = Sessionize.asofJoin(ev).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("last_purchase_us")).map(_.toLong)).toMap
+    assert(out(2L).contains(100000L)) // ms->us
+    assert(out(4L).contains(300000L))
+    assert(out(5L).isEmpty) // click before any purchase
+  }
+}
