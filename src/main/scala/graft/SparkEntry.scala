@@ -57,6 +57,14 @@ object SparkEntry {
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
+    // rows-only operators (engine-specific hashes/models — spec-gated)
+    "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Lsh.simhashQ(Tables.documents(s, d))),
+    "knn_cosine_lsh" -> ((s, d) => Lsh.knnCosineLshQ(Tables.embeddings(s, d))),
+    "signal_iir_filtfilt" -> ((s, d) => Iir.iirFiltfiltQ(Tables.events(s, d))),
+    "ml_train_predict" -> ((s, d) => MlPipeline.mlTrainPredictQ(Tables.events(s, d))),
+    "multimodal_meta" -> ((s, d) => Multimodal.multimodalMetaQ(Tables.documents(s, d))),
+    "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecodeQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -88,5 +96,6 @@ object SparkEntry {
     "embedding_dedup" -> Similarity.embeddingDedupSql,
     "sessionize" -> Sessionize.sessionizeSql,
     "asof_join" -> Sessionize.asofJoinSql,
+    "multimodal_meta" -> Multimodal.multimodalMetaSql,
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Spark-ML classification pipeline over the gold trial-stats features
+  * (SURVEY.md §2.A 11), matching the reference's
+  * StringIndexer → VectorAssembler → StandardScaler → LogisticRegression
+  * with a seeded 0.8/0.2 split (/root/reference/main/train_model.py:60-105).
+  * Label here is `channel` (the reference labels by its `synset` metadata
+  * column — the categorical the stats row describes).
+  *
+  * Rows-only operator: model fitting is iterative and engine-specific, so
+  * the gates are the spec (schema, label coverage, better-than-degenerate
+  * accuracy) and the driver's rows check.
+  */
+object MlPipeline {
+
+  /** The reference's numeric_features list (train_model.py:44-60), same
+    * names as [[SignalOps.goldTrialStats]] emits. */
+  val NumericFeatures: Seq[String] = Seq(
+    "n_samples", "duration_sec", "duration_from_count_sec",
+    "mean_value", "std_value", "mean_abs_value", "min_value", "max_value",
+    "median_value", "p95_value",
+    "mean_z", "std_z", "min_z", "max_z", "samples_per_sec")
+
+  val Seed = 42L
+
+  def pipeline(): Pipeline = {
+    val indexer = new StringIndexer()
+      .setInputCol("channel").setOutputCol("label").setHandleInvalid("skip")
+    val assembler = new VectorAssembler()
+      .setInputCols(NumericFeatures.toArray).setOutputCol("features_raw")
+      .setHandleInvalid("keep")
+    val scaler = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val lr = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01).setElasticNetParam(0.0)
+      .setLabelCol("label").setFeaturesCol("features")
+    new Pipeline().setStages(Array(indexer, assembler, scaler, lr))
+  }
+
+  /** Fit on the 0.8 split, predict the 0.2 split. duration > 0 also
+    * guarantees n ≥ 2, which makes every feature non-null. */
+  def trainPredict(gold: DataFrame): DataFrame = {
+    val clean = gold.filter(col("duration_sec") > 0)
+    val Array(train, test) = clean.randomSplit(Array(0.8, 0.2), Seed)
+    val model = pipeline().fit(train)
+    model.transform(test)
+      .select(col("trial_id"), col("channel"), col("label"), col("prediction"))
+  }
+
+  def mlTrainPredictQ(events: DataFrame): DataFrame =
+    trainPredict(SignalOps.goldTrialStats(SignalOps.silver(events)))
+      .orderBy("trial_id", "channel")
+}

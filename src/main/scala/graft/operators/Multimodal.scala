@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Parity.{r, rsql}
+
+/** Multimodal-column plumbing (SURVEY.md §2.C 34/35): image/audio/video
+  * payloads ride as opaque `binary` columns with typed metadata beside
+  * them. The payload here is synthesized deterministically from the
+  * documents table (4-byte 'IMG0' magic + the UTF-8 text bytes) because
+  * the container ships no media libraries — the Spark-side plumbing
+  * (binary column, metadata schema, partition-batched decode signature)
+  * is the real, tested part; the pixel decode itself is a clearly-marked
+  * deterministic stand-in.
+  *
+  * At 100 TB, `multimodal_meta` is a map-only projection over the binary
+  * column (header peek + length arithmetic — no decode), which is exactly
+  * how a real pipeline triages media before shipping bytes to decoders.
+  */
+object Multimodal {
+
+  /** Opaque binary payload: 4-byte magic + encoded text. */
+  def withPayload(documents: DataFrame): DataFrame =
+    documents.withColumn("payload", expr("CAST(concat('IMG0', text) AS BINARY)"))
+
+  /** Typed metadata over the encoded payload without decoding it: byte
+    * size, header magic, and header-derived dimensions. */
+  def multimodalMeta(documents: DataFrame): DataFrame =
+    withPayload(documents)
+      .withColumn("byte_len", expr("octet_length(payload)"))
+      .withColumn("header_hex", expr("hex(substring(payload, 1, 4))"))
+      .withColumn("width", expr("CAST(byte_len * 31 % 640 + 16 AS INT)"))
+      .withColumn("height", expr("CAST(byte_len * 17 % 480 + 16 AS INT)"))
+      .withColumn("aspect", expr("CAST(width AS DOUBLE) / height"))
+
+  def multimodalMetaQ(documents: DataFrame): DataFrame =
+    multimodalMeta(documents)
+      .select(col("doc_id"), col("source"), col("byte_len"), col("header_hex"),
+        col("width"), col("height"), r("aspect", 4))
+      .orderBy("doc_id")
+
+  val multimodalMetaSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source, text, encode('IMG0' || text) AS payload FROM documents
+       |), m AS (
+       |  -- DuckDB has no BLOB substring; peeking the 4-byte header goes
+       |  -- through the VARCHAR prefix (ASCII magic), same bytes as Spark's
+       |  -- binary substring
+       |  SELECT doc_id, source,
+       |         octet_length(payload) AS byte_len,
+       |         hex(encode(substring('IMG0' || text, 1, 4))) AS header_hex
+       |  FROM p
+       |), d AS (
+       |  SELECT *,
+       |         CAST(byte_len * 31 % 640 + 16 AS INT) AS width,
+       |         CAST(byte_len * 17 % 480 + 16 AS INT) AS height
+       |  FROM m
+       |)
+       |SELECT doc_id, source, byte_len, header_hex, width, height,
+       |       ${rsql("(CAST(width AS DOUBLE) / height)", 4, "aspect")}
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+
+  /** Batch size a real vectorized decoder would be fed with. */
+  val DecodeBatch = 64
+
+  /** Partition-batched "decode": binary in, fixed-shape features out.
+    * STUB: the body histogram stands in for pixel statistics — a real
+    * deployment replaces only the inner loop with the media library call;
+    * schema, batching and partitioning stay as tested here. */
+  def multimodalDecode(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    withPayload(documents)
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(DecodeBatch).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val body = bytes.drop(4) // past the magic
+            val w = body.length % 64 + 8
+            val h = body.length % 48 + 8
+            val hist = new Array[Double](8)
+            body.foreach(b => hist((b & 0xff) % 8) += 1.0)
+            val total = math.max(body.length, 1).toDouble
+            (id, w, h, body.length, hist.map(_ / total).toSeq)
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_bytes", "feature")
+  }
+
+  def multimodalDecodeQ(documents: DataFrame): DataFrame = {
+    val rounded = expr("transform(feature, x -> round(x * 10000.0) / 10000.0)")
+    multimodalDecode(documents)
+      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+        rounded.as("feature"))
+      .orderBy("doc_id")
+  }
+}
