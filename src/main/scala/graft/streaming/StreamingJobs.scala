@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.operators.Sessionize
+
+/** Structured Streaming twins of the batch event operators (SURVEY.md §2.D):
+  * the same computations declared over an unbounded file source, with
+  * watermark-driven completeness instead of a full scan.
+  *
+  * - [[windowAggStream]]: file source → withWatermark → tumbling window agg,
+  *   the streaming half of `streaming_window_agg`
+  *   (operators/Relational.scala streamingWindowAgg is its batch twin).
+  * - [[sessionizeStream]]: flatMapGroupsWithState sessionization, the
+  *   streaming half of `sessionize` — custom keyed state carrying the open
+  *   session, closed sessions emitted as soon as a gap exceeds GapUs.
+  *
+  * Scale notes: the window agg is partial-aggregated per micro-batch and
+  * shuffles once on (window, event_type); state size for sessionize is one
+  * small record per active user. Both specs drive the jobs with
+  * Trigger.AvailableNow over real events data and assert parity with the
+  * batch twins.
+  */
+object StreamingJobs {
+
+  /** Raw schema of events.parquet as read with nanosAsLong (ts is int64
+    * nanos before the micros truncation). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming tumbling-window counts with a 2 h watermark. */
+  def windowAggStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  // ------------------------------------------------- stateful sessionize
+
+  case class SessEvent(user_id: Long, t_us: Long, c: Long)
+  case class SessState(startUs: Long, lastUs: Long, nEvents: Long, sumC: Long)
+  case class ClosedSession(user_id: Long, session_start_us: Long,
+                           session_end_us: Long, n_events: Long, sum_value: Double)
+
+  /** Closes the open session whenever a gap > GapUs arrives; emits closed
+    * sessions, keeps the open one in state. Events inside a micro-batch are
+    * time-sorted before folding (arrival order within a batch is
+    * unordered). */
+  def sessionizeFn(gapUs: Long)(
+      userId: Long,
+      events: Iterator[SessEvent],
+      state: GroupState[SessState]): Iterator[ClosedSession] = {
+    val sorted = events.toArray.sortBy(_.t_us)
+    var cur = state.getOption.orNull
+    val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+    for (e <- sorted) {
+      if (cur == null) cur = SessState(e.t_us, e.t_us, 1, e.c)
+      else if (e.t_us - cur.lastUs > gapUs) {
+        closed += ClosedSession(userId, cur.startUs, cur.lastUs, cur.nEvents, cur.sumC / 100.0)
+        cur = SessState(e.t_us, e.t_us, 1, e.c)
+      } else cur = SessState(cur.startUs, e.t_us, cur.nEvents + 1, cur.sumC + e.c)
+    }
+    if (cur != null) state.update(cur)
+    closed.iterator
+  }
+
+  /** Streaming sessionization over the same file source. */
+  def sessionizeStream(spark: SparkSession, dir: String,
+                       gapUs: Long = Sessionize.GapUs): Dataset[ClosedSession] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .select(col("user_id"),
+        expr("ts div 1000").as("t_us"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("c"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        sessionizeFn(gapUs))
+  }
+}

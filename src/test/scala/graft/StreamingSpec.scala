@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Relational, Sessionize}
+import graft.streaming.StreamingJobs
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Copies the real events parquet into a fresh dir (a streaming file
+    * source needs a directory it can list). */
+  private def stageEventsDir(tag: String): String = {
+    val dir = Files.createTempDirectory(s"graft-stream-$tag")
+    val src = Paths.get(s"$sf/events.parquet")
+    Files.copy(src, dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  test("streaming window agg matches the batch twin up to the watermark") {
+    val dir = stageEventsDir("win")
+    val q = StreamingJobs.windowAggStream(spark, dir)
+      .writeStream.format("memory").queryName("win_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_stream")
+      .select("window_start", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    // append mode emits windows closed by the final watermark = max ts - 2 h
+    val events = Tables.events(spark, sf)
+    val maxTs = events.agg(max("ts")).collect().head.getTimestamp(0)
+    val horizonUs = maxTs.getTime * 1000 - 2L * 3600 * 1000000
+    val expected = Relational.streamingWindowAgg(events)
+      .filter(unix_micros(col("window_start")) + 3600L * 1000000 <= horizonUs)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+    assert(streamed.nonEmpty)
+    assert(streamed == expected,
+      s"stream=${streamed.size} batch=${expected.size} missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
+  }
+
+  test("stateful streaming sessionize emits exactly the batch-closed sessions") {
+    val dir = stageEventsDir("sess")
+    val q = StreamingJobs.sessionizeStream(spark, dir)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sess_stream")
+      .select("user_id", "session_start_us", "session_end_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // one batch covers all data, so the stream closes every session except
+    // each user's final (still-open) one
+    val batch = Sessionize.sessionize(Tables.events(spark, sf))
+    val lastSeq = batch.groupBy("user_id").agg(max("session_seq").as("mx"))
+    val expected = batch.join(lastSeq, Seq("user_id"))
+      .filter(col("session_seq") =!= col("mx"))
+      .select("user_id", "session_start_us", "session_end_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(streamed == expected,
+      s"stream=${streamed.size} batch-closed=${expected.size}")
+  }
+}
