@@ -70,11 +70,12 @@ object Lsh {
     * document granularity the fused per-row expression keeps it map-only. */
   def simhashes(documents: DataFrame): DataFrame =
     Dedup.shingleSets(documents)
+      .withColumn("hs", expr("transform(shingles, s -> xxhash64(s))")) // hash once per shingle
       .withColumn("simhash", expr(
         """aggregate(
           |  transform(sequence(0, 63), i ->
-          |    CASE WHEN aggregate(shingles, 0L,
-          |           (acc, s) -> acc + (CASE WHEN (shiftright(xxhash64(s), i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+          |    CASE WHEN aggregate(hs, 0L,
+          |           (acc, h) -> acc + (CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
           |         THEN shiftleft(1L, i) ELSE 0L END),
           |  0L, (a, b) -> a | b)""".stripMargin))
 
@@ -129,8 +130,7 @@ object Lsh {
         s"""transform(sequence(0, ${LshTables - 1}), t ->
            |  named_struct('t', t, 'key',
            |    aggregate(sequence(0, ${LshBits - 1}), 0L, (acc, p) ->
-           |      acc | (CASE WHEN aggregate(zip_with(vd, planes[t * $LshBits + p], (x, y) -> x * y),
-           |                                 CAST(0.0 AS DOUBLE), (a, b) -> a + b) > 0.0
+           |      acc | (CASE WHEN graft_dot(vd, planes[t * $LshBits + p]) > 0.0
            |                  THEN shiftleft(1L, p) ELSE 0L END))))""".stripMargin))
       .select(col("vec_id"), col("label"), col("vd"), col("norm"),
         explode(col("bucket")).as("bk"))
@@ -151,8 +151,7 @@ object Lsh {
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     cand
-      .withColumn("cos", expr(
-        "aggregate(zip_with(vd, qv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b) / (norm * qn)"))
+      .withColumn("cos", expr(s"${Similarity.DotF} / (norm * qn)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
