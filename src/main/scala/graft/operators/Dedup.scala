@@ -29,16 +29,29 @@ object Dedup {
           .as("shingles"))
       .select(col("doc_id"), col("shingles"), expr("size(shingles)").as("nsh"))
 
-  /** Exact Jaccard ≥ τ pairs via the inverted-index join. */
+  /** Exact Jaccard ≥ τ pairs via the inverted-index join.
+    *
+    * Join-cost engineering: the self-join carries a 64-bit xxhash of the
+    * shingle (not the string) and nothing else per row — on a dense-
+    * vocabulary corpus the candidate join is Σ df(s)² rows, so payload
+    * width is the dominant shuffle cost. Doc shingle counts are joined
+    * back AFTER the pair aggregation (|pairs| rows, broadcastable dim)
+    * instead of riding through the join. A 64-bit key collision inside one
+    * corpus (p ≈ |shingles|²/2⁶⁵) would perturb one `inter` count; the
+    * exact-string oracle guards it. */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
-    val ex = shingleSets(documents)
-      .select(col("doc_id"), col("nsh"), explode(col("shingles")).as("s"))
-    val a = ex.select(col("doc_id").as("id1"), col("nsh").as("n1"), col("s"))
-    val b = ex.select(col("doc_id").as("id2"), col("nsh").as("n2"), col("s"))
-    a.join(b, Seq("s"))
+    val sh = shingleSets(documents)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
+    val a = ex.select(col("doc_id").as("id1"), col("sh"))
+    val b = ex.select(col("doc_id").as("id2"), col("sh"))
+    val sizes = sh.select(col("doc_id"), col("nsh"))
+    a.join(b, Seq("sh"))
       .filter(col("id1") < col("id2"))
-      .groupBy("id1", "id2", "n1", "n2")
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("id1"), col("nsh").as("n1"))), Seq("id1"))
+      .join(broadcast(sizes.select(col("doc_id").as("id2"), col("nsh").as("n2"))), Seq("id2"))
       .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (n1 + n2 - inter)"))
       .filter(col("jaccard") >= threshold)
   }
