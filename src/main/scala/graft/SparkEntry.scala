@@ -65,6 +65,9 @@ object SparkEntry {
     "ml_train_predict" -> ((s, d) => MlPipeline.mlTrainPredictQ(Tables.events(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.multimodalMetaQ(Tables.documents(s, d))),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecodeQ(Tables.documents(s, d))),
+    // beyond the SURVEY §2 inventory: second scale paths for similarity
+    "embedding_dedup_lsh" -> ((s, d) => Lsh.embeddingDedupLshQ(Tables.embeddings(s, d))),
+    "knn_cosine_ivf" -> ((s, d) => Ivf.knnCosineIvfQ(Tables.embeddings(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -26,22 +26,34 @@ object Lsh {
   val MinhashBands = 8
   val MinhashRows = 4
 
-  /** Per-doc MinHash signature: sig[j] = min over shingles of
-    * xxhash64(j, shingle) — one seeded hash family, no stored permutations. */
-  def minhashSignatures(documents: DataFrame): DataFrame =
-    Dedup.shingleSets(documents)
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${MinhashK - 1}), j -> array_min(transform(shingles, s -> xxhash64(j, s))))"))
+  /** Per-doc MinHash signature columns mh_0…mh_K-1: min over shingles of
+    * xxhash64(j, shingle) — one seeded hash family, no stored permutations.
+    *
+    * Shape: explode distinct shingles → repartition → groupBy(doc) with K
+    * codegen'd min(xxhash64(j, s)) aggregates. The explode+agg form keeps
+    * the hashing inside WholeStageCodegen (a per-row lambda would be
+    * interpreted); the repartition spreads the work when the input arrives
+    * as one file/partition (local single-file tables; at 100 TB inputs are
+    * already split). */
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val ex = Dedup.shingleSets(documents)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .repartition(col("doc_id"))
+    val mins = (0 until MinhashK).map(j =>
+      min(expr(s"xxhash64($j, s)")).as(s"mh_$j"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
   /** Banded-LSH candidate pairs, verified with exact Jaccard ≥ τ. */
   def minhashLshPairs(documents: DataFrame,
                       threshold: Double = Dedup.JaccardThreshold): DataFrame = {
     val sigs = minhashSignatures(documents)
-    val bandCols = (0 until MinhashRows).map(i => s"sig[b * $MinhashRows + $i]").mkString(", ")
+    val bandKeys = (0 until MinhashBands).map { b =>
+      val cols = (0 until MinhashRows).map(i => s"mh_${b * MinhashRows + i}").mkString(", ")
+      s"xxhash64($b, $cols)"
+    }.mkString(", ")
     val buckets = sigs
-      .select(col("doc_id"),
-        explode(expr(s"transform(sequence(0, ${MinhashBands - 1}), b -> xxhash64(b, $bandCols))"))
-          .as("bkey"))
+      .select(col("doc_id"), explode(expr(s"array($bandKeys)")).as("bkey"))
     val cand = buckets.as("a")
       .join(buckets.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -64,20 +76,27 @@ object Lsh {
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash from shingle hashes: bit i is set when the sum of
-    * ±1 contributions of bit i across shingle hashes is positive. Bits are
-    * OR-combined (never summed) so no overflow. At corpus scale the
-    * per-bit recomputation of xxhash64 would move to an explode+agg; at
-    * document granularity the fused per-row expression keeps it map-only. */
-  def simhashes(documents: DataFrame): DataFrame =
-    Dedup.shingleSets(documents)
-      .withColumn("hs", expr("transform(shingles, s -> xxhash64(s))")) // hash once per shingle
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  transform(sequence(0, 63), i ->
-          |    CASE WHEN aggregate(hs, 0L,
-          |           (acc, h) -> acc + (CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-          |         THEN shiftleft(1L, i) ELSE 0L END),
-          |  0L, (a, b) -> a | b)""".stripMargin))
+    * ±1 contributions of bit i across shingle hashes is positive.
+    *
+    * Shape: explode shingles → hash once per shingle → repartition →
+    * groupBy(doc) with 64 codegen'd per-bit sums → OR the bit columns
+    * together (never summed, so no overflow). Same explode+agg rationale
+    * as [[minhashSignatures]]. */
+  def simhashes(documents: DataFrame): DataFrame = {
+    val ex = Dedup.shingleSets(documents)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", expr("xxhash64(s)"))
+      .repartition(col("doc_id"))
+    val bitSums = (0 until 64).map(i =>
+      sum(expr(s"CASE WHEN (shiftright(h, $i) & 1) = 1 THEN 1 ELSE -1 END")).as(s"b$i"))
+    val orBits = (0 until 64)
+      .map(i => s"(CASE WHEN b$i > 0 THEN shiftleft(1L, $i) ELSE 0L END)")
+      .mkString(" | ")
+    ex.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", expr(orBits))
+      .select("doc_id", "simhash")
+  }
 
   val SimhashBands = 4
   val MaxHamming = 3
@@ -160,4 +179,26 @@ object Lsh {
 
   def knnCosineLshQ(embeddings: DataFrame): DataFrame =
     knnCosineLsh(embeddings).orderBy("query_id", "rank")
+
+  /** Near-duplicate pair mining at cos ≥ τ through the hyperplane buckets —
+    * the sub-quadratic twin of [[Similarity.embeddingDedup]]: candidates
+    * share at least one (table, bucket) key, then verify exactly. Precision
+    * is exact (verified); recall is the LSH collision probability
+    * (spec-measured against the exact operator). */
+  def embeddingDedupLsh(embeddings: DataFrame,
+                        threshold: Double = Similarity.DedupCosThreshold): DataFrame = {
+    val b = lshBuckets(embeddings)
+    val a1 = b.select(col("vec_id").as("id1"), col("vd"), col("norm"), col("t"), col("key"))
+    val a2 = b.select(col("vec_id").as("id2"), col("vd").as("qv"), col("norm").as("qn"),
+      col("t"), col("key"))
+    a1.join(a2, Seq("t", "key"))
+      .filter(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("cos", expr(s"${Similarity.DotF} / (norm * qn)"))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), Parity.r("cos", 4))
+  }
+
+  def embeddingDedupLshQ(embeddings: DataFrame): DataFrame =
+    embeddingDedupLsh(embeddings).orderBy("id1", "id2")
 }

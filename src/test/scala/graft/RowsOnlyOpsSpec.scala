@@ -46,6 +46,29 @@ class RowsOnlyOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@5 too low: $recall")
   }
 
+  test("embedding-dedup LSH: exact precision, measured recall vs exact pairs") {
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val exact = Similarity.embeddingDedup(emb)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Lsh.embeddingDedupLsh(emb)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}") // verified → precision 1
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall too low: $recall")
+  }
+
+  test("knn IVF: neighbors verified against brute with useful recall") {
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val brute = Similarity.knnCosineBrute(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Ivf.knnCosineIvf(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall@5 too low: $recall")
+  }
+
   test("butterworth design: a0=1, 2N+1 coefficients, stable-looking") {
     val (b, a) = (Iir.bCoef, Iir.aCoef)
     assert(a.length == 2 * Iir.Order + 1 && b.length == a.length)
