@@ -31,7 +31,9 @@ object Bench {
         SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
-        case e: Throwable => Left(e.toString.replaceAll("[\"\\n\\r\\t]", " ").take(300))
+        // strip every char that could break the JSON string literal,
+        // including backslashes (Spark errors often quote regexes)
+        case e: Throwable => Left(e.toString.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(300))
       }
     }
 
@@ -40,11 +42,14 @@ object Bench {
     val results = names.map(n => n -> run(n))
     val timings = results.collect { case (n, Right(t)) => n -> t }
     val errors = results.collect { case (n, Left(e)) => n -> e }
-    val qs = timings.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator is default-locale-sensitive and a
+    // comma decimal separator would break the JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = timings.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_OUT.json"), line + "\n")
     println(line)
     spark.stop()

@@ -19,19 +19,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  /** Both inputs must be array<double> (either nullability — Spark's
+    * transform() conservatively marks containsNull). Element-level nulls
+    * are NOT supported: inputs are built with CAST-to-double transforms
+    * over non-null embeddings; a null element would read as undefined. */
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(DoubleType, containsNull = false) ||
-        left.dataType == ArrayType(DoubleType, containsNull = true)) {
-      if (right.dataType.isInstanceOf[ArrayType]) {
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      } else {
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckFailure(s"right side must be array<double>, got ${right.dataType}")
-      }
-    } else {
+    def isDoubleArray(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (!isDoubleArray(left.dataType)) {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult
         .TypeCheckFailure(s"left side must be array<double>, got ${left.dataType}")
+    } else if (!isDoubleArray(right.dataType)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"right side must be array<double>, got ${right.dataType}")
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     }
   }
   override def dataType: DataType = DoubleType

@@ -39,6 +39,10 @@ object Similarity {
   def withNorm(embeddings: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(embeddings.sparkSession)
     embeddings
+      // local tables are one parquet file → one partition; the pair joins
+      // parallelize over this side's partitions, so spread it (at 100 TB
+      // the input is already split and this is a no-op cost-wise)
+      .repartition(col("vec_id"))
       .withColumn("vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm", expr("sqrt(graft_dot(vd, vd))"))
   }

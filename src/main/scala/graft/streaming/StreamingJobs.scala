@@ -50,7 +50,9 @@ object StreamingJobs {
 
   // ------------------------------------------------- stateful sessionize
 
-  case class SessEvent(user_id: Long, t_us: Long, c: Long)
+  /** c is Option: a NULL value must not kill the stream — the batch twin
+    * counts the row and skips it in the sum, mirrored here. */
+  case class SessEvent(user_id: Long, t_us: Long, c: Option[Long])
   case class SessState(startUs: Long, lastUs: Long, nEvents: Long, sumC: Long)
   case class ClosedSession(user_id: Long, session_start_us: Long,
                            session_end_us: Long, n_events: Long, sum_value: Double)
@@ -67,11 +69,12 @@ object StreamingJobs {
     var cur = state.getOption.orNull
     val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
     for (e <- sorted) {
-      if (cur == null) cur = SessState(e.t_us, e.t_us, 1, e.c)
+      val c = e.c.getOrElse(0L)
+      if (cur == null) cur = SessState(e.t_us, e.t_us, 1, c)
       else if (e.t_us - cur.lastUs > gapUs) {
         closed += ClosedSession(userId, cur.startUs, cur.lastUs, cur.nEvents, cur.sumC / 100.0)
-        cur = SessState(e.t_us, e.t_us, 1, e.c)
-      } else cur = SessState(cur.startUs, e.t_us, cur.nEvents + 1, cur.sumC + e.c)
+        cur = SessState(e.t_us, e.t_us, 1, c)
+      } else cur = SessState(cur.startUs, e.t_us, cur.nEvents + 1, cur.sumC + c)
     }
     if (cur != null) state.update(cur)
     closed.iterator
