@@ -37,7 +37,9 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted.filter(SparkEntry.queries.contains)
+      else SparkEntry.queries.keys.toSeq.sorted
     names.foreach(run) // warmup
     val results = names.map(n => n -> run(n))
     val timings = results.collect { case (n, Right(t)) => n -> t }
