@@ -100,5 +100,6 @@ object SparkEntry {
     "sessionize" -> Sessionize.sessionizeSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
+    "dedup_minhash_lsh" -> Lsh.minhashLshSql,
   )
 }

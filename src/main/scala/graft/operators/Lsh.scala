@@ -73,6 +73,35 @@ object Lsh {
   def minhashLshQ(documents: DataFrame): DataFrame =
     minhashLshPairs(documents).orderBy("id1", "id2")
 
+  /** DuckDB twin: the EXACT Jaccard pair set. Valid as an oracle because
+    * banded-LSH recall at this corpus' near-dup similarity (j≈0.98) is
+    * 1-(1-j⁴)⁸ ≈ 1-1e-11 and candidates are exactly verified — the
+    * RowsOnlyOpsSpec pins set equality, this pins values too. */
+  val minhashLshSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS shingles
+       |  FROM toks
+       |), ex AS (
+       |  SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh
+       |), pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |         any_value(a.nsh) AS n1, any_value(b.nsh) AS n2,
+       |         count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), j AS (
+       |  SELECT id1, id2, inter,
+       |         CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+       |  FROM pairs
+       |)
+       |SELECT id1, id2, inter, ${Parity.rsql("jaccard", 4, "jaccard")}
+       |FROM j
+       |WHERE jaccard >= ${Dedup.JaccardThreshold}
+       |ORDER BY id1, id2""".stripMargin
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash from shingle hashes: bit i is set when the sum of
