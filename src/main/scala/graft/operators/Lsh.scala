@@ -47,7 +47,10 @@ object Lsh {
   /** Banded-LSH candidate pairs, verified with exact Jaccard ≥ τ. */
   def minhashLshPairs(documents: DataFrame,
                       threshold: Double = Dedup.JaccardThreshold): DataFrame = {
-    val sigs = minhashSignatures(documents)
+    // materialize signatures once: Catalyst plans no ReusedExchange across
+    // the bucket self-join, so without this both join sides would recompute
+    // the whole signature aggregation
+    val sigs = minhashSignatures(documents).localCheckpoint()
     val bandKeys = (0 until MinhashBands).map { b =>
       val cols = (0 until MinhashRows).map(i => s"mh_${b * MinhashRows + i}").mkString(", ")
       s"xxhash64($b, $cols)"
@@ -134,7 +137,8 @@ object Lsh {
     * cannot touch all 4 bands, so one band always matches — recall is
     * exactly 1 (pigeonhole), no probabilistic miss. */
   def simhashPairs(documents: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
-    val hs = simhashes(documents).select("doc_id", "simhash")
+    // materialized once — see minhashLshPairs
+    val hs = simhashes(documents).select("doc_id", "simhash").localCheckpoint()
     val buckets = hs.select(col("doc_id"), col("simhash"),
       explode(expr(s"transform(sequence(0, ${SimhashBands - 1}), b -> " +
         "named_struct('band', b, 'key', shiftright(simhash, b * 16) & 65535))")).as("bk"))
