@@ -68,6 +68,7 @@ object SparkEntry {
     // beyond the SURVEY §2 inventory: second scale paths for similarity
     "embedding_dedup_lsh" -> ((s, d) => Lsh.embeddingDedupLshQ(Tables.embeddings(s, d))),
     "knn_cosine_ivf" -> ((s, d) => Ivf.knnCosineIvfQ(Tables.embeddings(s, d))),
+    "dedup_cluster" -> ((s, d) => Dedup.dedupClustersQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -101,5 +102,6 @@ object SparkEntry {
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
+    "dedup_cluster" -> Dedup.dedupClustersSql,
   )
 }

@@ -62,6 +62,92 @@ object Dedup {
         Parity.r("jaccard", 4))
       .orderBy("id1", "id2")
 
+  /** Near-dup CLUSTERS: connected components over the Jaccard ≥ τ pair
+    * graph, every document labeled with its component's min doc_id (its
+    * canonical representative) — the step that turns pair lists into the
+    * keep/drop decision a dedup pipeline actually ships.
+    *
+    * Iterative min-label propagation (the standard distributed CC shape:
+    * each round, every vertex takes the min label among itself and its
+    * neighbors; rounds ≤ graph diameter, checked via an aggregate-only
+    * convergence probe — no row data ever reaches the driver). Near-dup
+    * components are tiny chains, so this converges in 1–3 rounds; maxIters
+    * caps pathological inputs. */
+  def dedupClusters(documents: DataFrame,
+                    threshold: Double = JaccardThreshold,
+                    maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(documents, threshold)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val edges = pairs
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = documents.select(col("doc_id"))
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("id2") === labels("doc_id"))
+        .groupBy(col("id1").as("doc_id")).agg(min("label").as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  def dedupClustersQ(documents: DataFrame): DataFrame =
+    dedupClusters(documents).orderBy("doc_id")
+
+  /** DuckDB twin: transitive closure by recursive CTE, min reachable id
+    * per doc (identical labels: both compute the component minimum). */
+  val dedupClustersSql: String = {
+    val pairsCte = ngramJaccardSqlBody
+    s"""WITH RECURSIVE $pairsCte, edges AS (
+       |  SELECT id1 AS u, id2 AS v FROM jpairs
+       |  UNION ALL
+       |  SELECT id2 AS u, id1 AS v FROM jpairs
+       |), reach AS (
+       |  SELECT doc_id AS doc, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.u AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.v
+       |), cc AS (
+       |  SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc
+       |)
+       |SELECT d.doc_id, cc.cluster_id, d.doc_id = cc.cluster_id AS is_canonical
+       |FROM documents d JOIN cc ON cc.doc = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Shared CTE body producing `jpairs(id1, id2)` — the exact pair set. */
+  private lazy val ngramJaccardSqlBody: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+       |), sh2 AS (
+       |  SELECT doc_id,
+       |         list_distinct([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS shingles
+       |  FROM toks
+       |), ex2 AS (
+       |  SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh2
+       |), rawpairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |         any_value(a.nsh) AS n1, any_value(b.nsh) AS n2,
+       |         count(*) AS inter
+       |  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), jpairs AS (
+       |  SELECT id1, id2 FROM rawpairs
+       |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= $JaccardThreshold
+       |)""".stripMargin
+
   val ngramJaccardSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents

@@ -30,6 +30,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("dedup clusters: chained near-dups collapse into one component") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running far"
+    val d = Seq(
+      (1L, base + " today"),
+      (2L, base + " tonight"),  // pairs with 1
+      (3L, base + " tonight!"), // pairs with 2 (and 1) — chain
+      (4L, "an entirely different document about shuffle plans and columns here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupClusters(d, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L, s"chain not collapsed: $out")
+    assert(out(4L) == 4L)
+  }
+
   test("knn brute: k neighbors per query, self excluded, ranks ordered by cos") {
     val out = Similarity.knnCosineBrute(emb, k = 3).collect()
     val byQ = out.groupBy(_.getAs[Long]("query_id"))
