@@ -91,11 +91,14 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "n_bytes", "feature")
   }
 
+  /** Driver-facing projection: the 8-bin feature vector rides as scalar
+    * columns f0…f7 (not array<double>) so a pandas-side canonicalizer can
+    * sort/hash the rows — raw array columns are unhashable there. */
   def multimodalDecodeQ(documents: DataFrame): DataFrame = {
-    val rounded = expr("transform(feature, x -> round(x * 10000.0) / 10000.0)")
+    val fs = (0 until 8).map(i =>
+      expr(s"round(feature[$i] * 10000.0) / 10000.0 + 0.0").as(s"f$i"))
     multimodalDecode(documents)
-      .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
-        rounded.as("feature"))
+      .select(col("doc_id") +: col("width") +: col("height") +: col("n_bytes") +: fs: _*)
       .orderBy("doc_id")
   }
 }

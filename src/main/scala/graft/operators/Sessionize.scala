@@ -72,8 +72,8 @@ object Sessionize {
        |  SELECT *, CASE WHEN prev_us IS NULL OR t_us - prev_us > $GapUs THEN 1 ELSE 0 END AS is_new
        |  FROM s1
        |), s3 AS (
-       |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
-       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
        |  FROM s2
        |), sess AS (
        |  SELECT user_id, session_seq,

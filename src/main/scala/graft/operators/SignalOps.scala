@@ -448,14 +448,14 @@ object SignalOps {
        |), efeat_raw AS (
        |  SELECT trial_id, channel, epoch_id, win_start_sec, win_end_sec,
        |         count(*) AS n,
-       |         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nan,
+       |         CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
        |         CAST(count(*) AS DOUBLE) AS cnt_d,
        |         CAST(sum(c) AS DOUBLE) AS s1c,
        |         CAST(sum(c * c) AS DOUBLE) AS s2c,
        |         sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS s3d,
        |         sum(CAST(c AS DOUBLE) * CAST(c AS DOUBLE) * CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) AS s4d,
        |         max(value) - min(value) AS p2p,
-       |         sum(is_change) AS zcr_count,
+       |         CAST(sum(is_change) AS BIGINT) AS zcr_count,
        |         CAST(sum(dc) AS DOUBLE) AS sd1,
        |         CAST(sum(dc * dc) AS DOUBLE) AS sd2,
        |         CAST(sum(d2c) AS DOUBLE) AS sdd1,
@@ -566,8 +566,8 @@ object SignalOps {
   val qcReportSql: String =
     s"""$epochCtes
        |SELECT trial_id, channel, count(*) AS n_epochs,
-       |       sum(CASE WHEN flatline_flag THEN 1 ELSE 0 END) AS n_flat,
-       |       sum(CASE WHEN highvar_flag THEN 1 ELSE 0 END) AS n_highvar
+       |       CAST(sum(CASE WHEN flatline_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+       |       CAST(sum(CASE WHEN highvar_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_highvar
        |FROM efeat
        |GROUP BY trial_id, channel
        |ORDER BY trial_id, channel""".stripMargin

@@ -60,6 +60,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(ecols)}")
             n_fail += 1
             continue
+        # dtype parity: the driver's hasher is dtype-sensitive (e.g. DuckDB
+        # HUGEINT vs Spark BIGINT hash differently even when values match),
+        # so mismatched column types are a gate failure even if values agree.
+        gtypes = {d[0]: str(d[1]) for d in got.description}
+        etypes = {d[0]: str(d[1]) for d in exp.description}
+        tdiff = {c: (gtypes[c], etypes[c]) for c in gtypes if gtypes[c] != etypes[c]}
+        if tdiff:
+            print(f"FAIL {name}: dtype mismatch spark-vs-oracle {tdiff}")
+            n_fail += 1
+            continue
         if len(grows) != len(erows):
             print(f"FAIL {name}: rows spark={len(grows)} oracle={len(erows)}")
             n_fail += 1
