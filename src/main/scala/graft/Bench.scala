@@ -37,13 +37,15 @@ object Bench {
       }
     }
 
-    val names =
-      if (args.nonEmpty) args.toSeq.sorted.filter(SparkEntry.queries.contains)
-      else SparkEntry.queries.keys.toSeq.sorted
+    // a typo'd name must surface in "errors", not silently shrink the run
+    val (names, unknown) =
+      if (args.nonEmpty) args.toSeq.distinct.sorted.partition(SparkEntry.queries.contains)
+      else (SparkEntry.queries.keys.toSeq.sorted, Seq.empty[String])
     names.foreach(run) // warmup
     val results = names.map(n => n -> run(n))
     val timings = results.collect { case (n, Right(t)) => n -> t }
-    val errors = results.collect { case (n, Left(e)) => n -> e }
+    val errors = results.collect { case (n, Left(e)) => n -> e } ++
+      unknown.map(n => n -> "unknown query name")
     // Locale.ROOT: the f-interpolator is default-locale-sensitive and a
     // comma decimal separator would break the JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

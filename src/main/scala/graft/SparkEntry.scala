@@ -35,6 +35,7 @@ object SparkEntry {
     "json_extract" -> ((s, d) => Relational.jsonExtract(Tables.events(s, d))),
     "streaming_window_agg" -> ((s, d) => Relational.streamingWindowAgg(Tables.events(s, d))),
     // §A signal pipeline
+    "csv_ingest" -> ((s, _) => CsvIngest.csvIngestQ(s)),
     "bronze_ingest" -> ((s, d) => SignalOps.bronzeIngestQ(Tables.events(s, d))),
     "silver_zscore" -> ((s, d) => SignalOps.silverZscoreQ(Tables.events(s, d))),
     "gold_trial_stats" -> ((s, d) => SignalOps.goldTrialStatsQ(Tables.events(s, d))),
@@ -42,6 +43,7 @@ object SparkEntry {
     "hjorth_features" -> ((s, d) => SignalOps.hjorthFeaturesQ(Tables.events(s, d))),
     "qc_report" -> ((s, d) => SignalOps.qcReportQ(Tables.events(s, d))),
     "feature_wide" -> ((s, d) => SignalOps.featureWideQ(Tables.events(s, d))),
+    "feature_unpivot" -> ((s, d) => SignalOps.featureUnpivotQ(Tables.events(s, d))),
     "signal_fir_bandpass" -> ((s, d) => SignalOps.firBandpassQ(Tables.events(s, d))),
     // §C text
     "text_stats" -> ((s, d) => TextOps.textStatsQ(Tables.documents(s, d))),
@@ -63,6 +65,7 @@ object SparkEntry {
     "knn_cosine_lsh" -> ((s, d) => Lsh.knnCosineLshQ(Tables.embeddings(s, d))),
     "signal_iir_filtfilt" -> ((s, d) => Iir.iirFiltfiltQ(Tables.events(s, d))),
     "ml_train_predict" -> ((s, d) => MlPipeline.mlTrainPredictQ(Tables.events(s, d))),
+    "ml_metrics" -> ((s, d) => MlPipeline.mlMetricsQ(Tables.events(s, d))),
     "multimodal_meta" -> ((s, d) => Multimodal.multimodalMetaQ(Tables.documents(s, d))),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecodeQ(Tables.documents(s, d))),
     // beyond the SURVEY §2 inventory: second scale paths for similarity
@@ -81,6 +84,7 @@ object SparkEntry {
     "incremental_new_keys" -> Relational.incrementalNewKeysSql,
     "json_extract" -> Relational.jsonExtractSql,
     "streaming_window_agg" -> Relational.streamingWindowAggSql,
+    "csv_ingest" -> CsvIngest.csvIngestSql,
     "bronze_ingest" -> SignalOps.bronzeIngestSql,
     "silver_zscore" -> SignalOps.silverZscoreSql,
     "gold_trial_stats" -> SignalOps.goldTrialStatsSql,
@@ -88,6 +92,7 @@ object SparkEntry {
     "hjorth_features" -> SignalOps.hjorthFeaturesSql,
     "qc_report" -> SignalOps.qcReportSql,
     "feature_wide" -> SignalOps.featureWideSql,
+    "feature_unpivot" -> SignalOps.featureUnpivotSql,
     "signal_fir_bandpass" -> SignalOps.firBandpassSql,
     "text_stats" -> TextOps.textStatsSql,
     "text_quality" -> TextOps.textQualitySql,

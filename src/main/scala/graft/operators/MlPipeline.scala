@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature.{StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -44,17 +45,64 @@ object MlPipeline {
     new Pipeline().setStages(Array(indexer, assembler, scaler, lr))
   }
 
-  /** Fit on the 0.8 split, predict the 0.2 split. duration > 0 also
-    * guarantees n ≥ 2, which makes every feature non-null. */
-  def trainPredict(gold: DataFrame): DataFrame = {
+  /** Seeded split + fit; returns the fitted model and the held-out test
+    * split. duration > 0 also guarantees n ≥ 2, which makes every feature
+    * non-null. */
+  def fitOnSplit(gold: DataFrame): (PipelineModel, DataFrame) = {
     val clean = gold.filter(col("duration_sec") > 0)
     val Array(train, test) = clean.randomSplit(Array(0.8, 0.2), Seed)
-    val model = pipeline().fit(train)
+    (pipeline().fit(train), test)
+  }
+
+  /** Fit on the 0.8 split, predict the 0.2 split. */
+  def trainPredict(gold: DataFrame): DataFrame = {
+    val (model, test) = fitOnSplit(gold)
     model.transform(test)
       .select(col("trial_id"), col("channel"), col("label"), col("prediction"))
+  }
+
+  /** Multiclass evaluation over a predictions frame — the reference's
+    * MulticlassClassificationEvaluator sweep (accuracy, f1,
+    * weightedPrecision, weightedRecall;
+    * /root/reference/main/train_model.py:107-121) emitted as a one-row
+    * metrics DataFrame. The evaluator aggregates the confusion matrix
+    * distributed-side; only the scalar metric reaches the driver. */
+  def evalMetrics(predictions: DataFrame): DataFrame = {
+    val spark = predictions.sparkSession
+    import spark.implicits._
+    val cached = predictions.select("label", "prediction").cache()
+    def ev(m: String): Double = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName(m).evaluate(cached)
+    val n = cached.count()
+    val out = Seq((n, ev("accuracy"), ev("f1"), ev("weightedPrecision"), ev("weightedRecall")))
+      .toDF("n_test", "accuracy", "f1", "weighted_precision", "weighted_recall")
+    cached.unpersist()
+    out
+  }
+
+  /** Persist a fitted pipeline and reload it — the reference's
+    * model.write().overwrite().save(...) (train_model.py:123-128). The
+    * reload is the contract: predictions from the loaded model must equal
+    * the in-memory model's (spec-gated). */
+  def saveAndReload(model: PipelineModel, path: String): PipelineModel = {
+    model.write.overwrite().save(path)
+    PipelineModel.load(path)
   }
 
   def mlTrainPredictQ(events: DataFrame): DataFrame =
     trainPredict(SignalOps.goldTrialStats(SignalOps.silver(events)))
       .orderBy("trial_id", "channel")
+
+  /** Rows-only query: one metrics row, rounded for run-to-run stability
+    * (LR with a fixed seed is deterministic; rounding guards the last ulp
+    * of the treeAggregate fold order). */
+  def mlMetricsQ(events: DataFrame): DataFrame = {
+    val (model, test) = fitOnSplit(SignalOps.goldTrialStats(SignalOps.silver(events)))
+    evalMetrics(model.transform(test))
+      .select(col("n_test"), round(col("accuracy"), 6).as("accuracy"),
+        round(col("f1"), 6).as("f1"),
+        round(col("weighted_precision"), 6).as("weighted_precision"),
+        round(col("weighted_recall"), 6).as("weighted_recall"))
+  }
 }

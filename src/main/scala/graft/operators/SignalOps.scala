@@ -369,13 +369,33 @@ object SignalOps {
     qcReport(epochFeatures(silver(events)))
       .orderBy("trial_id", "channel")
 
-  def featureWideQ(events: DataFrame): DataFrame = {
+  private def featureWideRounded(events: DataFrame): DataFrame = {
     val rounded = (for (ch <- Channels; f <- FeatureCols)
       yield expr(rexpr(s"${ch}_${f}_avg", 4)).as(s"${ch}_${f}_avg"))
     featureWide(epochFeatures(silver(events)))
       .select(col("trial_id") +: rounded: _*)
-      .orderBy("trial_id")
   }
+
+  def featureWideQ(events: DataFrame): DataFrame =
+    featureWideRounded(events).orderBy("trial_id")
+
+  /** Wide→long unpivot via `stack` — the reference's `stack()` un-pivot of
+    * headered per-column CSVs (/root/reference/pilots/pilot_silver.py:71-80),
+    * applied to the channel-pivot matrix so pivot→unpivot round-trips.
+    * NULL cells (trial had no QC-passing epochs for a channel) are dropped,
+    * matching DuckDB UNPIVOT's default. stack is a codegen'd generator —
+    * map-only, no shuffle beyond featureWide's own. */
+  def featureUnpivot(wide: DataFrame): DataFrame = {
+    val arms = (for (ch <- Channels; f <- FeatureCols)
+      yield s"'$ch', '$f', ${ch}_${f}_avg").mkString(", ")
+    val n = Channels.size * FeatureCols.size
+    wide.selectExpr("trial_id", s"stack($n, $arms) AS (channel, feature, avg_value)")
+      .filter(col("avg_value").isNotNull)
+  }
+
+  def featureUnpivotQ(events: DataFrame): DataFrame =
+    featureUnpivot(featureWideRounded(events))
+      .orderBy("trial_id", "channel", "feature")
 
   def firBandpassQ(events: DataFrame): DataFrame =
     firBandpass(bronzeIngest(events))
@@ -590,6 +610,22 @@ object SignalOps {
        |FROM wide_src
        |GROUP BY trial_id
        |ORDER BY trial_id""".stripMargin
+  }
+
+  val featureUnpivotSql: String = {
+    val cols = (for (ch <- Channels; f <- FeatureCols)
+      yield s"${ch}_${f}_avg").mkString(", ")
+    s"""WITH wide AS (
+       |$featureWideSql
+       |), u AS (
+       |  UNPIVOT wide ON $cols INTO NAME name VALUE avg_value
+       |)
+       |SELECT trial_id,
+       |       regexp_extract(name, '^([^_]+)_', 1) AS channel,
+       |       regexp_replace(regexp_replace(name, '^[^_]+_', ''), '_avg$$', '') AS feature,
+       |       avg_value
+       |FROM u
+       |ORDER BY trial_id, channel, feature""".stripMargin
   }
 
   val firBandpassSql: String = {
