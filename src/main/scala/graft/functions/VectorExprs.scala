@@ -44,7 +44,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch ($n vs ${y.numElements()})")
+    }
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -59,7 +63,11 @@ case class ArrayDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double ${ev.value}Acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}Acc += $a.getDouble($i) * $b.getDouble($i);
@@ -84,6 +92,13 @@ object VectorExprs {
     registry.registerFunction(
       ident,
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1)))
+      (exprs: Seq[Expression]) => {
+        // arity surfaces as an analysis error, not IndexOutOfBounds
+        if (exprs.length != 2) {
+          throw new IllegalArgumentException(
+            s"graft_dot expects exactly 2 arguments, got ${exprs.length}")
+        }
+        ArrayDotProduct(exprs(0), exprs(1))
+      })
   }
 }

@@ -38,11 +38,29 @@ object Dedup {
     * back AFTER the pair aggregation (|pairs| rows, broadcastable dim)
     * instead of riding through the join. A 64-bit key collision inside one
     * corpus (p ≈ |shingles|²/2⁶⁵) would perturb one `inter` count; the
-    * exact-string oracle guards it. */
-  def ngramJaccardPairs(documents: DataFrame, threshold: Double = JaccardThreshold): DataFrame = {
+    * exact-string oracle guards it.
+    *
+    * `maxDf` is the LOSSY scale escape hatch for adversarially dense
+    * corpora where Σ df² degenerates toward n² (PERF.md): shingles with
+    * document frequency above the cap are dropped from the index BEFORE
+    * the self-join, bounding its cost at Σ min(df, cap)². Because document
+    * shingle counts (n1, n2) stay exact while `inter` can only shrink, the
+    * capped Jaccard underestimates — output is a SUBSET of the exact pair
+    * set (never false positives), and recall is whatever the cap leaves.
+    * Default None = exact contract; opt in only when the corpus density
+    * demands it. */
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double = JaccardThreshold,
+                        maxDf: Option[Long] = None): DataFrame = {
     val sh = shingleSets(documents)
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
+    val ex = maxDf match {
+      case Some(cap) =>
+        val rare = exAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("sh")
+        exAll.join(rare, Seq("sh"))
+      case None => exAll
+    }
     val a = ex.select(col("doc_id").as("id1"), col("sh"))
     val b = ex.select(col("doc_id").as("id2"), col("sh"))
     val sizes = sh.select(col("doc_id"), col("nsh"))
@@ -98,6 +116,14 @@ object Dedup {
       labels = next
       converged = changed == 0
       iter += 1
+    }
+    // exiting via maxIters would mean labels are silently WRONG (some
+    // component wider than maxIters hops) — fail loudly instead of letting
+    // it surface as an opaque oracle mismatch
+    if (!converged) {
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxIters rounds — " +
+          "a component has diameter > maxIters; raise maxIters")
     }
     labels
       .select(col("doc_id"), col("label").as("cluster_id"))

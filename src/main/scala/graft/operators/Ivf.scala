@@ -24,7 +24,23 @@ object Ivf {
   val NProbe = 4
   val Seed = 42L
 
-  /** corpus with unit vectors and KMeans cell assignment. */
+  /** Why this operator is rows-only (SURVEY §2): a brute-oracle gate would
+    * need recall exactly 1 at the driver, but the KMeans cell assignment
+    * depends on input partitioning (seeded init samples per partition), so
+    * the minimal sufficient probe width is environment-dependent — measured
+    * at sf0.01: recall 1 from nProbe=10 under local[8], yet nProbe=12 still
+    * missed one true neighbor under local[4]. On this unclustered synthetic
+    * corpus (top cosine ~0.5, no cluster structure) recall<1 at any fixed
+    * sub-full probe width is inherent-and-unstable. The spec therefore pins
+    * (a) recall at the production width and (b) EXACT brute equality at
+    * nProbe = NumCentroids, which is partitioning-independent and proves
+    * the probe/dedup/rerank machinery loses nothing. */
+
+  /** corpus with unit vectors and KMeans cell assignment. Keeps the raw
+    * double vector + norm beside the unit vector: probing uses the unit
+    * form, but the rerank cosine is computed from (vd, norm) with the SAME
+    * expression as the brute operator, so agreeing candidate sets give
+    * bit-identical output. */
   def assign(embeddings: DataFrame): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -36,30 +52,32 @@ object Ivf {
       .setFeaturesCol("fv").setPredictionCol("cluster")
       .fit(unit)
     val assigned = model.transform(unit)
-      .select(col("vec_id"), col("label"), col("u"), col("cluster"))
+      .select(col("vec_id"), col("label"), col("vd"), col("norm"), col("u"), col("cluster"))
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray.toSeq) }.toSeq
       .toDF("cluster", "cvec")
     (assigned, centroids)
   }
 
-  /** ANN top-k: probe the NProbe nearest cells per query, exact cosine
-    * rerank inside them. Unit vectors make dot == cosine. */
-  def knnCosineIvf(embeddings: DataFrame, k: Int = Similarity.KnnK): DataFrame = {
+  /** ANN top-k: probe the nProbe nearest cells per query, exact cosine
+    * rerank inside them (brute-identical cosine expression). */
+  def knnCosineIvf(embeddings: DataFrame, k: Int = Similarity.KnnK,
+                   nProbe: Int = NProbe): DataFrame = {
     graft.functions.VectorExprs.register(embeddings.sparkSession)
     val (assigned, centroids) = assign(embeddings)
     val queries = assigned.filter(col("vec_id") % Similarity.QueryMod === 0)
-      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+      .select(col("vec_id").as("query_id"), col("u").as("qu"),
+        col("vd").as("qv"), col("norm").as("qn"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("cdot").desc, col("cluster"))
     val probes = queries.crossJoin(broadcast(centroids))
       .withColumn("cdot", expr("graft_dot(qu, cvec)"))
       .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= NProbe)
-      .select("query_id", "qu", "cluster")
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "qv", "qn", "cluster")
     val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
     probes.join(assigned, Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", expr("graft_dot(u, qu)"))
+      .withColumn("cos", expr(s"${Similarity.DotF} / (norm * qn)"))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),

@@ -171,13 +171,12 @@ object Lsh {
     IndexedSeq.fill(LshTables * LshBits)(IndexedSeq.fill(64)(rnd.nextGaussian()))
   }
 
-  private lazy val planesSql: String =
-    Planes.map(p => s"array(${p.mkString(", ")})").mkString("array(", ", ", ")")
-
-  /** vec → L bucket keys (sign pattern of NBits plane dots per table). */
+  /** vec → L bucket keys (sign pattern of NBits plane dots per table).
+    * The plane matrix rides as ONE typed literal (array<array<double>>),
+    * not 2,560 doubles of expression text — same plan, no parse bloat. */
   def lshBuckets(embeddings: DataFrame): DataFrame =
     Similarity.withNorm(embeddings)
-      .withColumn("planes", expr(planesSql))
+      .withColumn("planes", typedLit(Planes.map(_.toSeq)))
       .withColumn("bucket", expr(
         s"""transform(sequence(0, ${LshTables - 1}), t ->
            |  named_struct('t', t, 'key',

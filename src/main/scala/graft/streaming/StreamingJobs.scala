@@ -53,9 +53,13 @@ object StreamingJobs {
   /** c is Option: a NULL value must not kill the stream — the batch twin
     * counts the row and skips it in the sum, mirrored here. */
   case class SessEvent(user_id: Long, t_us: Long, c: Option[Long])
-  case class SessState(startUs: Long, lastUs: Long, nEvents: Long, sumC: Long)
+  case class SessState(startUs: Long, lastUs: Long, nEvents: Long,
+                       sumC: Long, nC: Long)
+  /** sum_value is Option: a session whose events ALL carry NULL value emits
+    * NULL, exactly like the batch twin's sum(c) over all-NULL — not 0.0. */
   case class ClosedSession(user_id: Long, session_start_us: Long,
-                           session_end_us: Long, n_events: Long, sum_value: Double)
+                           session_end_us: Long, n_events: Long,
+                           sum_value: Option[Double])
 
   /** Closes the open session whenever a gap > GapUs arrives; emits closed
     * sessions, keeps the open one in state. Events inside a micro-batch are
@@ -68,13 +72,16 @@ object StreamingJobs {
     val sorted = events.toArray.sortBy(_.t_us)
     var cur = state.getOption.orNull
     val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+    def sumValue(s: SessState): Option[Double] =
+      if (s.nC == 0) None else Some(s.sumC / 100.0)
     for (e <- sorted) {
       val c = e.c.getOrElse(0L)
-      if (cur == null) cur = SessState(e.t_us, e.t_us, 1, c)
+      val nc = if (e.c.isDefined) 1L else 0L
+      if (cur == null) cur = SessState(e.t_us, e.t_us, 1, c, nc)
       else if (e.t_us - cur.lastUs > gapUs) {
-        closed += ClosedSession(userId, cur.startUs, cur.lastUs, cur.nEvents, cur.sumC / 100.0)
-        cur = SessState(e.t_us, e.t_us, 1, c)
-      } else cur = SessState(cur.startUs, e.t_us, cur.nEvents + 1, cur.sumC + c)
+        closed += ClosedSession(userId, cur.startUs, cur.lastUs, cur.nEvents, sumValue(cur))
+        cur = SessState(e.t_us, e.t_us, 1, c, nc)
+      } else cur = SessState(cur.startUs, e.t_us, cur.nEvents + 1, cur.sumC + c, cur.nC + nc)
     }
     if (cur != null) state.update(cur)
     closed.iterator

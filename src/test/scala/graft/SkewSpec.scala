@@ -37,6 +37,39 @@ class SkewSpec extends AnyFunSuite {
     salted.zip(plain).foreach { case (s, p) => assert(math.abs(s._2 - p._2) < 1e-6) }
   }
 
+  test("AQE-off: salted join spreads the hot key over reducers (plain plan can't)") {
+    import spark.implicits._
+    // AQE's skew split is the usual safety net; salting is for where AQE
+    // can't re-plan. Force that world: AQE off, broadcast off, so the plain
+    // join shuffles both sides on k and the hot key lands on ONE reducer.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = (1 to 20000).map(i => (if (i % 100 == 0) i.toLong else 42L, i))
+        .toDF("k", "v") // 99% of rows share k=42
+      val right = (0L to 60L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val plain = left.join(right, Seq("k"))
+      val salted = Skew.saltedJoin(left, right, "k", salt = 16)
+      // identical results…
+      assert(salted.count() == plain.count())
+      // …but the per-reducer row histogram flattens: the plain plan puts
+      // every k=42 row in one partition; the salted plan spreads them over
+      // the (k, _salt) space
+      def histo(df: org.apache.spark.sql.DataFrame): Array[Int] =
+        df.rdd.mapPartitions(it => Iterator(it.length)).collect()
+      val hp = histo(plain)
+      val hs = histo(salted)
+      assert(hp.max >= 19000, s"expected one hot reducer, max=${hp.max} of ${hp.sum}")
+      assert(hs.max <= hp.max / 2,
+        s"salting did not spread: salted max=${hs.max} vs plain max=${hp.max}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("salting actually spreads the hot key across subkeys") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (42L, i)).toDF("k", "v")

@@ -53,9 +53,13 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
 
+    // sum_value compared as java.lang.Double so an all-NULL-value session's
+    // NULL rides the tuple (batch/stream must agree on it, not coerce to 0)
     val streamed = spark.table("sess_stream")
-      .select("user_id", "session_start_us", "session_end_us", "n_events").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[java.lang.Double](4))).toSet
 
     // one batch covers all data, so the stream closes every session except
     // each user's final (still-open) one
@@ -63,8 +67,10 @@ class StreamingSpec extends AnyFunSuite {
     val lastSeq = batch.groupBy("user_id").agg(max("session_seq").as("mx"))
     val expected = batch.join(lastSeq, Seq("user_id"))
       .filter(col("session_seq") =!= col("mx"))
-      .select("user_id", "session_start_us", "session_end_us", "n_events").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[java.lang.Double](4))).toSet
 
     assert(streamed == expected,
       s"stream=${streamed.size} batch-closed=${expected.size}")
