@@ -106,6 +106,7 @@ object SparkEntry {
     "sessionize" -> Sessionize.sessionizeSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
+    "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
   )

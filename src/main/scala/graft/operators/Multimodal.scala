@@ -101,4 +101,42 @@ object Multimodal {
       .select(col("doc_id") +: col("width") +: col("height") +: col("n_bytes") +: fs: _*)
       .orderBy("doc_id")
   }
+
+  /** DuckDB twin of the deterministic decode stub: the payload body is
+    * exactly the document's UTF-8 bytes, so the byte histogram is
+    * re-computable in SQL — hex() the blob, decode each hex pair back to a
+    * byte value, bin mod 8, share = count/total. The stub's role as a
+    * stand-in is unchanged; what this oracles is the PLUMBING contract
+    * (schema, per-doc totals, deterministic features from bytes), which is
+    * exactly what survives when a real decoder replaces the histogram. */
+  val multimodalDecodeSql: String = {
+    val cnts = (0 until 8)
+      .map(i => s"sum(CASE WHEN byte % 8 = $i THEN 1 ELSE 0 END) AS c$i")
+      .mkString(",\n       |         ").stripMargin
+    val hist = (0 until 8)
+      .map(i => s"round(CAST(coalesce(c$i, 0) AS DOUBLE) / n * 10000.0) / 10000.0 + 0.0 AS f$i")
+      .mkString(",\n       |       ").stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+       |  FROM documents
+       |), u AS (
+       |  SELECT doc_id, n, unnest(range(n)) AS i, h FROM b
+       |), v AS (
+       |  SELECT doc_id, n,
+       |         (strpos('0123456789ABCDEF', substring(h, CAST(2 * i + 1 AS INT), 1)) - 1) * 16 +
+       |         (strpos('0123456789ABCDEF', substring(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS byte
+       |  FROM u
+       |), g AS (
+       |  SELECT doc_id, any_value(n) AS n,
+       |         $cnts
+       |  FROM v GROUP BY doc_id
+       |)
+       |SELECT doc_id,
+       |       CAST(n % 64 + 8 AS INT) AS width,
+       |       CAST(n % 48 + 8 AS INT) AS height,
+       |       CAST(n AS INT) AS n_bytes,
+       |       $hist
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
+  }
 }
