@@ -48,6 +48,34 @@ object StreamingJobs {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  // ------------------------------------------------- streaming exact dedup
+
+  /** Raw schema of documents.parquet. */
+  val documentsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup — the unbounded-ingestion twin of
+    * [[graft.operators.TextOps.dedupExact]]: each arriving document's
+    * normalized-text fingerprint is checked against the state store and
+    * only first-seen fingerprints pass. This is how the batch dedup
+    * operator runs on a 100 TB firehose: state is partitioned by
+    * fingerprint hash across executors, per-batch work is one state
+    * lookup per doc. (Batch keeps min doc_id per fingerprint; a stream
+    * keeps the FIRST-seen — the distinct fingerprint set is identical,
+    * which is what the parity spec pins.) */
+  def dedupExactStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsRawSchema)
+      .parquet(dir)
+      .withColumn("fingerprint",
+        expr("md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))"))
+      .dropDuplicates("fingerprint")
+      .select("doc_id", "fingerprint")
+
   // ------------------------------------------------- stateful sessionize
 
   /** c is Option: a NULL value must not kill the stream — the batch twin

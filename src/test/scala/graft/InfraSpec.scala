@@ -32,6 +32,38 @@ class InfraSpec extends AnyFunSuite {
     assert(back.count() == expected && expected > 0)
   }
 
+  test("bucketed tables co-locate the fact-fact join: zero shuffle exchanges") {
+    // SURVEY §5: fact-fact joins at 100 TB are pre-bucketed on the join key
+    // so the sort-merge join reads co-located buckets instead of shuffling
+    // either side. Broadcast disabled to force the join shape.
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_li_bucketed")
+      Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_ord_bucketed")
+      val joined = spark.table("graft_li_bucketed")
+        .join(spark.table("graft_ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .count()
+      assert(joined.count() == expected && expected > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("temp-view spark.sql runs the oracle SQL dialect for shared queries") {
     // these oracle strings are ANSI enough to run unmodified on Spark —
     // same text, DataFrame plan vs spark.sql plan, identical results

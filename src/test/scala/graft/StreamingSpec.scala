@@ -46,6 +46,27 @@ class StreamingSpec extends AnyFunSuite {
       s"stream=${streamed.size} batch=${expected.size} missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
   }
 
+  test("streaming exact dedup passes one doc per batch fingerprint") {
+    val dir = Files.createTempDirectory("graft-stream-dedup")
+    Files.copy(java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingJobs.dedupExactStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batchFps = graft.operators.TextOps.docFingerprint(Tables.documents(spark, sf))
+      .select("fingerprint").distinct().collect().map(_.getString(0)).toSet
+
+    // exactly one survivor per distinct fingerprint, and the survivor's
+    // fingerprint is genuine (comes from the batch set)
+    assert(streamed.length == batchFps.size,
+      s"stream kept ${streamed.length}, batch has ${batchFps.size} distinct fingerprints")
+    assert(streamed.map(_._2).toSet == batchFps)
+  }
+
   test("stateful streaming sessionize emits exactly the batch-closed sessions") {
     val dir = stageEventsDir("sess")
     val q = StreamingJobs.sessionizeStream(spark, dir)
