@@ -48,13 +48,20 @@ object CsvIngest {
 
   def csvIngest(spark: SparkSession, dir: String): DataFrame = {
     val src = input_file_name()
+    // guard the cast: a file whose name misses the pattern yields NULL
+    // metadata (regexp_extract gives "" there) instead of an ANSI cast
+    // error — an unexpected drop must not kill the whole ingest
+    def metaInt(group: Int): org.apache.spark.sql.Column = {
+      val g = regexp_extract(src, FnameRe, group)
+      when(g =!= "", g.cast("int"))
+    }
     spark.read.text(s"$dir/*.csv")
       .select(
         regexp_extract(src, FnameRe, 1).as("headset"),
         regexp_extract(src, FnameRe, 2).as("synset"),
-        regexp_extract(src, FnameRe, 3).cast("int").as("image_id"),
-        regexp_extract(src, FnameRe, 4).cast("int").as("take"),
-        regexp_extract(src, FnameRe, 5).cast("int").as("session_id"),
+        metaInt(3).as("image_id"),
+        metaInt(4).as("take"),
+        metaInt(5).as("session_id"),
         split(col("value"), ",").as("parts"))
       .select(col("headset"), col("synset"), col("image_id"), col("take"),
         col("session_id"), col("parts").getItem(0).as("channel"),

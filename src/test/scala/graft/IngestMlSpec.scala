@@ -35,6 +35,22 @@ class IngestMlSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("csv_ingest survives a stray non-matching file: NULL metadata, no crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-stray")
+    val fixtures = new java.io.File(CsvIngest.FixtureDir).listFiles()
+    fixtures.foreach { f =>
+      java.nio.file.Files.copy(f.toPath, dir.resolve(f.getName))
+    }
+    java.nio.file.Files.writeString(dir.resolve("not_a_drop.csv"), "AF3,1.0,2.0\n")
+    val out = CsvIngest.csvIngest(spark, dir.toString).cache()
+    val stray = out.filter(col("synset") === "")
+    assert(stray.count() == 2, "stray file's whitelisted rows survive")
+    assert(stray.filter(col("image_id").isNull && col("session_id").isNull).count() == 2,
+      "stray metadata ints must be NULL, not a cast error")
+    assert(out.filter(col("synset") =!= "").count() == 6 * 5 * 32 - 6)
+    out.unpersist()
+  }
+
   test("feature_unpivot round-trips the pivot: wide cell = long row") {
     val wide = SignalOps.featureWide(
       SignalOps.epochFeatures(SignalOps.silver(events))).cache()
