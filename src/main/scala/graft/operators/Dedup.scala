@@ -80,25 +80,18 @@ object Dedup {
         Parity.r("jaccard", 4))
       .orderBy("id1", "id2")
 
-  /** Near-dup CLUSTERS: connected components over the Jaccard ≥ τ pair
-    * graph, every document labeled with its component's min doc_id (its
-    * canonical representative) — the step that turns pair lists into the
-    * keep/drop decision a dedup pipeline actually ships.
-    *
-    * Iterative min-label propagation (the standard distributed CC shape:
-    * each round, every vertex takes the min label among itself and its
-    * neighbors; rounds ≤ graph diameter, checked via an aggregate-only
-    * convergence probe — no row data ever reaches the driver). Near-dup
-    * components are tiny chains, so this converges in 1–3 rounds; maxIters
-    * caps pathological inputs. */
-  def dedupClusters(documents: DataFrame,
-                    threshold: Double = JaccardThreshold,
-                    maxIters: Int = 20): DataFrame = {
-    val pairs = ngramJaccardPairs(documents, threshold)
-      .select(col("id1"), col("id2")).localCheckpoint()
-    val edges = pairs
-      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    var labels = documents.select(col("doc_id"))
+  /** Min-label propagation with POINTER JUMPING over a symmetrized edge
+    * list: each round every vertex takes the min label among itself and
+    * its neighbors, then compresses `label ← label(label)` (valid because
+    * labels are always member vertex ids, and only ever decrease). The
+    * jump halves the label-chain depth per round, so convergence is
+    * O(log diameter) rounds instead of O(diameter) — at 100 TB a long
+    * near-dup chain costs ~log₂ rounds of (edge join + label self-join).
+    * Convergence is probed with an aggregate-only count (no row data to
+    * the driver); returns the final labels and the round count. */
+  private[graft] def propagateMinLabels(vertices: DataFrame, edges: DataFrame,
+                                        maxIters: Int): (DataFrame, Int) = {
+    var labels = vertices.select(col("doc_id"))
       .withColumn("label", col("doc_id")).localCheckpoint()
     var iter = 0
     var converged = false
@@ -106,10 +99,13 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("id2") === labels("doc_id"))
         .groupBy(col("id1").as("doc_id")).agg(min("label").as("nmin"))
-      val next = labels
+      val prop = labels
         .join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val next = prop.as("a")
+        .join(prop.as("b"), col("a.label") === col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.label").as("label"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
         .filter(col("label") =!= col("old")).count()
@@ -118,13 +114,30 @@ object Dedup {
       iter += 1
     }
     // exiting via maxIters would mean labels are silently WRONG (some
-    // component wider than maxIters hops) — fail loudly instead of letting
-    // it surface as an opaque oracle mismatch
+    // component deeper than the compressed-round budget) — fail loudly
+    // instead of letting it surface as an opaque oracle mismatch
     if (!converged) {
       throw new IllegalStateException(
-        s"dedupClusters did not converge within $maxIters rounds — " +
-          "a component has diameter > maxIters; raise maxIters")
+        s"propagateMinLabels did not converge within $maxIters rounds — " +
+          s"with pointer jumping that needs component diameter > ~2^$maxIters; raise maxIters")
     }
+    (labels, iter)
+  }
+
+  /** Near-dup CLUSTERS: connected components over the Jaccard ≥ τ pair
+    * graph, every document labeled with its component's min doc_id (its
+    * canonical representative) — the step that turns pair lists into the
+    * keep/drop decision a dedup pipeline actually ships. CC shape:
+    * [[propagateMinLabels]] (min-label + pointer jumping, O(log d)
+    * rounds). */
+  def dedupClusters(documents: DataFrame,
+                    threshold: Double = JaccardThreshold,
+                    maxIters: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(documents, threshold)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val edges = pairs
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val (labels, _) = propagateMinLabels(documents.select(col("doc_id")), edges, maxIters)
     labels
       .select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))

@@ -45,6 +45,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(4L) == 4L)
   }
 
+  test("pointer jumping: a 64-deep chain converges in O(log d) rounds") {
+    import spark.implicits._
+    // path graph 0-1-2-…-63: plain min-label propagation needs 63 rounds
+    // (would blow the maxIters=10 budget); with pointer jumping the label
+    // chain halves every round, so ~log2(64)+slack rounds suffice
+    val n = 64
+    val vertices = (0L until n.toLong).toDF("doc_id")
+    val fwd = (0L until n.toLong - 1).map(i => (i, i + 1)).toDF("id1", "id2")
+    val edges = fwd.unionAll(fwd.select(col("id2").as("id1"), col("id1").as("id2")))
+    val (labels, rounds) = Dedup.propagateMinLabels(vertices, edges, maxIters = 10)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(_ == 0L), s"chain not collapsed to 0: ${out.take(5)}")
+    assert(rounds <= 9, s"pointer jumping took $rounds rounds for diameter $n")
+  }
+
   test("knn brute: k neighbors per query, self excluded, ranks ordered by cos") {
     val out = Similarity.knnCosineBrute(emb, k = 3).collect()
     val byQ = out.groupBy(_.getAs[Long]("query_id"))
