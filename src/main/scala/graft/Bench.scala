@@ -34,6 +34,12 @@ object Bench {
         // strip every char that could break the JSON string literal,
         // including backslashes (Spark errors often quote regexes)
         case e: Throwable => Left(e.toString.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(300))
+      } finally {
+        // drop this query's leftovers (localCheckpoint RDDs, caches) so a
+        // long suite doesn't let one query's residue distort the next
+        // query's timing — cleanup runs after the clock stops
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.catalog.clearCache()
       }
     }
 
