@@ -59,12 +59,24 @@ object Ivf {
     (assigned, centroids)
   }
 
-  /** ANN top-k: probe the nProbe nearest cells per query, exact cosine
-    * rerank inside them (brute-identical cosine expression). */
-  def knnCosineIvf(embeddings: DataFrame, k: Int = Similarity.KnnK,
-                   nProbe: Int = NProbe): DataFrame = {
+  /** Prebuilt IVF index: the quantized corpus plus its centroid table.
+    * At 100 TB this is built once and PERSISTED as a table bucketed by
+    * `cluster` (a probe is then a partition-pruned scan); locally the
+    * assignment is checkpointed so repeated searches don't refit KMeans. */
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  def buildIndex(embeddings: DataFrame): IvfIndex = {
     graft.functions.VectorExprs.register(embeddings.sparkSession)
     val (assigned, centroids) = assign(embeddings)
+    IvfIndex(assigned.localCheckpoint(), centroids)
+  }
+
+  /** ANN top-k over a prebuilt index: probe the nProbe nearest cells per
+    * query, exact cosine rerank inside them (brute-identical cosine
+    * expression). */
+  def searchIndex(index: IvfIndex, k: Int = Similarity.KnnK,
+                  nProbe: Int = NProbe): DataFrame = {
+    val IvfIndex(assigned, centroids) = index
     val queries = assigned.filter(col("vec_id") % Similarity.QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("u").as("qu"),
         col("vd").as("qv"), col("norm").as("qn"))
@@ -82,6 +94,14 @@ object Ivf {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         Parity.r("cos", 4), col("label"))
+  }
+
+  /** One-shot convenience: fit + search in a single call. */
+  def knnCosineIvf(embeddings: DataFrame, k: Int = Similarity.KnnK,
+                   nProbe: Int = NProbe): DataFrame = {
+    graft.functions.VectorExprs.register(embeddings.sparkSession)
+    val (assigned, centroids) = assign(embeddings)
+    searchIndex(IvfIndex(assigned, centroids), k, nProbe)
   }
 
   def knnCosineIvfQ(embeddings: DataFrame): DataFrame =

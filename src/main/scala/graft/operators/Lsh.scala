@@ -190,12 +190,31 @@ object Lsh {
 
   /** ANN top-k: bucket-join candidates (same table, same key), exact
     * cosine rerank within candidates. The scale path: the join touches
-    * Σ bucket² pairs instead of |Q|·n. */
-  def knnCosineLsh(embeddings: DataFrame, k: Int = Similarity.KnnK): DataFrame = {
+    * Σ bucket² pairs instead of |Q|·n.
+    *
+    * `multiProbe`: classic multi-probe LSH — each query additionally
+    * probes the buckets at Hamming distance ≤ multiProbe from its own key
+    * (flip subsets of the NBits sign bits), trading candidates for recall
+    * WITHOUT growing the table count or re-hashing the corpus. multiProbe=1
+    * probes (1+NBits) keys per table; the corpus side is untouched, so the
+    * index cost is unchanged — the right dial at 100 TB where re-bucketing
+    * the corpus is the expensive side. */
+  def knnCosineLsh(embeddings: DataFrame, k: Int = Similarity.KnnK,
+                   multiProbe: Int = 0): DataFrame = {
     val b = lshBuckets(embeddings)
-    val qb = b.filter(col("vec_id") % Similarity.QueryMod === 0)
+    val qb0 = b.filter(col("vec_id") % Similarity.QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"),
         col("t"), col("key"))
+    val qb =
+      if (multiProbe <= 0) qb0
+      else {
+        // all key variants with ≤ multiProbe of the NBits bits flipped
+        val masks = (0 until (1 << LshBits))
+          .filter(m => Integer.bitCount(m) <= multiProbe)
+        qb0.withColumn("key",
+          explode(expr(s"transform(array(${masks.mkString(", ")}), m -> " +
+            "CAST(key AS BIGINT) ^ CAST(m AS BIGINT))")))
+      }
     val cand = b.join(qb, Seq("t", "key"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id", "label", "vd", "norm", "qv", "qn")

