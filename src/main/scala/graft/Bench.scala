@@ -2,10 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main. Runs every registered query twice (first pass = JVM/JIT
-  * and codegen warmup, second pass timed) against a `noop`-format write so
-  * the full plan executes — `count()` would let Catalyst prune computed
-  * columns out of the plan and under-report.
+/** Benchmark main. Runs every registered query against a `noop`-format
+  * write so the full plan executes — `count()` would let Catalyst prune
+  * computed columns out of the plan and under-report. One warmup pass over
+  * the whole suite (JVM/JIT + codegen), then each query is timed
+  * REPEAT times (default 3, `--repeat N` or SPARK_GRAFT_REPEAT) and the
+  * MEDIAN is reported: single-pass suite numbers on this box suffer
+  * 5-10× one-off stalls (PERF.md), and the median of three rejects any
+  * single stall while keeping the run cheap.
   *
   * Emits ONE JSON line on stdout AND writes the same line to
   * `BENCH_OUT.json` in the cwd (sbt log noise makes stdout alone
@@ -43,12 +47,28 @@ object Bench {
       }
     }
 
+    // --repeat N (or SPARK_GRAFT_REPEAT) controls timed passes per query
+    val (flagArgs, nameArgs) = args.toSeq.partition(_.startsWith("--repeat"))
+    val repeat = flagArgs.lastOption.map(_.stripPrefix("--repeat").stripPrefix("="))
+      .filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_REPEAT"))
+      .map(_.toInt).getOrElse(3).max(1)
     // a typo'd name must surface in "errors", not silently shrink the run
     val (names, unknown) =
-      if (args.nonEmpty) args.toSeq.distinct.sorted.partition(SparkEntry.queries.contains)
+      if (nameArgs.nonEmpty) nameArgs.distinct.sorted.partition(SparkEntry.queries.contains)
       else (SparkEntry.queries.keys.toSeq.sorted, Seq.empty[String])
     names.foreach(run) // warmup
-    val results = names.map(n => n -> run(n))
+    // median of `repeat` timed passes per query; first error wins if any
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results: Seq[(String, Either[String, Double])] = names.map { n =>
+      val passes = (1 to repeat).map(_ => run(n))
+      val errs = passes.collect { case Left(e) => e }
+      n -> (if (errs.nonEmpty) Left(errs.head)
+            else Right(median(passes.collect { case Right(t) => t })))
+    }
     val timings = results.collect { case (n, Right(t)) => n -> t }
     val errors = results.collect { case (n, Left(e)) => n -> e } ++
       unknown.map(n => n -> "unknown query name")
@@ -59,7 +79,7 @@ object Bench {
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"repeat":$repeat,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("BENCH_OUT.json"), line + "\n")
     println(line)
     spark.stop()

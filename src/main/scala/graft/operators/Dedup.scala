@@ -87,8 +87,15 @@ object Dedup {
     * jump halves the label-chain depth per round, so convergence is
     * O(log diameter) rounds instead of O(diameter) — at 100 TB a long
     * near-dup chain costs ~log₂ rounds of (edge join + label self-join).
-    * Convergence is probed with an aggregate-only count (no row data to
-    * the driver); returns the final labels and the round count. */
+    *
+    * Materialization discipline (the round-3 regression): `prop` feeds BOTH
+    * sides of the jump self-join, so it MUST be checkpointed first —
+    * otherwise Catalyst plans no reuse and every round pays the edge join +
+    * neighbor-min aggregation twice (measured 2.3× wall-time at sf0.1).
+    * The convergence probe is fused into the same pass: the round-start
+    * label rides through the jump as `old`, so `changed` is a filter-count
+    * over the already-materialized checkpoint — no extra join, no row data
+    * to the driver. Returns the final labels and the round count. */
   private[graft] def propagateMinLabels(vertices: DataFrame, edges: DataFrame,
                                         maxIters: Int): (DataFrame, Int) = {
     var labels = vertices.select(col("doc_id"))
@@ -101,15 +108,15 @@ object Dedup {
         .groupBy(col("id1").as("doc_id")).agg(min("label").as("nmin"))
       val prop = labels
         .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
       val next = prop.as("a")
         .join(prop.as("b"), col("a.label") === col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.label").as("label"))
+        .select(col("a.doc_id"), col("a.old").as("old"), col("b.label").as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
       iter += 1
     }
