@@ -75,8 +75,14 @@ object CsvIngest {
       .filter(col("channel").isin(ExpectedChannels: _*) && col("value").isNotNull)
   }
 
+  // full metadata key in the ORDER BY: (synset, channel, sample_idx) is
+  // unique only while every fixture file has a distinct synset — a second
+  // take/session of the same synset would silently break the deterministic-
+  // order invariant, so include every filename-derived key as tie-break
   def csvIngestQ(spark: SparkSession): DataFrame =
-    csvIngest(spark, FixtureDir).orderBy("synset", "channel", "sample_idx")
+    csvIngest(spark, FixtureDir)
+      .orderBy("synset", "headset", "image_id", "take", "session_id",
+        "channel", "sample_idx")
 
   val csvIngestSql: String = {
     val chans = ExpectedChannels.map(c => s"'$c'").mkString(", ")
@@ -105,6 +111,6 @@ object CsvIngest {
        |       TRY_CAST(value_str AS DOUBLE) AS value
        |FROM s
        |WHERE channel IN ($chans) AND TRY_CAST(value_str AS DOUBLE) IS NOT NULL
-       |ORDER BY synset, channel, sample_idx""".stripMargin
+       |ORDER BY synset, headset, image_id, take, session_id, channel, sample_idx""".stripMargin
   }
 }

@@ -113,8 +113,9 @@ object Multimodal {
     val cnts = (0 until 8)
       .map(i => s"sum(CASE WHEN byte % 8 = $i THEN 1 ELSE 0 END) AS c$i")
       .mkString(",\n       |         ").stripMargin
+    // greatest(n, 1) mirrors the stub's max(body.length, 1) denominator
     val hist = (0 until 8)
-      .map(i => s"round(CAST(coalesce(c$i, 0) AS DOUBLE) / n * 10000.0) / 10000.0 + 0.0 AS f$i")
+      .map(i => s"round(CAST(coalesce(c$i, 0) AS DOUBLE) / greatest(b.n, 1) * 10000.0) / 10000.0 + 0.0 AS f$i")
       .mkString(",\n       |       ").stripMargin
     s"""WITH b AS (
        |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
@@ -127,16 +128,19 @@ object Multimodal {
        |         (strpos('0123456789ABCDEF', substring(h, CAST(2 * i + 2 AS INT), 1)) - 1) AS byte
        |  FROM u
        |), g AS (
-       |  SELECT doc_id, any_value(n) AS n,
+       |  SELECT doc_id,
        |         $cnts
        |  FROM v GROUP BY doc_id
        |)
-       |SELECT doc_id,
-       |       CAST(n % 64 + 8 AS INT) AS width,
-       |       CAST(n % 48 + 8 AS INT) AS height,
-       |       CAST(n AS INT) AS n_bytes,
+       |-- LEFT JOIN from the per-doc base: an empty doc (n=0) unnests to zero
+       |-- rows in u/g but must still emit a zero-histogram row, matching the
+       |-- Spark stub which always emits one row per doc
+       |SELECT b.doc_id,
+       |       CAST(b.n % 64 + 8 AS INT) AS width,
+       |       CAST(b.n % 48 + 8 AS INT) AS height,
+       |       CAST(b.n AS INT) AS n_bytes,
        |       $hist
-       |FROM g
-       |ORDER BY doc_id""".stripMargin
+       |FROM b LEFT JOIN g ON g.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
   }
 }

@@ -445,8 +445,10 @@ object SignalOps {
     s"""$baseCtes, ep AS (
        |  SELECT trial_id, channel, sample_idx, value, c, z,
        |         CAST(floor(time_sec / $StepSec) AS BIGINT) AS epoch_id,
-       |         CAST(floor(time_sec / $StepSec) AS BIGINT) * $StepSec AS win_start_sec,
-       |         CAST(floor(time_sec / $StepSec) AS BIGINT) * $StepSec + $WinSec AS win_end_sec
+       |         -- CAST AS DOUBLE: BIGINT * decimal-literal is DECIMAL(26,1)
+       |         -- in DuckDB (can stringify as 0E-x); Spark side is DOUBLE
+       |         CAST(CAST(floor(time_sec / $StepSec) AS BIGINT) * $StepSec AS DOUBLE) AS win_start_sec,
+       |         CAST(CAST(floor(time_sec / $StepSec) AS BIGINT) * $StepSec + $WinSec AS DOUBLE) AS win_end_sec
        |  FROM silver
        |), lag1 AS (
        |  SELECT *,

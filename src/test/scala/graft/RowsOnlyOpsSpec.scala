@@ -121,6 +121,19 @@ class RowsOnlyOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal decode emits a zero-histogram row for an empty payload body") {
+    // n_bytes=0 must not vanish from the output (the oracle's unnest(range(0))
+    // produces no rows — its LEFT JOIN back to the doc base mirrors this)
+    import spark.implicits._
+    val d = Seq((1L, "abc"), (2L, "")).toDF("doc_id", "text")
+    val rows = Multimodal.multimodalDecode(d).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(rows.length == 2)
+    val empty = rows(1)
+    assert(empty.getAs[Int]("n_bytes") == 0)
+    assert(empty.getAs[Int]("width") == 8 && empty.getAs[Int]("height") == 8)
+    assert(empty.getSeq[Double](empty.fieldIndex("feature")).forall(_ == 0.0))
+  }
+
   test("multimodal meta header magic is constant and sizes line up") {
     val rows = Multimodal.multimodalMeta(docs).collect()
     rows.foreach { r =>
