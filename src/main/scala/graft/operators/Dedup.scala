@@ -48,9 +48,20 @@ object Dedup {
     * capped Jaccard underestimates — output is a SUBSET of the exact pair
     * set (never false positives), and recall is whatever the cap leaves.
     * Default None = exact contract; opt in only when the corpus density
-    * demands it. */
+    * demands it.
+    *
+    * `saltCandidates` is the LOSSLESS complement for the same hot-shingle
+    * distribution: a shingle with df=d contributes d² candidate rows that
+    * all hash to ONE reducer in the plain self-join. [[Skew.saltedJoin]]
+    * spreads each shingle over `salt` subkeys (left side salted per-row,
+    * right side replicated), so the hot shingle's candidate generation
+    * runs `salt`-ways parallel. Same output row-for-row (spec-pinned);
+    * Σ df² total work is unchanged — this fixes WHERE the work lands, not
+    * how much there is; combine with maxDf when the total itself is the
+    * problem. */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = JaccardThreshold,
-                        maxDf: Option[Long] = None): DataFrame = {
+                        maxDf: Option[Long] = None,
+                        saltCandidates: Option[Int] = None): DataFrame = {
     val sh = shingleSets(documents)
     val exAll = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
@@ -64,7 +75,11 @@ object Dedup {
     val a = ex.select(col("doc_id").as("id1"), col("sh"))
     val b = ex.select(col("doc_id").as("id2"), col("sh"))
     val sizes = sh.select(col("doc_id"), col("nsh"))
-    a.join(b, Seq("sh"))
+    val candidates = saltCandidates match {
+      case Some(salt) => Skew.saltedJoin(a, b, "sh", salt)
+      case None       => a.join(b, Seq("sh"))
+    }
+    candidates
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter"))

@@ -90,6 +90,22 @@ object MlPipeline {
     PipelineModel.load(path)
   }
 
+  /** Persist the predictions frame — the reference's gold-predictions write
+    * (/root/reference/main/train_model.py:130-145: trial_id, channel,
+    * prediction, probability to a gold table). The probability ML vector is
+    * converted to a plain double array (parquet-friendly, engine-neutral);
+    * the write is partitioned by predicted class so per-class consumers
+    * (error analysis, active-learning sampling) prune partitions instead of
+    * scanning the full table. Returns the read-back frame (the spec pins
+    * write/read round-trip equality). */
+  def persistPredictions(predictions: DataFrame, path: String): DataFrame = {
+    predictions
+      .select(col("trial_id"), col("channel"), col("label"), col("prediction"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).as("probability"))
+      .write.mode("overwrite").partitionBy("prediction").parquet(path)
+    predictions.sparkSession.read.parquet(path)
+  }
+
   def mlTrainPredictQ(events: DataFrame): DataFrame =
     trainPredict(SignalOps.goldTrialStats(SignalOps.silver(events)))
       .orderBy("trial_id", "channel")

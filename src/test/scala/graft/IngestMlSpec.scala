@@ -93,6 +93,30 @@ class IngestMlSpec extends AnyFunSuite {
     preds.unpersist()
   }
 
+  test("persisted predictions round-trip: partitioned write, identical read-back") {
+    val (model, test) = MlPipeline.fitOnSplit(
+      SignalOps.goldTrialStats(SignalOps.silver(events)))
+    val preds = model.transform(test)
+    val dir = java.nio.file.Files.createTempDirectory("graft-preds-").toString
+    val back = MlPipeline.persistPredictions(preds, dir)
+    // partitioned layout on disk (per-class pruning)
+    val parts = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.startsWith("prediction=")), parts.mkString(","))
+    // read-back equals the in-memory frame row-for-row, probability incl.
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("trial_id"), col("channel"), col("label"), col("prediction"),
+          concat_ws(",", col("probability").cast("array<string>")).as("p"))
+        .collect().map(_.toString).sorted
+    val mem = preds.select(col("trial_id"), col("channel"), col("label"), col("prediction"),
+        org.apache.spark.ml.functions.vector_to_array(col("probability")).as("probability"))
+    assert(canon(back).sameElements(canon(mem)))
+    // each probability row is a distribution over the label classes
+    back.collect().foreach { r =>
+      val p = r.getSeq[Double](r.fieldIndex("probability"))
+      assert(math.abs(p.sum - 1.0) < 1e-6, s"not a distribution: $p")
+    }
+  }
+
   test("saved model reloads and predicts identically") {
     val (model, test) = MlPipeline.fitOnSplit(
       SignalOps.goldTrialStats(SignalOps.silver(events)))

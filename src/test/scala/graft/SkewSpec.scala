@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Skew
+import graft.operators.{Dedup, Skew}
 
 class SkewSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -68,6 +68,20 @@ class SkewSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     }
+  }
+
+  test("ngram-jaccard with salted candidate join is row-identical to unsalted") {
+    // the shipped operator option: dense shingles make the candidate join
+    // hot-keyed; salting must change only the exchange layout, not the pairs
+    val docs = Tables.documents(spark, sf)
+    val plain = Dedup.ngramJaccardPairs(docs)
+      .select("id1", "id2", "inter", "n1", "n2")
+      .collect().map(_.toString).sorted
+    val salted = Dedup.ngramJaccardPairs(docs, saltCandidates = Some(8))
+      .select("id1", "id2", "inter", "n1", "n2")
+      .collect().map(_.toString).sorted
+    assert(salted.sameElements(plain),
+      s"salted=${salted.length} plain=${plain.length}")
   }
 
   test("salting actually spreads the hot key across subkeys") {
