@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{Lsh, Similarity}
+
+/** Scratch measurement: knn_cosine_lsh recall vs brute at each multiProbe
+  * level on the gate corpus (sf0.01 embeddings). Decides round-4 advice #7:
+  * can the no_oracle row turn green at a provable-recall configuration? */
+object MeasureRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorExprs.register(spark)
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.knnCosineBrute(emb)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 to 4).foreach { mp =>
+      val lsh = Lsh.knnCosineLsh(emb, multiProbe = mp)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & lsh).size.toDouble / brute.size
+      val exact = lsh == brute
+      println(f"RECALL mp=$mp recall=$recall%.4f exact_set=$exact lsh_rows=${lsh.size}")
+    }
+    spark.stop()
+  }
+}

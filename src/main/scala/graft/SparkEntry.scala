@@ -62,6 +62,8 @@ object SparkEntry {
     // rows-only operators (engine-specific hashes/models — spec-gated)
     "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Lsh.simhashQ(Tables.documents(s, d))),
+    // oracled since round 4: multiProbe=MultiProbeGate makes LSH == brute
+    // on the gate corpus (AnnOracleSpec), so the brute SQL is its oracle
     "knn_cosine_lsh" -> ((s, d) => Lsh.knnCosineLshQ(Tables.embeddings(s, d))),
     "signal_iir_filtfilt" -> ((s, d) => Iir.iirFiltfiltQ(Tables.events(s, d))),
     "ml_train_predict" -> ((s, d) => MlPipeline.mlTrainPredictQ(Tables.events(s, d))),
@@ -108,6 +110,7 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
+    "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
   )
 }

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * the band key → verify candidates exactly. Cost is Σ bucket² over
   * buckets, never n² over items.
   *
-  * These are rows-only operators (signatures are engine-specific hashes, so
-  * there is no DuckDB twin); their correctness gates are the specs, which
-  * check recall against the exact operators on the same data.
+  * Signatures are engine-specific hashes, so there is no literal DuckDB
+  * twin; gates are either specs (recall against the exact operators on the
+  * same data) or — where a spec proves the approximate output EQUALS the
+  * exact operator on the gate corpus (minhash-LSH, knn at
+  * [[MultiProbeGate]]) — the exact operator's own SQL as oracle.
   */
 object Lsh {
 
@@ -228,8 +230,27 @@ object Lsh {
         Parity.r("cos", 4), col("label"))
   }
 
+  /** Registered-query probe width. Measured on the gate corpus (sf0.01,
+    * MeasureRecall): mp=0 recall 0.64, mp=1 recall 0.96, mp=2 recall 1.0
+    * with the top-k set EXACTLY equal to brute — so at mp=2 the brute
+    * oracle is valid (candidates ⊇ true top-k, and the rerank is the same
+    * codegen'd graft_dot + (cos DESC, vec_id) window as brute, so agreement
+    * on membership forces bit-identical rows). AnnOracleSpec pins the
+    * equality; a corpus change that breaks it fails loudly there.
+    *
+    * Honest geometry note: at NBits=5 (32 buckets/table), mp=2 probes
+    * C(5,≤2)=16 of 32 key variants per table — this corpus-sized keyspace
+    * makes recall 1 reachable cheaply. At 100 TB you raise NBits so buckets
+    * stay ~constant-size and retune mp; the dial is the same, only the
+    * operating point moves. */
+  val MultiProbeGate = 2
+
   def knnCosineLshQ(embeddings: DataFrame): DataFrame =
-    knnCosineLsh(embeddings).orderBy("query_id", "rank")
+    knnCosineLsh(embeddings, multiProbe = MultiProbeGate).orderBy("query_id", "rank")
+
+  /** DuckDB twin: the brute-force top-k (valid at [[MultiProbeGate]] — see
+    * its doc; spec-pinned set equality makes the rows bit-identical). */
+  val knnCosineLshSql: String = Similarity.knnCosineBruteSql
 
   /** Near-duplicate pair mining at cos ≥ τ through the hyperplane buckets —
     * the sub-quadratic twin of [[Similarity.embeddingDedup]]: candidates

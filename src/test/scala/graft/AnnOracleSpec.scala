@@ -66,6 +66,21 @@ class AnnOracleSpec extends AnyFunSuite {
     assert(narrow.select("query_id").distinct().count() > 0)
   }
 
+  test("knn LSH at the gate probe width equals brute row-for-row (oracle validity)") {
+    // the registered knn_cosine_lsh query runs at MultiProbeGate and is
+    // oracled by the BRUTE SQL — valid iff the full rows (ranks and cosines
+    // included) are identical on the gate corpus. Measured mp=2 recall is
+    // 1.0 (MeasureRecall); this pins it so a corpus change fails loudly.
+    val emb = Tables.embeddings(spark, gateSf)
+    def rows(df: DataFrame): Array[String] =
+      df.select("query_id", "neighbor_id", "rank", "cos", "label")
+        .collect().map(_.toString).sorted
+    val brute = rows(Similarity.knnCosineBruteQ(emb))
+    val lsh = rows(graft.operators.Lsh.knnCosineLshQ(emb))
+    assert(lsh.sameElements(brute),
+      s"gate-width LSH != brute: lsh=${lsh.length} brute=${brute.length}")
+  }
+
   test("multi-probe LSH recall dominates single-probe at equal table count") {
     val emb = Tables.embeddings(spark, gateSf)
     val brute = knnSet(graft.operators.Similarity.knnCosineBrute(emb))
