@@ -74,6 +74,10 @@ object SparkEntry {
     "embedding_dedup_lsh" -> ((s, d) => Lsh.embeddingDedupLshQ(Tables.embeddings(s, d))),
     "knn_cosine_ivf" -> ((s, d) => Ivf.knnCosineIvfQ(Tables.embeddings(s, d))),
     "dedup_cluster" -> ((s, d) => Dedup.dedupClustersQ(Tables.documents(s, d))),
+    // round 4: the full scale-path dedup pipeline (LSH candidates → verify
+    // → CC); same closure oracle, valid because LSH == exact pair set on
+    // the gate corpus (spec-pinned)
+    "dedup_cluster_lsh" -> ((s, d) => Dedup.dedupClustersLshQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -112,5 +116,6 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
     "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
+    "dedup_cluster_lsh" -> Dedup.dedupClustersSql,
   )
 }

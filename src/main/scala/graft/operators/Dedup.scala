@@ -146,17 +146,11 @@ object Dedup {
     (labels, iter)
   }
 
-  /** Near-dup CLUSTERS: connected components over the Jaccard ≥ τ pair
-    * graph, every document labeled with its component's min doc_id (its
-    * canonical representative) — the step that turns pair lists into the
-    * keep/drop decision a dedup pipeline actually ships. CC shape:
-    * [[propagateMinLabels]] (min-label + pointer jumping, O(log d)
-    * rounds). */
-  def dedupClusters(documents: DataFrame,
-                    threshold: Double = JaccardThreshold,
-                    maxIters: Int = 20): DataFrame = {
-    val pairs = ngramJaccardPairs(documents, threshold)
-      .select(col("id1"), col("id2")).localCheckpoint()
+  /** CC over an (id1, id2) pair frame: symmetrize, propagate min labels,
+    * emit (doc_id, cluster_id, is_canonical). */
+  private def clustersFromPairs(documents: DataFrame, pairFrame: DataFrame,
+                                maxIters: Int): DataFrame = {
+    val pairs = pairFrame.select(col("id1"), col("id2")).localCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
     val (labels, _) = propagateMinLabels(documents.select(col("doc_id")), edges, maxIters)
@@ -165,8 +159,36 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Near-dup CLUSTERS: connected components over the Jaccard ≥ τ pair
+    * graph, every document labeled with its component's min doc_id (its
+    * canonical representative) — the step that turns pair lists into the
+    * keep/drop decision a dedup pipeline actually ships. CC shape:
+    * [[propagateMinLabels]] (min-label + pointer jumping, O(log d)
+    * rounds). Pair generation here is the EXACT inverted-index join —
+    * the contract form; [[dedupClustersLsh]] is the shipping-scale twin. */
+  def dedupClusters(documents: DataFrame,
+                    threshold: Double = JaccardThreshold,
+                    maxIters: Int = 20): DataFrame =
+    clustersFromPairs(documents, ngramJaccardPairs(documents, threshold), maxIters)
+
+  /** The full 100 TB dedup pipeline as ONE operator: banded minhash-LSH
+    * candidates → exact-Jaccard verify → connected components → canonical
+    * representative per cluster. Identical output to [[dedupClusters]]
+    * whenever LSH recall is 1 on the corpus (spec-pinned set equality on
+    * the gate corpus — AnnOracleSpec), at the LSH path's cost: the pair
+    * stage is Σ bucket² hash joins, never Σ df² over raw shingles, so the
+    * same recursive-CTE oracle gates it while the plan is the one you would
+    * actually run at scale. */
+  def dedupClustersLsh(documents: DataFrame,
+                       threshold: Double = JaccardThreshold,
+                       maxIters: Int = 20): DataFrame =
+    clustersFromPairs(documents, Lsh.minhashLshPairs(documents, threshold), maxIters)
+
   def dedupClustersQ(documents: DataFrame): DataFrame =
     dedupClusters(documents).orderBy("doc_id")
+
+  def dedupClustersLshQ(documents: DataFrame): DataFrame =
+    dedupClustersLsh(documents).orderBy("doc_id")
 
   /** DuckDB twin: transitive closure by recursive CTE, min reachable id
     * per doc (identical labels: both compute the component minimum). */

@@ -97,6 +97,20 @@ class AnnOracleSpec extends AnyFunSuite {
     assert(r1 >= 0.4, s"multi-probe recall too low: $r1 (single-probe $r0)")
   }
 
+  test("LSH-path clustering equals exact-path clustering on the gate corpus") {
+    // dedup_cluster_lsh shares dedup_cluster's recursive-CTE oracle; that
+    // is valid iff the LSH pair stage misses no edge (minhash recall 1,
+    // pinned above) AND the CC stage is pair-source-agnostic — pin the
+    // composed result end to end
+    val docs = Tables.documents(spark, gateSf)
+    def labels(df: DataFrame): Array[(Long, Long, Boolean)] =
+      df.select("doc_id", "cluster_id", "is_canonical").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val exact = labels(Dedup.dedupClusters(docs))
+    val lsh = labels(Dedup.dedupClustersLsh(docs))
+    assert(lsh.sameElements(exact))
+  }
+
   test("maxDf cap: identity when loose, lossy-subset when tight") {
     val docs = Tables.documents(spark, sf)
     def pairSet(df: DataFrame): Set[(Long, Long)] =
