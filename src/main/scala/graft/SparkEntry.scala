@@ -52,6 +52,9 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCountQ(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprintQ(Tables.documents(s, d))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExactQ(Tables.documents(s, d))),
+    // round 4: composed quality+lang+dedup admission verdict, one pass +
+    // one fingerprint shuffle
+    "corpus_filter" -> ((s, d) => TextOps.corpusFilterQ(Tables.documents(s, d))),
     // §C near-dup + similarity
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
@@ -106,6 +109,7 @@ object SparkEntry {
     "token_count" -> TextOps.tokenCountSql,
     "doc_fingerprint" -> TextOps.docFingerprintSql,
     "dedup_exact" -> TextOps.dedupExactSql,
+    "corpus_filter" -> TextOps.corpusFilterSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,

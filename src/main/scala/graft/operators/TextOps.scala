@@ -253,4 +253,77 @@ object TextOps {
        |       doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
        |FROM fp
        |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- corpus_filter
+
+  /** The composed ADMISSION decision a training-data pipeline actually
+    * ships: per document, quality gate ([[textQuality]]'s keep), language
+    * gate ([[langId]]'s classifier produced a language at all), and
+    * exact-dedup canonical gate ([[docFingerprint]]'s min-id member) — one
+    * boolean verdict plus the per-gate reasons, so rejected docs are
+    * attributable.
+    *
+    * Plan shape: every gate but dedup is per-row column work fused into ONE
+    * map pass; the dedup gate adds the single hash shuffle on the 32-hex
+    * fingerprint (window min). At 100 TB this is exactly the dedup_exact
+    * cost — the quality/language scoring rides the same scan for free. */
+  def corpusFilter(documents: DataFrame): DataFrame = {
+    val wFp = Window.partitionBy("fingerprint")
+    langId(textQuality(documents))
+      .withColumn("fingerprint",
+        expr("md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))"))
+      .withColumn("canonical_id", min("doc_id").over(wFp))
+      .withColumn("keep_quality", col("keep"))
+      .withColumn("keep_lang", col("pred_lang") =!= lit("unknown"))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .withColumn("admitted",
+        col("keep_quality") && col("keep_lang") && col("is_canonical"))
+  }
+
+  def corpusFilterQ(documents: DataFrame): DataFrame =
+    corpusFilter(documents)
+      .select(col("doc_id"), r("quality_score", 4), col("keep_quality"),
+        col("pred_lang"), col("keep_lang"), col("canonical_id"),
+        col("is_canonical"), col("admitted"))
+      .orderBy("doc_id")
+
+  val corpusFilterSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, text,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |         length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
+       |  FROM documents
+       |), q2 AS (
+       |  SELECT doc_id, text,
+       |         CAST(len(list_filter(toks, t -> t IN ($stopwordsIn))) AS DOUBLE) / len(toks) AS stop_ratio,
+       |         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS repetition_ratio,
+       |         CAST(alpha_len AS DOUBLE) / len(toks) AS mean_word_len
+       |  FROM q
+       |), q3 AS (
+       |  SELECT doc_id, text,
+       |         0.4 * least(stop_ratio / 0.1, 1.0) + 0.3 * (1.0 - repetition_ratio) + 0.3 * least(mean_word_len / 5.0, 1.0) AS quality_score
+       |  FROM q2
+       |), scored AS (
+       |  SELECT doc_id, text, quality_score,
+       |         ${LangMarkers.map { case (l, ms) => s"${scoreExpr(ms)} AS s_$l" }.mkString(",\n       |         ")}
+       |  FROM q3
+       |), lp AS (
+       |  SELECT doc_id, quality_score,
+       |         $predExpr AS pred_lang,
+       |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+       |  FROM scored
+       |), fp AS (
+       |  SELECT doc_id, quality_score, pred_lang,
+       |         min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+       |  FROM lp
+       |)
+       |SELECT doc_id, ${rsql("quality_score", 4, "quality_score")},
+       |       quality_score >= 0.5 AS keep_quality,
+       |       pred_lang,
+       |       pred_lang <> 'unknown' AS keep_lang,
+       |       canonical_id,
+       |       doc_id = canonical_id AS is_canonical,
+       |       (quality_score >= 0.5 AND pred_lang <> 'unknown' AND doc_id = canonical_id) AS admitted
+       |FROM fp
+       |ORDER BY doc_id""".stripMargin
 }

@@ -109,6 +109,27 @@ class RowsOnlyOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_filter verdict is consistent with its three component operators") {
+    val filt = TextOps.corpusFilter(docs)
+      .select("doc_id", "keep_quality", "pred_lang", "canonical_id", "admitted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getString(2), r.getLong(3), r.getBoolean(4))).toMap
+    val quality = TextOps.textQuality(docs).select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val lang = TextOps.langId(docs).select("doc_id", "pred_lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val canon = TextOps.dedupExact(docs).select("doc_id", "canonical_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(filt.keySet == quality.keySet)
+    filt.foreach { case (id, (kq, pl, cid, adm)) =>
+      assert(kq == quality(id) && pl == lang(id) && cid == canon(id))
+      assert(adm == (kq && pl != "unknown" && cid == id))
+    }
+    // the filter actually discriminates on this corpus
+    val admitted = filt.values.count(_._4)
+    assert(admitted > 0 && admitted < filt.size, s"degenerate verdict: $admitted/${filt.size}")
+  }
+
   test("multimodal decode is deterministic, batched, and normalized") {
     val a = Multimodal.multimodalDecode(docs).collect().sortBy(_.getAs[Long]("doc_id"))
     val b = Multimodal.multimodalDecode(docs).collect().sortBy(_.getAs[Long]("doc_id"))
