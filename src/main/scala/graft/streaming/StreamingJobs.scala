@@ -130,4 +130,55 @@ object StreamingJobs {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
         sessionizeFn(gapUs))
   }
+
+  // ---------------------------------------------------- streaming as-of join
+
+  /** value is Option: NULL event values ride through, as in the batch LOCF. */
+  case class AsofEvent(user_id: Long, event_id: Long, t_us: Long,
+                       value: Option[Double], side: Int)
+  case class PurchaseState(t_us: Long, value: Option[Double])
+  case class AsofMatch(user_id: Long, event_id: Long, t_us: Long,
+                       value: Option[Double], last_purchase_us: Option[Long],
+                       last_purchase_value: Option[Double])
+
+  /** Per-user fold: purchases update the one-record state, clicks emit the
+    * state as their as-of match. Events are time-sorted per micro-batch
+    * (same (t_us, side, event_id) order as the batch window, purchases
+    * first on ties); across batches the state carries the latest purchase,
+    * so parity with the batch twin holds when arrival respects event-time
+    * order batch-to-batch — the same contract as [[sessionizeFn]]. */
+  def asofFn(userId: Long, events: Iterator[AsofEvent],
+             state: GroupState[PurchaseState]): Iterator[AsofMatch] = {
+    val sorted = events.toArray.sortBy(e => (e.t_us, e.side, e.event_id))
+    var cur = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+    for (e <- sorted) {
+      if (e.side == 0) cur = PurchaseState(e.t_us, e.value)
+      else out += AsofMatch(userId, e.event_id, e.t_us, e.value,
+        Option(cur).map(_.t_us), Option(cur).flatMap(_.value))
+    }
+    if (cur != null) state.update(cur)
+    out.iterator
+  }
+
+  /** Streaming as-of join — the unbounded twin of
+    * [[graft.operators.Sessionize.asofJoin]]: state is ONE small record per
+    * user (latest purchase), per-batch work is a sort + linear fold per
+    * user — the LOCF window re-expressed as keyed state, which is exactly
+    * what survives on an infinite stream where the batch window's
+    * UNBOUNDED PRECEDING frame cannot. */
+  def asofJoinStream(spark: SparkSession, dir: String): Dataset[AsofMatch] = {
+    import spark.implicits._
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("t_us"),
+        col("value"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("side"))
+      .as[AsofEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(asofFn)
+  }
 }

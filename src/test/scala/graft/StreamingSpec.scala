@@ -67,6 +67,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._2).toSet == batchFps)
   }
 
+  test("streaming as-of join matches the batch LOCF window row-for-row") {
+    val dir = stageEventsDir("asof")
+    val q = StreamingJobs.asofJoinStream(spark, dir)
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[java.lang.Double](3),
+        r.getAs[java.lang.Long](4), r.getAs[java.lang.Double](5))).toSet
+    val streamed = canon(spark.table("asof_stream")
+      .select("user_id", "event_id", "t_us", "value",
+        "last_purchase_us", "last_purchase_value").collect())
+    // every click is emitted (unlike sessionize, no open tail): full equality
+    val expected = canon(Sessionize.asofJoin(Tables.events(spark, sf))
+      .select("user_id", "event_id", "t_us", "value",
+        "last_purchase_us", "last_purchase_value").collect())
+    assert(streamed.nonEmpty)
+    assert(streamed == expected,
+      s"stream=${streamed.size} batch=${expected.size} missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
+  }
+
   test("stateful streaming sessionize emits exactly the batch-closed sessions") {
     val dir = stageEventsDir("sess")
     val q = StreamingJobs.sessionizeStream(spark, dir)
