@@ -47,12 +47,25 @@ object Bench {
       }
     }
 
-    // --repeat N (or SPARK_GRAFT_REPEAT) controls timed passes per query
-    val (flagArgs, nameArgs) = args.toSeq.partition(_.startsWith("--repeat"))
-    val repeat = flagArgs.lastOption.map(_.stripPrefix("--repeat").stripPrefix("="))
-      .filter(_.nonEmpty)
-      .orElse(sys.env.get("SPARK_GRAFT_REPEAT"))
-      .map(_.toInt).getOrElse(3).max(1)
+    // --repeat N / --repeat=N (or SPARK_GRAFT_REPEAT) controls timed passes
+    // per query; malformed values fall back to the default rather than
+    // killing the run before any timing happens
+    val (repeatArg, nameArgs) = {
+      var rep = Option.empty[String]
+      val names = Seq.newBuilder[String]
+      var i = 0
+      while (i < args.length) {
+        args(i) match {
+          case "--repeat" if i + 1 < args.length => rep = Some(args(i + 1)); i += 2
+          case a if a.startsWith("--repeat=") => rep = Some(a.stripPrefix("--repeat=")); i += 1
+          case a => names += a; i += 1
+        }
+      }
+      (rep, names.result())
+    }
+    val repeat = repeatArg.orElse(sys.env.get("SPARK_GRAFT_REPEAT"))
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(3).max(1)
     // a typo'd name must surface in "errors", not silently shrink the run
     val (names, unknown) =
       if (nameArgs.nonEmpty) nameArgs.distinct.sorted.partition(SparkEntry.queries.contains)

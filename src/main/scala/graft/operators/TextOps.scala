@@ -267,18 +267,13 @@ object TextOps {
     * map pass; the dedup gate adds the single hash shuffle on the 32-hex
     * fingerprint (window min). At 100 TB this is exactly the dedup_exact
     * cost — the quality/language scoring rides the same scan for free. */
-  def corpusFilter(documents: DataFrame): DataFrame = {
-    val wFp = Window.partitionBy("fingerprint")
-    langId(textQuality(documents))
-      .withColumn("fingerprint",
-        expr("md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))"))
-      .withColumn("canonical_id", min("doc_id").over(wFp))
+  def corpusFilter(documents: DataFrame): DataFrame =
+    docFingerprint(langId(textQuality(documents)))
       .withColumn("keep_quality", col("keep"))
       .withColumn("keep_lang", col("pred_lang") =!= lit("unknown"))
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
       .withColumn("admitted",
         col("keep_quality") && col("keep_lang") && col("is_canonical"))
-  }
 
   def corpusFilterQ(documents: DataFrame): DataFrame =
     corpusFilter(documents)

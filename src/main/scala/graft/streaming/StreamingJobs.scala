@@ -146,14 +146,21 @@ object StreamingJobs {
     * (same (t_us, side, event_id) order as the batch window, purchases
     * first on ties); across batches the state carries the latest purchase,
     * so parity with the batch twin holds when arrival respects event-time
-    * order batch-to-batch — the same contract as [[sessionizeFn]]. */
+    * order batch-to-batch — the same contract as [[sessionizeFn]].
+    *
+    * The two state fields advance INDEPENDENTLY, mirroring the batch twin's
+    * two separate ignoreNulls LOCF windows: a NULL-valued purchase advances
+    * last_purchase_us but must NOT clobber the last non-null purchase
+    * value (batch `last(..., ignoreNulls)` skips the NULL and keeps the
+    * earlier value). */
   def asofFn(userId: Long, events: Iterator[AsofEvent],
              state: GroupState[PurchaseState]): Iterator[AsofMatch] = {
     val sorted = events.toArray.sortBy(e => (e.t_us, e.side, e.event_id))
     var cur = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
     for (e <- sorted) {
-      if (e.side == 0) cur = PurchaseState(e.t_us, e.value)
+      if (e.side == 0)
+        cur = PurchaseState(e.t_us, e.value.orElse(Option(cur).flatMap(_.value)))
       else out += AsofMatch(userId, e.event_id, e.t_us, e.value,
         Option(cur).map(_.t_us), Option(cur).flatMap(_.value))
     }

@@ -89,6 +89,32 @@ class StreamingSpec extends AnyFunSuite {
       s"stream=${streamed.size} batch=${expected.size} missing=${(expected -- streamed).take(3)} extra=${(streamed -- expected).take(3)}")
   }
 
+  test("asofFn: NULL-valued purchase advances time but not the last non-null value") {
+    // mirrors the batch twin's two independent ignoreNulls LOCF windows;
+    // the parity spec above can't see this (the fixture has no NULL
+    // purchase values), so pin it directly on the fold
+    import StreamingJobs.{AsofEvent, PurchaseState}
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[PurchaseState](
+      org.apache.spark.api.java.Optional.empty[PurchaseState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[java.lang.Long]()
+        .asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    val batch1 = Iterator(
+      AsofEvent(7L, 1L, 1L, Some(5.0), side = 0),   // P1 value 5.0
+      AsofEvent(7L, 2L, 2L, None, side = 0),        // P2 NULL value
+      AsofEvent(7L, 3L, 3L, Some(1.0), side = 1))   // click
+    val out1 = StreamingJobs.asofFn(7L, batch1, st).toArray
+    assert(out1.length == 1)
+    assert(out1(0).last_purchase_us == Some(2L), "time must advance to the NULL purchase")
+    assert(out1(0).last_purchase_value == Some(5.0), "value must keep the last NON-NULL")
+    // cross-batch: the merged state must carry the same pair forward
+    val out2 = StreamingJobs.asofFn(7L,
+      Iterator(AsofEvent(7L, 4L, 4L, Some(2.0), side = 1)), st).toArray
+    assert(out2(0).last_purchase_us == Some(2L) && out2(0).last_purchase_value == Some(5.0))
+  }
+
   test("stateful streaming sessionize emits exactly the batch-closed sessions") {
     val dir = stageEventsDir("sess")
     val q = StreamingJobs.sessionizeStream(spark, dir)
