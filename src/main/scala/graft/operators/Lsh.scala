@@ -256,13 +256,31 @@ object Lsh {
     * the sub-quadratic twin of [[Similarity.embeddingDedup]]: candidates
     * share at least one (table, bucket) key, then verify exactly. Precision
     * is exact (verified); recall is the LSH collision probability
-    * (spec-measured against the exact operator). */
+    * (spec-measured against the exact operator).
+    *
+    * `multiProbe`: same dial as [[knnCosineLsh]], applied to ONE side of
+    * the pair self-join — side-2 rows additionally land in every bucket at
+    * Hamming ≤ m from their own key, so a pair whose keys differ in ≤ m of
+    * the NBits sign bits in some table still collides. One-sided probing
+    * suffices (collision needs a1.key = probed a2.key), keeps the exploded
+    * side |corpus|·C(NBits,≤m) instead of squaring the growth, and leaves
+    * precision exact since every candidate is cosine-verified. */
   def embeddingDedupLsh(embeddings: DataFrame,
-                        threshold: Double = Similarity.DedupCosThreshold): DataFrame = {
+                        threshold: Double = Similarity.DedupCosThreshold,
+                        multiProbe: Int = 0): DataFrame = {
     val b = lshBuckets(embeddings)
     val a1 = b.select(col("vec_id").as("id1"), col("vd"), col("norm"), col("t"), col("key"))
-    val a2 = b.select(col("vec_id").as("id2"), col("vd").as("qv"), col("norm").as("qn"),
+    val a2base = b.select(col("vec_id").as("id2"), col("vd").as("qv"), col("norm").as("qn"),
       col("t"), col("key"))
+    val a2 =
+      if (multiProbe <= 0) a2base
+      else {
+        val masks = (0 until (1 << LshBits))
+          .filter(m => Integer.bitCount(m) <= multiProbe)
+        a2base.withColumn("key",
+          explode(expr(s"transform(array(${masks.mkString(", ")}), m -> " +
+            "CAST(key AS BIGINT) ^ CAST(m AS BIGINT))")))
+      }
     a1.join(a2, Seq("t", "key"))
       .filter(col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")

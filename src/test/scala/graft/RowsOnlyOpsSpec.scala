@@ -51,11 +51,19 @@ class RowsOnlyOpsSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf01)
     val exact = Similarity.embeddingDedup(emb)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Lsh.embeddingDedupLsh(emb)
+    def lshSet(mp: Int) = Lsh.embeddingDedupLsh(emb, multiProbe = mp)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = lshSet(0)
     assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}") // verified → precision 1
     val recall = (exact & lsh).size.toDouble / exact.size
     assert(recall >= 0.25, s"recall too low: $recall")
+    // one-sided multi-probe: still precision 1, recall must not regress and
+    // must strictly widen candidate coverage on this corpus
+    val probed = lshSet(1)
+    assert(probed.subsetOf(exact), s"false positives under probing: ${probed -- exact}")
+    assert(lsh.subsetOf(probed), "mp=1 candidates must cover the mp=0 pairs")
+    val recallProbed = (exact & probed).size.toDouble / exact.size
+    assert(recallProbed >= recall, s"multi-probe lowered recall: $recallProbed < $recall")
   }
 
   test("knn IVF: neighbors verified against brute with useful recall") {
