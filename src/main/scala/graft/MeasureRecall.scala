@@ -32,6 +32,14 @@ object MeasureRecall {
       val exact = lsh == brute
       println(f"RECALL mp=$mp recall=$recall%.4f exact_set=$exact lsh_rows=${lsh.size}")
     }
+    val exactPairs = Similarity.embeddingDedup(emb)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 to 3).foreach { mp =>
+      val mined = Lsh.embeddingDedupLsh(emb, multiProbe = mp)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exactPairs & mined).size.toDouble / exactPairs.size
+      println(f"PAIR_RECALL mp=$mp recall=$recall%.4f pairs=${mined.size}/${exactPairs.size}")
+    }
     spark.stop()
   }
 }

