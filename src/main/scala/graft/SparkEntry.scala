@@ -119,7 +119,6 @@ object SparkEntry {
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
     "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
-    "embedding_dedup_lsh" -> Lsh.embeddingDedupLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
     "dedup_cluster_lsh" -> Dedup.dedupClustersSql,
   )

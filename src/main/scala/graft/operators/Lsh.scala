@@ -289,18 +289,20 @@ object Lsh {
       .select(col("id1"), col("id2"), Parity.r("cos", 4))
   }
 
-  /** Registered-query probe width for pair mining. Measured on the gate
-    * corpus (MeasureRecall): mp=0 recall 0.53, mp=1 recall 0.98, mp=2
-    * recall 1.0 — the FULL exact pair set. Candidates are verified with
-    * the same codegen'd cosine as [[Similarity.embeddingDedup]], so pair-
-    * set equality forces row-identical output and the exact operator's SQL
-    * becomes a valid oracle (spec-pinned, same pattern as
-    * [[MultiProbeGate]]). */
-  val PairProbeGate = 2
+  /** Probe width at which pair mining provably equals the exact operator
+    * on the gate corpus — measured (MeasureRecall): mp=0 recall 0.53, mp=1
+    * recall 0.98, mp=2 recall 1.0, full-row equality spec-pinned
+    * (AnnOracleSpec). Deliberately NOT the registered-query config: at
+    * NBits=5, mp=2 probes half the keyspace per table, so the candidate
+    * join degenerates toward all-pairs × tables — measured 116 s at sf0.1
+    * vs 1.2 s for the exact all-pairs twin. Recall-1 threshold mining on a
+    * near-uniform corpus costs more than exact — which is itself the
+    * honest scale finding: the multi-probe dial pays off for pair mining
+    * only at large NBits (constant-size buckets), where a ≤m-flip probe
+    * set is a vanishing fraction of the keyspace. The registered query
+    * stays at mp=0 (rows-only, precision-1 + recall specs). */
+  val PairProbeRecallOne = 2
 
   def embeddingDedupLshQ(embeddings: DataFrame): DataFrame =
-    embeddingDedupLsh(embeddings, multiProbe = PairProbeGate).orderBy("id1", "id2")
-
-  /** DuckDB twin: the exact pair-mining SQL (valid at [[PairProbeGate]]). */
-  val embeddingDedupLshSql: String = Similarity.embeddingDedupSql
+    embeddingDedupLsh(embeddings).orderBy("id1", "id2")
 }

@@ -97,18 +97,21 @@ class AnnOracleSpec extends AnyFunSuite {
     assert(r1 >= 0.4, s"multi-probe recall too low: $r1 (single-probe $r0)")
   }
 
-  test("pair mining at the gate probe width equals exact pair mining row-for-row") {
-    // embedding_dedup_lsh runs at PairProbeGate and is oracled by the exact
-    // operator's SQL — valid iff the full rows (rounded cosines included)
-    // are identical on the gate corpus. Measured mp=2 pair recall is 1.0
-    // (MeasureRecall); pinned here so a corpus change fails loudly.
+  test("pair mining at PairProbeRecallOne equals exact pair mining row-for-row") {
+    // NOT an oracle gate (the registered query stays at mp=0 — at NBits=5
+    // the mp=2 candidate join costs more than the exact all-pairs twin,
+    // measured 116 s vs 1.2 s at sf0.1). This pins the MEASURED-CEILING
+    // claim in executable form: the dial can reach the full exact pair set
+    // on the gate corpus, it is just not economical at this keyspace size.
     val emb = Tables.embeddings(spark, gateSf)
     def rows(df: DataFrame): Array[String] =
       df.select("id1", "id2", "cos").collect().map(_.toString).sorted
     val exact = rows(Similarity.embeddingDedupQ(emb))
-    val mined = rows(graft.operators.Lsh.embeddingDedupLshQ(emb))
+    val mined = rows(graft.operators.Lsh
+      .embeddingDedupLsh(emb, multiProbe = graft.operators.Lsh.PairProbeRecallOne)
+      .orderBy("id1", "id2"))
     assert(mined.sameElements(exact),
-      s"gate-width pair mining != exact: mined=${mined.length} exact=${exact.length}")
+      s"recall-1 probe width no longer exact: mined=${mined.length} exact=${exact.length}")
   }
 
   test("LSH-path clustering equals exact-path clustering on the gate corpus") {
