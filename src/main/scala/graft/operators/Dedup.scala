@@ -111,6 +111,27 @@ object Dedup {
     * label rides through the jump as `old`, so `changed` is a filter-count
     * over the already-materialized checkpoint — no extra join, no row data
     * to the driver. Returns the final labels and the round count. */
+  /** One CC round: neighbor-min propagation, MATERIALIZED (the checkpoint
+    * discipline above), then the pointer jump as a self-join over the
+    * materialized frame. Split out so the plan shape is spec-checkable:
+    * the returned frame's plan must be one join of two `Scan ExistingRDD`
+    * sides — no aggregate, no edge join, no parquet scan in its lineage
+    * (PlanShapeSpec pins this; a missing checkpoint re-plans the whole
+    * upstream on both sides of the jump, the round-3 regression). */
+  private[graft] def ccRound(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val neighborMin = edges
+      .join(labels, edges("id2") === labels("doc_id"))
+      .groupBy(col("id1").as("doc_id")).agg(min("label").as("nmin"))
+    val prop = labels
+      .join(neighborMin, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("label").as("old"),
+        least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      .localCheckpoint()
+    prop.as("a")
+      .join(prop.as("b"), col("a.label") === col("b.doc_id"))
+      .select(col("a.doc_id"), col("a.old").as("old"), col("b.label").as("label"))
+  }
+
   private[graft] def propagateMinLabels(vertices: DataFrame, edges: DataFrame,
                                         maxIters: Int): (DataFrame, Int) = {
     var labels = vertices.select(col("doc_id"))
@@ -118,18 +139,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val neighborMin = edges
-        .join(labels, edges("id2") === labels("doc_id"))
-        .groupBy(col("id1").as("doc_id")).agg(min("label").as("nmin"))
-      val prop = labels
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      val next = prop.as("a")
-        .join(prop.as("b"), col("a.label") === col("b.doc_id"))
-        .select(col("a.doc_id"), col("a.old").as("old"), col("b.label").as("label"))
-        .localCheckpoint()
+      val next = ccRound(labels, edges).localCheckpoint()
       val changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CsvIngest, Dedup, SignalOps, TextOps}
+
+/** Locks PERF.md's load-bearing plan-shape claims into `sbt test`, so the
+  * class of silent plan regression that bit round 3 (an iterative self-join
+  * consuming an unmaterialized input and re-planning its upstream every
+  * round) fails here instead of in a bench run.
+  *
+  * Claims pinned (PERF.md "Headline plan facts"):
+  *  - signal chain bronze→silver→epoch→wide runs on ONE data exchange
+  *    (hash(trial_id) satisfies every downstream window/agg);
+  *  - csv_ingest is map-only — zero exchanges;
+  *  - corpus_filter is one fused map pass + ONE fingerprint exchange;
+  *  - dedup_ngram_jaccard joins sizes back as broadcast dims and its
+  *    candidate self-join is a hash/merge join, never a nested loop;
+  *  - dedup_cluster's CC loop returns a materialized checkpoint, and each
+  *    round's pointer jump joins two scans of the SAME materialized frame
+  *    (an unmaterialized round input re-plans the edge join + neighbor-min
+  *    agg on both sides of the jump — the measured round-3 failure mode).
+  *
+  * Counting method: node-name prefixes on `executedPlan.toString` lines,
+  * captured BEFORE any action (an executed AQE plan prints final+initial
+  * trees and would double-count).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  /** Tree-prefix-stripped node lines of the physical plan. */
+  private def nodeLines(plan: String): Seq[String] =
+    plan.linesIterator.map(_.dropWhile(c => !c.isLetter && !c.isDigit)).toSeq
+
+  /** Nodes whose name starts with `prefix` ("Exchange" does NOT match
+    * "BroadcastExchange" — distinct node-name prefixes). */
+  private def count(plan: String, prefix: String): Int =
+    nodeLines(plan).count(_.startsWith(prefix))
+
+  test("signal chain runs on exactly ONE data exchange end-to-end") {
+    val events = Tables.events(spark, sf)
+    val wide = SignalOps.featureWide(SignalOps.epochFeatures(SignalOps.silver(events)))
+    val p = planOf(wide)
+    assert(count(p, "Exchange") == 1, s"expected 1 shuffle exchange:\n$p")
+    assert(count(p, "BroadcastExchange") == 0, s"unexpected broadcast:\n$p")
+
+    // the gold branch shares the same single-exchange shape
+    val gold = SignalOps.goldTrialStats(SignalOps.silver(events))
+    val pg = planOf(gold)
+    assert(count(pg, "Exchange") == 1, s"expected 1 shuffle exchange:\n$pg")
+  }
+
+  test("csv_ingest is map-only: zero exchanges, files as the parallelism unit") {
+    val p = planOf(CsvIngest.csvIngest(spark, CsvIngest.FixtureDir))
+    assert(count(p, "Exchange") == 0 && count(p, "BroadcastExchange") == 0,
+      s"csv_ingest must not shuffle:\n$p")
+  }
+
+  test("corpus_filter is one fused map pass + ONE fingerprint exchange") {
+    val p = planOf(TextOps.corpusFilter(Tables.documents(spark, sf)))
+    assert(count(p, "Exchange") == 1, s"expected exactly the fingerprint exchange:\n$p")
+    assert(count(p, "BroadcastExchange") == 0, s"unexpected broadcast:\n$p")
+    assert(count(p, "Window") == 1, s"expected the single canonical-id window:\n$p")
+  }
+
+  test("dedup_ngram_jaccard: sizes join back broadcast, candidate join is a hash/merge join") {
+    // auto-broadcast off so toy-SF size estimates can't hand the candidate
+    // self-join a broadcast plan the real scale would never get — only the
+    // explicit broadcast() hints on the sizes dims may broadcast
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planOf(Dedup.ngramJaccardPairs(Tables.documents(spark, sf)))
+      assert(count(p, "BroadcastHashJoin") == 2,
+        s"sizes must join back as two broadcast dims:\n$p")
+      assert(count(p, "SortMergeJoin") + count(p, "ShuffledHashJoin") == 1,
+        s"candidate self-join must be the one shuffled equi-join:\n$p")
+      assert(count(p, "CartesianProduct") == 0 && count(p, "BroadcastNestedLoopJoin") == 0,
+        s"no nested-loop anywhere in the pair path:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
+  /** 63-edge chain over 64 vertices: worst-case diameter for the size,
+    * converges in ≤9 pointer-jump rounds (same fixture family as the
+    * convergence spec). */
+  private def chainFixture(n: Long): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val docs = (0L until n).toDF("doc_id")
+    val fwd = (0L until n - 1).map(i => (i, i + 1)).toDF("id1", "id2")
+    val edges = fwd.unionAll(fwd.select(col("id2").as("id1"), col("id1").as("id2")))
+    (docs, edges)
+  }
+
+  test("CC labels come back as a materialized checkpoint scan, not a lineage tree") {
+    val (docs, edges) = chainFixture(64)
+    val (labels, iters) = Dedup.propagateMinLabels(docs, edges, 20)
+    val p = planOf(labels)
+    // the whole iterative history must be materialized away: no joins, no
+    // exchanges, no re-scan of the inputs — just the final checkpoint RDD
+    assert(p.contains("Scan ExistingRDD"), s"labels must scan the checkpoint:\n$p")
+    assert(count(p, "Exchange") == 0 && count(p, "BroadcastExchange") == 0,
+      s"label lineage leaked an exchange:\n$p")
+    assert(!nodeLines(p).exists(_.contains("Join")), s"label lineage leaked a join:\n$p")
+    assert(iters <= 9, s"pointer jumping should close a 64-chain in ≤9 rounds, took $iters")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L), "chain must collapse to label 0")
+  }
+
+  test("CC pointer jump consumes a MATERIALIZED round input (round-3 regression pin)") {
+    // the jump self-join must join two scans of the same checkpointed RDD;
+    // if the checkpoint inside ccRound is dropped, the neighbor-min
+    // aggregate + edge join re-plan on BOTH sides of the jump and show up
+    // here as HashAggregate / extra joins in the round plan
+    val (docs, edges) = chainFixture(64)
+    val labels0 = docs.withColumn("label", col("doc_id")).localCheckpoint()
+    val p = planOf(Dedup.ccRound(labels0, edges))
+    assert(count(p, "HashAggregate") == 0 && count(p, "ObjectHashAggregate") == 0 &&
+      count(p, "SortAggregate") == 0,
+      s"neighbor-min agg leaked into the jump plan — prop not checkpointed:\n$p")
+    val joins = nodeLines(p).count(l => l.contains("Join"))
+    assert(joins == 1, s"jump round must contain exactly the one self-join:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"jump inputs must be checkpoint scans:\n$p")
+  }
+}
