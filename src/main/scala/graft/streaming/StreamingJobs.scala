@@ -92,7 +92,20 @@ object StreamingJobs {
   /** Closes the open session whenever a gap > GapUs arrives; emits closed
     * sessions, keeps the open one in state. Events inside a micro-batch are
     * time-sorted before folding (arrival order within a batch is
-    * unordered). */
+    * unordered).
+    *
+    * Cross-batch out-of-order CONTRACT (spec-pinned in StreamingSpec):
+    * batch parity holds when arrival respects event-time order
+    * batch-to-batch. Under violation, already-emitted sessions are FINAL
+    * (append mode cannot retract) and the open session absorbs the late
+    * event with a monotone span — startUs = min, lastUs = max — so a late
+    * event INSIDE the open session's span (or within gap of its start)
+    * folds in batch-identically. A late event older than that merges into
+    * the open session instead of re-opening a closed one: DOCUMENTED
+    * DIVERGENCE from the batch twin, the price of O(1) state per user.
+    * Closing retroactive sessions correctly would need a watermark-sized
+    * event buffer per user, which is the windowed-buffer operator, not
+    * this one. */
   def sessionizeFn(gapUs: Long)(
       userId: Long,
       events: Iterator[SessEvent],
@@ -109,7 +122,8 @@ object StreamingJobs {
       else if (e.t_us - cur.lastUs > gapUs) {
         closed += ClosedSession(userId, cur.startUs, cur.lastUs, cur.nEvents, sumValue(cur))
         cur = SessState(e.t_us, e.t_us, 1, c, nc)
-      } else cur = SessState(cur.startUs, e.t_us, cur.nEvents + 1, cur.sumC + c, cur.nC + nc)
+      } else cur = SessState(math.min(cur.startUs, e.t_us), math.max(cur.lastUs, e.t_us),
+        cur.nEvents + 1, cur.sumC + c, cur.nC + nc)
     }
     if (cur != null) state.update(cur)
     closed.iterator
@@ -136,7 +150,12 @@ object StreamingJobs {
   /** value is Option: NULL event values ride through, as in the batch LOCF. */
   case class AsofEvent(user_id: Long, event_id: Long, t_us: Long,
                        value: Option[Double], side: Int)
-  case class PurchaseState(t_us: Long, value: Option[Double])
+  /** t_us = max event time over purchases seen; (valT_us, value) = the
+    * max-event-time NON-NULL-valued purchase — tracked with its own
+    * timestamp so the two LOCF fields stay monotone independently even
+    * under out-of-order arrival (valT_us = Long.MinValue until the first
+    * non-null value). */
+  case class PurchaseState(t_us: Long, valT_us: Long, value: Option[Double])
   case class AsofMatch(user_id: Long, event_id: Long, t_us: Long,
                        value: Option[Double], last_purchase_us: Option[Long],
                        last_purchase_value: Option[Double])
@@ -152,16 +171,37 @@ object StreamingJobs {
     * two separate ignoreNulls LOCF windows: a NULL-valued purchase advances
     * last_purchase_us but must NOT clobber the last non-null purchase
     * value (batch `last(..., ignoreNulls)` skips the NULL and keeps the
-    * earlier value). */
+    * earlier value).
+    *
+    * Cross-batch out-of-order CONTRACT (spec-pinned in StreamingSpec):
+    * parity with the batch twin is exact when arrival respects event-time
+    * order batch-to-batch. Under violation, (a) already-emitted matches
+    * are FINAL — append mode cannot retract, so a late purchase that
+    * batch-wise belonged between a past purchase and an already-emitted
+    * click is a DOCUMENTED DIVERGENCE for that click; (b) state is
+    * MONOTONE in event time — a late purchase OLDER than the one in state
+    * updates neither field, so every FUTURE click still matches the true
+    * latest purchase (without the max() guards a late purchase would
+    * silently rewind the state clock, wrong for all subsequent clicks).
+    * Re-matching past clicks correctly would need a watermark-sized
+    * purchase buffer per user; this operator trades that for O(1) state. */
   def asofFn(userId: Long, events: Iterator[AsofEvent],
              state: GroupState[PurchaseState]): Iterator[AsofMatch] = {
     val sorted = events.toArray.sortBy(e => (e.t_us, e.side, e.event_id))
     var cur = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
     for (e <- sorted) {
-      if (e.side == 0)
-        cur = PurchaseState(e.t_us, e.value.orElse(Option(cur).flatMap(_.value)))
-      else out += AsofMatch(userId, e.event_id, e.t_us, e.value,
+      if (e.side == 0) {
+        cur =
+          if (cur == null)
+            PurchaseState(e.t_us, if (e.value.isDefined) e.t_us else Long.MinValue, e.value)
+          else {
+            val (vt, v) =
+              if (e.value.isDefined && e.t_us >= cur.valT_us) (e.t_us, e.value)
+              else (cur.valT_us, cur.value)
+            PurchaseState(math.max(cur.t_us, e.t_us), vt, v)
+          }
+      } else out += AsofMatch(userId, e.event_id, e.t_us, e.value,
         Option(cur).map(_.t_us), Option(cur).flatMap(_.value))
     }
     if (cur != null) state.update(cur)

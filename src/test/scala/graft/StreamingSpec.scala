@@ -115,6 +115,112 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2(0).last_purchase_us == Some(2L) && out2(0).last_purchase_value == Some(5.0))
   }
 
+  // ---------------------------------------------------------------------
+  // Cross-batch OUT-OF-ORDER contract (round-4 verdict observation #1):
+  // parity with the batch twins is exact when arrival respects event-time
+  // order batch-to-batch; these specs pin what happens when it doesn't.
+  // ---------------------------------------------------------------------
+
+  private def freshAsofState() = {
+    import StreamingJobs.PurchaseState
+    org.apache.spark.sql.streaming.TestGroupState.create[PurchaseState](
+      org.apache.spark.api.java.Optional.empty[PurchaseState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[java.lang.Long]()
+        .asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+  }
+
+  test("asofFn: a LATE purchase never rewinds state — future clicks stay batch-correct") {
+    import StreamingJobs.AsofEvent
+    val st = freshAsofState()
+    // batch 1, in order: purchase@10 v=5, click@20 → matches (10, 5.0)
+    val out1 = StreamingJobs.asofFn(7L, Iterator(
+      AsofEvent(7L, 1L, 10L, Some(5.0), side = 0),
+      AsofEvent(7L, 2L, 20L, Some(1.0), side = 1)), st).toArray
+    assert(out1.map(m => (m.last_purchase_us, m.last_purchase_value)).toSeq ==
+      Seq((Some(10L), Some(5.0))))
+    // batch 2 violates event-time order: purchase@5 arrives after the
+    // purchase@10 is already in state. State must NOT rewind: the click@30
+    // still matches the true latest purchase (10, 5.0), not (5, 9.0).
+    val out2 = StreamingJobs.asofFn(7L, Iterator(
+      AsofEvent(7L, 3L, 5L, Some(9.0), side = 0),
+      AsofEvent(7L, 4L, 30L, Some(2.0), side = 1)), st).toArray
+    assert(out2.map(m => (m.last_purchase_us, m.last_purchase_value)).toSeq ==
+      Seq((Some(10L), Some(5.0))),
+      "late older purchase must update neither LOCF field")
+    // batch 3: a late purchase NEWER than state (t=15 > 10, but older than
+    // the already-emitted click@20). Future clicks adopt it — exact batch
+    // semantics for everything still unemitted; the already-emitted
+    // click@20 keeps (10, 5.0), the documented no-retraction divergence
+    // (a batch re-run would give it (15, 9.5)).
+    val out3 = StreamingJobs.asofFn(7L, Iterator(
+      AsofEvent(7L, 5L, 15L, Some(9.5), side = 0),
+      AsofEvent(7L, 6L, 40L, Some(3.0), side = 1)), st).toArray
+    assert(out3.map(m => (m.last_purchase_us, m.last_purchase_value)).toSeq ==
+      Seq((Some(15L), Some(9.5))))
+  }
+
+  test("sessionizeFn: late events absorb monotonically; older-than-open-session merges (documented divergence)") {
+    import StreamingJobs.{SessEvent, SessState}
+    val st = org.apache.spark.sql.streaming.TestGroupState.create[SessState](
+      org.apache.spark.api.java.Optional.empty[SessState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[java.lang.Long]()
+        .asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    val gapUs = 1000L
+    // batch 1: open session [100, 200]
+    assert(StreamingJobs.sessionizeFn(gapUs)(7L, Iterator(
+      SessEvent(7L, 100L, Some(100L)), SessEvent(7L, 200L, Some(200L))), st).isEmpty)
+    // batch 2: t=5 is older than the open session AND outside the gap
+    // before its start — a batch re-run would make it its own session;
+    // the stream merges it into the open one with a monotone span
+    // (start=min=5). Then t=5000 exceeds the gap and closes the session.
+    val closed = StreamingJobs.sessionizeFn(gapUs)(7L, Iterator(
+      SessEvent(7L, 5000L, Some(100L)), SessEvent(7L, 5L, Some(400L))), st).toArray
+    assert(closed.map(s => (s.session_start_us, s.session_end_us, s.n_events, s.sum_value))
+      .toSeq == Seq((5L, 200L, 3L, Some(7.0))),
+      "late event must fold in with min/max span, never rewind session_end")
+  }
+
+  test("asof stream two-batch out-of-order run: no retraction, future rows batch-correct") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val src = Files.createTempDirectory("graft-asof-ooo-src").toString
+    val out = Files.createTempDirectory("graft-asof-ooo-out").toString
+    val ckpt = Files.createTempDirectory("graft-asof-ooo-ckpt").toString
+    def writeBatch(rows: Seq[(Long, Long, Long, String, java.lang.Double)]): Unit = {
+      val rdd = spark.sparkContext.parallelize(rows.map { case (id, tUs, u, typ, v) =>
+        Row(id, tUs * 1000L, u, typ, v: java.lang.Double, """{}""")
+      }, 1)
+      spark.createDataFrame(rdd, StreamingJobs.eventsRawSchema)
+        .write.mode("append").parquet(src)
+    }
+    def runOnce(): Unit = {
+      val q = StreamingJobs.asofJoinStream(spark, src)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // batch 1 (in order): purchase@10 v=5, click@20
+    writeBatch(Seq((1L, 10L, 1L, "purchase", 5.0), (2L, 20L, 1L, "click", 1.0)))
+    runOnce()
+    // batch 2 (late): purchase@15 v=9 arrives AFTER click@20 was emitted
+    writeBatch(Seq((3L, 15L, 1L, "purchase", 9.0), (4L, 30L, 1L, "click", 2.0)))
+    runOnce()
+    val got = spark.read.parquet(out)
+      .select("event_id", "last_purchase_us", "last_purchase_value").collect()
+      .map(r => (r.getLong(0), r.getAs[java.lang.Long](1), r.getAs[java.lang.Double](2)))
+      .toSet
+    // click@20 keeps its batch-1 match (10, 5.0) — append mode is final,
+    // the documented divergence (a batch re-run would say (15, 9.0));
+    // click@30 sees the late purchase — batch-correct for unemitted rows
+    assert(got == Set((2L, 10L: java.lang.Long, 5.0: java.lang.Double),
+                      (4L, 15L: java.lang.Long, 9.0: java.lang.Double)), got.toString)
+  }
+
   test("stateful streaming sessionize emits exactly the batch-closed sessions") {
     val dir = stageEventsDir("sess")
     val q = StreamingJobs.sessionizeStream(spark, dir)
