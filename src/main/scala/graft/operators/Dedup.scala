@@ -118,10 +118,26 @@ object Dedup {
     * sides — no aggregate, no edge join, no parquet scan in its lineage
     * (PlanShapeSpec pins this; a missing checkpoint re-plans the whole
     * upstream on both sides of the jump, the round-3 regression). */
-  private[graft] def ccRound(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val neighborMin = edges
+  private[graft] def ccRound(labels: DataFrame, edges: DataFrame,
+                             saltNeighborMin: Option[Int] = None): DataFrame = {
+    // The neighbor-min is where a hub vertex hurts: all of its edges carry
+    // the same id1, so the final aggregation funnels them to one reducer.
+    // Spark's partial HashAggregate already combines map-side, which blunts
+    // most of it; `saltNeighborMin` is the explicit dial for the residual
+    // case (a hub whose edges ALSO sit in few input partitions) — the same
+    // two-stage [[Skew.saltedAgg]] shape, min/min being trivially algebraic.
+    // Output-identity spec: SkewSpec "CC with salted neighbor-min".
+    val joined = edges
       .join(labels, edges("id2") === labels("doc_id"))
-      .groupBy(col("id1").as("doc_id")).agg(min("label").as("nmin"))
+      .select(col("id1"), col("label"))
+    val neighborMin = (saltNeighborMin match {
+      case Some(salt) =>
+        Skew.saltedAgg(joined, "id1", salt,
+          partials = Seq(min("label").as("pmin")),
+          finals = Seq(min("pmin").as("nmin")))
+      case None =>
+        joined.groupBy(col("id1")).agg(min("label").as("nmin"))
+    }).withColumnRenamed("id1", "doc_id")
     val prop = labels
       .join(neighborMin, Seq("doc_id"), "left")
       .select(col("doc_id"), col("label").as("old"),
@@ -133,13 +149,14 @@ object Dedup {
   }
 
   private[graft] def propagateMinLabels(vertices: DataFrame, edges: DataFrame,
-                                        maxIters: Int): (DataFrame, Int) = {
+                                        maxIters: Int,
+                                        saltNeighborMin: Option[Int] = None): (DataFrame, Int) = {
     var labels = vertices.select(col("doc_id"))
       .withColumn("label", col("doc_id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
-      val next = ccRound(labels, edges).localCheckpoint()
+      val next = ccRound(labels, edges, saltNeighborMin).localCheckpoint()
       val changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("doc_id"), col("label"))
       converged = changed == 0
@@ -159,11 +176,13 @@ object Dedup {
   /** CC over an (id1, id2) pair frame: symmetrize, propagate min labels,
     * emit (doc_id, cluster_id, is_canonical). */
   private def clustersFromPairs(documents: DataFrame, pairFrame: DataFrame,
-                                maxIters: Int): DataFrame = {
+                                maxIters: Int,
+                                saltNeighborMin: Option[Int] = None): DataFrame = {
     val pairs = pairFrame.select(col("id1"), col("id2")).localCheckpoint()
     val edges = pairs
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-    val (labels, _) = propagateMinLabels(documents.select(col("doc_id")), edges, maxIters)
+    val (labels, _) = propagateMinLabels(documents.select(col("doc_id")), edges, maxIters,
+      saltNeighborMin)
     labels
       .select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
@@ -178,8 +197,10 @@ object Dedup {
     * the contract form; [[dedupClustersLsh]] is the shipping-scale twin. */
   def dedupClusters(documents: DataFrame,
                     threshold: Double = JaccardThreshold,
-                    maxIters: Int = 20): DataFrame =
-    clustersFromPairs(documents, ngramJaccardPairs(documents, threshold), maxIters)
+                    maxIters: Int = 20,
+                    saltNeighborMin: Option[Int] = None): DataFrame =
+    clustersFromPairs(documents, ngramJaccardPairs(documents, threshold), maxIters,
+      saltNeighborMin)
 
   /** The full 100 TB dedup pipeline as ONE operator: banded minhash-LSH
     * candidates → exact-Jaccard verify → connected components → canonical
@@ -191,8 +212,10 @@ object Dedup {
     * actually run at scale. */
   def dedupClustersLsh(documents: DataFrame,
                        threshold: Double = JaccardThreshold,
-                       maxIters: Int = 20): DataFrame =
-    clustersFromPairs(documents, Lsh.minhashLshPairs(documents, threshold), maxIters)
+                       maxIters: Int = 20,
+                       saltNeighborMin: Option[Int] = None): DataFrame =
+    clustersFromPairs(documents, Lsh.minhashLshPairs(documents, threshold), maxIters,
+      saltNeighborMin)
 
   def dedupClustersQ(documents: DataFrame): DataFrame =
     dedupClusters(documents).orderBy("doc_id")

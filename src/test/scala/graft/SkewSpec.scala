@@ -84,6 +84,27 @@ class SkewSpec extends AnyFunSuite {
       s"salted=${salted.length} plain=${plain.length}")
   }
 
+  test("CC with salted neighbor-min is label-identical to unsalted") {
+    import spark.implicits._
+    // hub graph: vertex 0 touches every other vertex, so every CC round's
+    // neighbor-min funnels all of 0's edges to one key — the shape
+    // saltNeighborMin exists for. Plus a disjoint chain to prove salting
+    // does not leak labels across components.
+    val hub = (1L to 200L).map(v => (0L, v))
+    val chain = (500L until 540L).map(v => (v, v + 1))
+    val pairs = (hub ++ chain).toDF("id1", "id2")
+    val vertices = ((0L to 200L) ++ (500L to 540L)).toDF("doc_id")
+    val edges = pairs.unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    def labels(salt: Option[Int]) =
+      Dedup.propagateMinLabels(vertices, edges, maxIters = 20, saltNeighborMin = salt)
+        ._1.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val plain = labels(None)
+    val salted = labels(Some(8))
+    assert(salted.sameElements(plain))
+    assert(plain.filter(_._1 <= 200L).forall(_._2 == 0L))
+    assert(plain.filter(_._1 >= 500L).forall(_._2 == 500L))
+  }
+
   test("salting actually spreads the hot key across subkeys") {
     import spark.implicits._
     val left = (1 to 1000).map(i => (42L, i)).toDF("k", "v")
