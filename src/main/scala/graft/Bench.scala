@@ -9,7 +9,10 @@ import java.nio.file.{Files, Paths}
   * REPEAT times (default 3, `--repeat N` or SPARK_GRAFT_REPEAT) and the
   * MEDIAN is reported: single-pass suite numbers on this box suffer
   * 5-10× one-off stalls (PERF.md), and the median of three rejects any
-  * single stall while keeping the run cheap.
+  * single stall while keeping the run cheap. Timed passes run round-robin
+  * across queries (not back-to-back per query) so a SUSTAINED stall —
+  * minutes long, the round-4 failure mode — cannot span all of one
+  * query's passes and defeat the median.
   *
   * Emits ONE JSON line on stdout AND writes the same line to
   * `BENCH_OUT.json` in the cwd (sbt log noise makes stdout alone
@@ -76,8 +79,21 @@ object Bench {
       val s = ts.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    // Passes are INTERLEAVED round-robin (pass 1 of every query, then pass
+    // 2 of every query, …) rather than back-to-back per query: this box's
+    // stalls are sustained (minutes), and three consecutive passes of a
+    // 30 s query all fit inside one stall — which defeats the median
+    // (PERF.md round-4 suite-window contention). Round-robin separates a
+    // query's passes by a full suite sweep, so one stall can contaminate
+    // at most one pass per query.
+    val passesByName: Map[String, Seq[Either[String, Double]]] = {
+      val acc = scala.collection.mutable.Map.empty[String, Vector[Either[String, Double]]]
+      for (_ <- 1 to repeat; n <- names)
+        acc(n) = acc.getOrElse(n, Vector.empty) :+ run(n)
+      acc.toMap
+    }
     val results: Seq[(String, Either[String, Double])] = names.map { n =>
-      val passes = (1 to repeat).map(_ => run(n))
+      val passes = passesByName(n)
       val errs = passes.collect { case Left(e) => e }
       n -> (if (errs.nonEmpty) Left(errs.head)
             else Right(median(passes.collect { case Right(t) => t })))
