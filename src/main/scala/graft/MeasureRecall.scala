@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.operators.{Lsh, Similarity}
+import graft.operators.{Ivf, Lsh, Similarity}
 
 /** Scratch measurement: knn_cosine_lsh recall vs brute at each multiProbe
   * level on the gate corpus (sf0.01 embeddings). Decides round-4 advice #7:
@@ -10,8 +10,12 @@ import graft.operators.{Lsh, Similarity}
 object MeasureRecall {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // second arg overrides parallelism — the IVF table below exists to
+    // prove the deterministic quantizer gives identical answers under
+    // different masters (run with local[4] / local[8] / local[32])
+    val master = if (args.length > 1) args(1) else "local[32]"
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -32,6 +36,24 @@ object MeasureRecall {
       val exact = lsh == brute
       println(f"RECALL mp=$mp recall=$recall%.4f exact_set=$exact lsh_rows=${lsh.size}")
     }
+    // IVF at each probe width vs brute (round-6, deterministic quantizer):
+    // the full-row fingerprint + assignment fingerprint let two runs under
+    // different masters be compared line-for-line
+    val idx = Ivf.buildIndex(emb)
+    val assignFp = idx.assigned.select("vec_id", "cluster").collect()
+      .map(r => s"${r.getLong(0)}:${r.getInt(1)}").sorted.mkString(",").hashCode
+    println(s"IVF_ASSIGN master=$master fp=$assignFp")
+    val bruteRows = Similarity.knnCosineBruteQ(emb).collect().map(_.toString).sorted
+    (1 to Ivf.NumCentroids).foreach { np =>
+      val ivfRows = Ivf.searchIndex(idx, nProbe = np)
+        .orderBy("query_id", "rank").collect().map(_.toString).sorted
+      val ivfSet = Ivf.searchIndex(idx, nProbe = np)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & ivfSet).size.toDouble / brute.size
+      println(f"IVF np=$np%2d recall=$recall%.4f rows_equal_brute=${ivfRows.sameElements(bruteRows)}")
+    }
+
     val exactPairs = Similarity.embeddingDedup(emb)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (0 to 3).foreach { mp =>

@@ -32,6 +32,27 @@ class AnnOracleSpec extends AnyFunSuite {
       s"missing=${(brute -- allCells).take(3)} extra=${(allCells -- brute).take(3)}")
   }
 
+  test("IVF cell assignment is a pure function of data values, not partitioning") {
+    // the round-6 deterministic quantizer's whole point: spark.ml KMeans
+    // sampled its init PER PARTITION, so the cell map (and with it the
+    // minimal recall-1 probe width) moved when parallelism changed. Here
+    // the assignment must be bit-identical under a different input
+    // partitioning AND a different shuffle-partition count — the two knobs
+    // that perturbed the old quantizer.
+    val emb = Tables.embeddings(spark, gateSf)
+    def assignMap(df: DataFrame): Map[Long, Int] =
+      Ivf.buildIndex(df).assigned.select("vec_id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = assignMap(emb.repartition(3))
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = assignMap(emb.repartition(17))
+      assert(a == b, s"assignment moved with partitioning: ${(a.toSet diff b.toSet).take(3)}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+    assert(a.values.toSet.size > 1, "degenerate quantizer: all vectors in one cell")
+  }
+
   test("minhash-LSH oracle assumption holds on the gate corpus: LSH == exact") {
     // round-2 advice asked to CHECK the corpus assumption behind using the
     // exact-Jaccard pair set as dedup_minhash_lsh's oracle. Measured: one
