@@ -20,6 +20,12 @@ object Dedup {
 
   val JaccardThreshold = 0.8
 
+  /** A shingle with df ≤ this can contribute at most ~1M candidate rows —
+    * never enough to overflow a reducer — so it is never worth salting
+    * regardless of what share of Σ df² it holds (guards the degenerate
+    * tiny-corpus case where mean-share would mark everything hot). */
+  val HotDfFloor = 1000L
+
   /** doc_id → distinct word-bigram shingles + shingle count. */
   def shingleSets(documents: DataFrame): DataFrame =
     documents
@@ -52,13 +58,18 @@ object Dedup {
     *
     * `saltCandidates` is the LOSSLESS complement for the same hot-shingle
     * distribution: a shingle with df=d contributes d² candidate rows that
-    * all hash to ONE reducer in the plain self-join. [[Skew.saltedJoin]]
-    * spreads each shingle over `salt` subkeys (left side salted per-row,
-    * right side replicated), so the hot shingle's candidate generation
-    * runs `salt`-ways parallel. Same output row-for-row (spec-pinned);
-    * Σ df² total work is unchanged — this fixes WHERE the work lands, not
-    * how much there is; combine with maxDf when the total itself is the
-    * problem. */
+    * all hash to ONE reducer in the plain self-join. Salting is applied
+    * HOT-KEYS-ONLY via [[Skew.saltedJoinHot]]: shingles whose own df²
+    * exceeds both the mean per-reducer share of Σ df² and an absolute
+    * floor ([[HotDfFloor]]) are salted `salt`-ways; every other shingle
+    * takes the untouched plain join. Blanket salting was measured NET
+    * NEGATIVE at 10× gate volume (StressDf2: replicating the whole right
+    * side 32× cost 54 s vs 31 s unsalted on a corpus whose hot task only
+    * cost ~10 s) — the fix for "one reducer owns df²=25M rows" must not
+    * tax the 76M rows that were already balanced. Same output row-for-row
+    * (spec-pinned); Σ df² total work is unchanged — this fixes WHERE the
+    * work lands, not how much there is; combine with maxDf when the total
+    * itself is the problem. */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = JaccardThreshold,
                         maxDf: Option[Long] = None,
                         saltCandidates: Option[Int] = None): DataFrame = {
@@ -76,8 +87,18 @@ object Dedup {
     val b = ex.select(col("doc_id").as("id2"), col("sh"))
     val sizes = sh.select(col("doc_id"), col("nsh"))
     val candidates = saltCandidates match {
-      case Some(salt) => Skew.saltedJoin(a, b, "sh", salt)
-      case None       => a.join(b, Seq("sh"))
+      case Some(salt) =>
+        // this path consumes the exploded index ≥5× (df stats + the
+        // semi/anti hot-cold splits of both join sides); materialize it
+        // once or every consumer re-runs the split/shingle/explode
+        // pipeline (measured +60% wall on the no-hot-keys corpus)
+        val exM = ex.localCheckpoint()
+        val aM = exM.select(col("doc_id").as("id1"), col("sh"))
+        val bM = exM.select(col("doc_id").as("id2"), col("sh"))
+        val parts = documents.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+        Skew.saltedJoinHot(aM, bM, "sh", salt, hotShingles(exM, parts, HotDfFloor))
+      case None => a.join(b, Seq("sh"))
     }
     candidates
       .filter(col("id1") < col("id2"))
@@ -87,6 +108,19 @@ object Dedup {
       .join(broadcast(sizes.select(col("doc_id").as("id2"), col("nsh").as("n2"))), Seq("id2"))
       .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (n1 + n2 - inter)"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Shingle keys worth salting: df² above BOTH the mean per-reducer share
+    * of Σ df² (the key alone outweighs an average reducer's candidate
+    * load — the same keys AQE's skew split would flag) and `dfFloor`
+    * (absolute volume floor). One cheap stats agg over the exploded
+    * shingle index; the result is a broadcast-sized key list. */
+  private[graft] def hotShingles(ex: DataFrame, parts: Int, dfFloor: Long): DataFrame = {
+    val dfs = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sumRow = dfs.agg(sum(expr("df * df")).as("s")).head()
+    val sumDf2 = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+    dfs.filter(col("df") > dfFloor && expr(s"df * df > ${sumDf2 / parts}"))
+      .select("sh")
   }
 
   def ngramJaccardQ(documents: DataFrame): DataFrame =

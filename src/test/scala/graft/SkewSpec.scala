@@ -84,6 +84,37 @@ class SkewSpec extends AnyFunSuite {
       s"salted=${salted.length} plain=${plain.length}")
   }
 
+  test("hot-key-only salted join equals plain join; cold keys skip salting") {
+    import spark.implicits._
+    // one key (42) holds most of both sides — the only one worth salting
+    val left = (1 to 3000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i))
+      .toDF("k", "v")
+    val right = (1 to 600).map(i => (if (i % 3 == 0) i.toLong % 7 else 42L, s"r$i"))
+      .toDF("k", "name")
+    val hot = Seq(42L).toDF("k")
+    val plain = left.join(right, Seq("k")).collect().map(_.toString).sorted
+    val salted = Skew.saltedJoinHot(left, right, "k", salt = 8, hotKeys = hot)
+      .collect().map(_.toString).sorted
+    assert(salted.sameElements(plain), s"salted=${salted.length} plain=${plain.length}")
+    // empty hot set degrades to exactly the plain join, row-for-row
+    val noneHot = Skew.saltedJoinHot(left, right, "k", salt = 8,
+      hotKeys = Seq.empty[Long].toDF("k")).collect().map(_.toString).sorted
+    assert(noneHot.sameElements(plain))
+  }
+
+  test("hotShingles flags exactly the keys above both the mean share and the floor") {
+    import spark.implicits._
+    // key 1: df=100 (df²=10000 dominates Σ df²); keys 2..51: df=2 each
+    val ex = ((1 to 100).map(_ => 1L) ++ (2L to 51L).flatMap(k => Seq(k, k)))
+      .map(sh => (sh, sh)).toDF("doc_id", "sh")
+    val hot = Dedup.hotShingles(ex, parts = 8, dfFloor = 10L)
+      .collect().map(_.getLong(0)).toSet
+    assert(hot == Set(1L), s"hot=$hot")
+    // floor above the hot key's df → nothing qualifies, whatever its share
+    val none = Dedup.hotShingles(ex, parts = 8, dfFloor = 1000L).count()
+    assert(none == 0L)
+  }
+
   test("CC with salted neighbor-min is label-identical to unsalted") {
     import spark.implicits._
     // hub graph: vertex 0 touches every other vertex, so every CC round's
