@@ -81,6 +81,9 @@ object SparkEntry {
     // → CC); same closure oracle, valid because LSH == exact pair set on
     // the gate corpus (spec-pinned)
     "dedup_cluster_lsh" -> ((s, d) => Dedup.dedupClustersLshQ(Tables.documents(s, d))),
+    // round 6: per-batch admission against the existing corpus — the
+    // incremental form of near-dup dedup (|batch|×df cost, not Σ df²)
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncrementalQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -121,5 +124,6 @@ object SparkEntry {
     "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
     "dedup_cluster_lsh" -> Dedup.dedupClustersSql,
+    "dedup_incremental" -> Dedup.dedupIncrementalSql,
   )
 }

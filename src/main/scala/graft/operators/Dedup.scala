@@ -251,6 +251,81 @@ object Dedup {
     clustersFromPairs(documents, Lsh.minhashLshPairs(documents, threshold), maxIters,
       saltNeighborMin)
 
+  /** Stand-in for "today's ingest partition" in [[dedupIncremental]]:
+    * doc_id % this == 0 is the new batch, the rest is the existing corpus. */
+  val IncrementalBatchMod = 5L
+
+  /** Incremental near-dup ADMISSION — the operator a corpus-scale ingest
+    * pipeline runs per batch: dedup NEW documents against the EXISTING
+    * corpus without re-pairing the corpus with itself. For each batch doc:
+    * `is_new` = no corpus doc within Jaccard ≥ τ, `dup_of` = the min-id
+    * matching corpus doc (deterministic representative) else null.
+    *
+    * Scale shape: the candidate join generates only batch×corpus shingle
+    * matches — cost Σ_s df_batch(s)·df_corpus(s), LINEAR in batch size
+    * for bounded-df vocabulary, not Σ df² over the whole corpus; batch-
+    * batch and corpus-corpus pairs never exist. The batch's exploded
+    * shingle index is the small side and is broadcast (a daily batch is
+    * ≪ corpus; at 100 TB the corpus index is the pre-bucketed big side
+    * and the batch ships to every bucket). Batch docs with no shingle
+    * overlap at all never reach the aggregation — they re-enter at the
+    * final left join as `is_new = true`. Complements the exact-key
+    * `incremental_new_keys` (A10) the way near-dup complements equality. */
+  def dedupIncremental(documents: DataFrame,
+                       batchMod: Long = IncrementalBatchMod,
+                       threshold: Double = JaccardThreshold): DataFrame = {
+    val sh = shingleSets(documents)
+    val ex = sh.select(col("doc_id"), col("nsh"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), col("nsh"), expr("xxhash64(s)").as("sh"))
+    // batch side broadcasts WITH its size (it is small by construction);
+    // corpus sizes join back after the pair aggregation like the full
+    // pair miner, so the shuffled candidate rows stay (sh, ids)-narrow
+    val batch = ex.filter(col("doc_id") % batchMod === 0)
+      .select(col("doc_id").as("bid"), col("nsh").as("n1"), col("sh"))
+    val corpus = ex.filter(col("doc_id") % batchMod =!= 0)
+      .select(col("doc_id").as("cid"), col("sh"))
+    val sizes = sh.select(col("doc_id").as("cid"), col("nsh").as("n2"))
+    val dups = broadcast(batch).join(corpus, Seq("sh"))
+      .groupBy("bid", "cid")
+      .agg(first("n1").as("n1"), count(lit(1)).as("inter"))
+      .join(sizes, Seq("cid"))
+      .filter(expr(s"CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= $threshold"))
+      .groupBy("bid").agg(min("cid").as("dup_of"))
+    documents.filter(col("doc_id") % batchMod === 0).select(col("doc_id"))
+      .join(dups, col("doc_id") === col("bid"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("is_new"), col("dup_of"))
+  }
+
+  def dedupIncrementalQ(documents: DataFrame): DataFrame =
+    dedupIncremental(documents).orderBy("doc_id")
+
+  /** DuckDB twin: same split, same candidate restriction (batch×corpus
+    * only), same double-division threshold and min-id representative. */
+  val dedupIncrementalSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         list_distinct([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS shingles
+       |  FROM toks
+       |), ex AS (
+       |  SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM sh
+       |), cand AS (
+       |  SELECT b.doc_id AS bid, c.doc_id AS cid,
+       |         any_value(b.nsh) AS n1, any_value(c.nsh) AS n2, count(*) AS inter
+       |  FROM ex b JOIN ex c ON b.s = c.s
+       |  WHERE b.doc_id % $IncrementalBatchMod = 0 AND c.doc_id % $IncrementalBatchMod <> 0
+       |  GROUP BY 1, 2
+       |), dups AS (
+       |  SELECT bid, min(cid) AS dup_of FROM cand
+       |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= $JaccardThreshold
+       |  GROUP BY bid
+       |)
+       |SELECT d.doc_id, dup_of IS NULL AS is_new, dup_of
+       |FROM documents d LEFT JOIN dups ON dups.bid = d.doc_id
+       |WHERE d.doc_id % $IncrementalBatchMod = 0
+       |ORDER BY d.doc_id""".stripMargin
+
   def dedupClustersQ(documents: DataFrame): DataFrame =
     dedupClusters(documents).orderBy("doc_id")
 

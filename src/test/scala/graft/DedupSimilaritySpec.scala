@@ -12,6 +12,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private lazy val emb = Tables.embeddings(spark, sf)
   private lazy val events = Tables.events(spark, sf)
 
+  test("incremental admission agrees with the full exact pair set on cross-split pairs") {
+    // dedup_incremental must mark a batch doc (doc_id%5==0) as a dup iff
+    // the FULL pair miner finds it a partner on the other side of the
+    // split, and must pick the min such partner — derive the expectation
+    // from ngramJaccardPairs and compare row-for-row
+    val mod = Dedup.IncrementalBatchMod
+    val pairs = Dedup.ngramJaccardPairs(docs).select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (pairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) // batch side first, either orientation
+    }.filter { case (bid, cid) => bid % mod == 0 && cid % mod != 0 })
+      .groupBy(_._1).map { case (bid, ps) => bid -> ps.map(_._2).min }
+    val got = Dedup.dedupIncremental(docs).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val batchCount = docs.filter(col("doc_id") % mod === 0).count()
+    assert(got.length == batchCount)
+    got.foreach { case (bid, isNew, dupOf) =>
+      assert(isNew == !expected.contains(bid), s"doc $bid is_new mismatch")
+      assert(dupOf == expected.get(bid), s"doc $bid dup_of mismatch")
+    }
+    // the operator is only interesting if the gate corpus exercises both
+    // branches (some admissions, some rejections)
+    assert(got.exists(_._2) && got.exists(!_._2), "split exercises only one branch")
+  }
+
+  test("incremental admission broadcasts the batch shingle index") {
+    val plan = Dedup.dedupIncremental(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("jaccard inverted-index join plans a hash join, not a cartesian product") {
     val plan = Dedup.ngramJaccardPairs(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
