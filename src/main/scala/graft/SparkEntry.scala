@@ -84,6 +84,10 @@ object SparkEntry {
     // round 6: per-batch admission against the existing corpus — the
     // incremental form of near-dup dedup (|batch|×df cost, not Σ df²)
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncrementalQ(Tables.documents(s, d))),
+    // …and its shipping-scale twin: corpus side as a precomputable LSH
+    // bucket index the batch probes (shares the exact form's oracle —
+    // spec-pinned row equality on the gate corpus)
+    "dedup_incremental_lsh" -> ((s, d) => Dedup.dedupIncrementalLshQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -125,5 +129,6 @@ object SparkEntry {
     "dedup_cluster" -> Dedup.dedupClustersSql,
     "dedup_cluster_lsh" -> Dedup.dedupClustersSql,
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
+    "dedup_incremental_lsh" -> Dedup.dedupIncrementalSql,
   )
 }

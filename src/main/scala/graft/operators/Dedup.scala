@@ -299,6 +299,42 @@ object Dedup {
   def dedupIncrementalQ(documents: DataFrame): DataFrame =
     dedupIncremental(documents).orderBy("doc_id")
 
+  /** The shipping-scale twin of [[dedupIncremental]]: the corpus side is a
+    * banded minhash-LSH bucket index (at 100 TB: PRECOMPUTED once and
+    * stored bucketed by band key — amortized across every future batch,
+    * which is the whole economics of incremental ingest), and the batch
+    * probes only its own band keys. Candidates are Σ_bkey |batch bucket| ×
+    * |corpus bucket| — never a shingle-level join against the corpus —
+    * then exact-verified on candidate shingle sets. Output is identical to
+    * the exact form whenever banded recall is 1 on the batch×corpus pairs
+    * (gate corpus: spec-pinned row equality, which is what lets it share
+    * the exact operator's SQL oracle, same argument as
+    * [[dedupClustersLsh]]). */
+  def dedupIncrementalLsh(documents: DataFrame,
+                          batchMod: Long = IncrementalBatchMod,
+                          threshold: Double = JaccardThreshold): DataFrame = {
+    val buckets = Lsh.bandedBuckets(documents)
+    val batchB = buckets.filter(col("doc_id") % batchMod === 0)
+      .select(col("doc_id").as("bid"), col("bkey"))
+    val corpusB = buckets.filter(col("doc_id") % batchMod =!= 0)
+      .select(col("doc_id").as("cid"), col("bkey"))
+    val cand = broadcast(batchB).join(corpusB, Seq("bkey"))
+      .select("bid", "cid").distinct()
+    val sh = shingleSets(documents)
+    val dups = cand
+      .join(sh.select(col("doc_id").as("bid"), col("shingles").as("sh1"), col("nsh").as("n1")), "bid")
+      .join(sh.select(col("doc_id").as("cid"), col("shingles").as("sh2"), col("nsh").as("n2")), "cid")
+      .withColumn("inter", expr("size(array_intersect(sh1, sh2))"))
+      .filter(expr(s"CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= $threshold"))
+      .groupBy("bid").agg(min("cid").as("dup_of"))
+    documents.filter(col("doc_id") % batchMod === 0).select(col("doc_id"))
+      .join(dups, col("doc_id") === col("bid"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("is_new"), col("dup_of"))
+  }
+
+  def dedupIncrementalLshQ(documents: DataFrame): DataFrame =
+    dedupIncrementalLsh(documents).orderBy("doc_id")
+
   /** DuckDB twin: same split, same candidate restriction (batch×corpus
     * only), same double-division threshold and min-id representative. */
   val dedupIncrementalSql: String =

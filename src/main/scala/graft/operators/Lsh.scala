@@ -46,19 +46,25 @@ object Lsh {
     ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** Banded-LSH candidate pairs, verified with exact Jaccard ≥ τ. */
-  def minhashLshPairs(documents: DataFrame,
-                      threshold: Double = Dedup.JaccardThreshold): DataFrame = {
-    // materialize signatures once: Catalyst plans no ReusedExchange across
-    // the bucket self-join, so without this both join sides would recompute
-    // the whole signature aggregation
+  /** (doc_id, bkey) banded bucket memberships — the index/probe unit
+    * shared by the self-join pair miner and the incremental
+    * batch-vs-corpus probe ([[Dedup.dedupIncrementalLsh]]). Signatures
+    * are materialized once: Catalyst plans no ReusedExchange across a
+    * bucket self-join, so without the checkpoint both consumers would
+    * recompute the whole signature aggregation. */
+  def bandedBuckets(documents: DataFrame): DataFrame = {
     val sigs = minhashSignatures(documents).localCheckpoint()
     val bandKeys = (0 until MinhashBands).map { b =>
       val cols = (0 until MinhashRows).map(i => s"mh_${b * MinhashRows + i}").mkString(", ")
       s"xxhash64($b, $cols)"
     }.mkString(", ")
-    val buckets = sigs
-      .select(col("doc_id"), explode(expr(s"array($bandKeys)")).as("bkey"))
+    sigs.select(col("doc_id"), explode(expr(s"array($bandKeys)")).as("bkey"))
+  }
+
+  /** Banded-LSH candidate pairs, verified with exact Jaccard ≥ τ. */
+  def minhashLshPairs(documents: DataFrame,
+                      threshold: Double = Dedup.JaccardThreshold): DataFrame = {
+    val buckets = bandedBuckets(documents)
     val cand = buckets.as("a")
       .join(buckets.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))

@@ -135,6 +135,19 @@ class AnnOracleSpec extends AnyFunSuite {
       s"recall-1 probe width no longer exact: mined=${mined.length} exact=${exact.length}")
   }
 
+  test("LSH-path incremental admission equals the exact form row-for-row") {
+    // dedup_incremental_lsh shares dedup_incremental's SQL oracle; valid
+    // iff the banded probe misses no batch×corpus pair on the gate corpus
+    // (same recall-1 family as the pair miner) — pin the composed output
+    val docs = Tables.documents(spark, gateSf)
+    def rows(df: DataFrame): Array[String] =
+      df.select("doc_id", "is_new", "dup_of").collect().map(_.toString).sorted
+    val exact = rows(Dedup.dedupIncrementalQ(docs))
+    val lsh = rows(Dedup.dedupIncrementalLshQ(docs))
+    assert(lsh.sameElements(exact),
+      s"LSH incremental != exact: lsh=${lsh.length} exact=${exact.length}")
+  }
+
   test("LSH-path clustering equals exact-path clustering on the gate corpus") {
     // dedup_cluster_lsh shares dedup_cluster's recursive-CTE oracle; that
     // is valid iff the LSH pair stage misses no edge (minhash recall 1,
