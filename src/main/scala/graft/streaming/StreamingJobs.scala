@@ -76,6 +76,74 @@ object StreamingJobs {
       .dropDuplicates("fingerprint")
       .select("doc_id", "fingerprint")
 
+  // --------------------------- stream-static incremental admission
+
+  /** Stream-static near-dup ADMISSION — the streaming half of
+    * [[graft.operators.Dedup.dedupIncremental]]: new documents arrive as
+    * an unbounded stream and probe a STATIC corpus LSH bucket index
+    * (bkey → member list with shingle sets; at 100 TB this is the
+    * precomputed, bucketed index every batch amortizes).
+    *
+    * The whole job is APPEND-MODE STATELESS — no streaming aggregation,
+    * no watermark, no state store: the minhash signature and band keys
+    * are PURE per-row expressions (array_min ∘ transform over the
+    * shingle array — value-identical to the batch explode+min-agg form,
+    * same xxhash64 family in the same order), the index probe is
+    * [[graft.operators.Lsh.MinhashBands]] stream-static left equi-joins,
+    * and the exact-Jaccard verification + min-id pick run inside
+    * higher-order filter/transform on the collected member arrays. A
+    * doc's verdict is FINAL at arrival, and arriving docs never pair
+    * with each other — exactly the batch operator's contract (batch docs
+    * never pair either), so parity is row-for-row, not modulo ordering
+    * (spec-pinned).
+    *
+    * Scale notes: one index probe per band per doc; the static side is
+    * re-read per micro-batch (broadcast at daily-batch sizes, bucket-
+    * pruned at corpus scale); per-bucket member lists are bounded by LSH
+    * bucket balance — the same Σ bucket² economics as the batch twin. */
+  def incrementalAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Lsh}
+    val mod = Dedup.IncrementalBatchMod
+    val corpus = spark.read.schema(documentsRawSchema)
+      .parquet(dir)
+      .filter(col("doc_id") % mod =!= 0)
+    val index = Lsh.bandedBuckets(corpus)
+      .join(Dedup.shingleSets(corpus), "doc_id")
+      .groupBy("bkey")
+      .agg(collect_list(struct(col("doc_id").as("cid"), col("shingles"), col("nsh")))
+        .as("members"))
+    val mh = (0 until Lsh.MinhashK)
+      .map(j => s"array_min(transform(shingles, s -> xxhash64($j, s)))")
+    val bandKeyCols = (0 until Lsh.MinhashBands).map { b =>
+      val rows = (0 until Lsh.MinhashRows).map(i => mh(b * Lsh.MinhashRows + i)).mkString(", ")
+      expr(s"xxhash64($b, $rows)").as(s"bkey_$b")
+    }
+    val stream = spark.readStream
+      .schema(documentsRawSchema)
+      .parquet(dir)
+      .filter(col("doc_id") % mod === 0)
+      .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+      .withColumn("shingles",
+        expr("array_distinct(transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1])))"))
+      .withColumn("nsh", expr("size(shingles)"))
+    val probed = (0 until Lsh.MinhashBands).foldLeft(
+      stream.select(Seq(col("doc_id"), col("shingles"), col("nsh")) ++ bandKeyCols: _*)) {
+      (df, b) =>
+        df.join(index.select(col("bkey").as(s"bk_$b"), col("members").as(s"m_$b")),
+          col(s"bkey_$b") === col(s"bk_$b"), "left")
+    }
+    val memberArrays = (0 until Lsh.MinhashBands).map(b => s"m_$b").mkString(", ")
+    probed
+      .withColumn("cands",
+        expr(s"array_distinct(flatten(filter(array($memberArrays), x -> x IS NOT NULL)))"))
+      .withColumn("scored",
+        expr("transform(cands, c -> struct(c.cid AS cid, size(array_intersect(shingles, c.shingles)) AS inter, c.nsh AS n2))"))
+      .withColumn("matches",
+        expr(s"filter(scored, c -> CAST(c.inter AS DOUBLE) / (nsh + c.n2 - c.inter) >= ${Dedup.JaccardThreshold})"))
+      .withColumn("dup_of", expr("array_min(transform(matches, c -> c.cid))"))
+      .select(col("doc_id"), col("dup_of").isNull.as("is_new"), col("dup_of"))
+  }
+
   // ------------------------------------------------- stateful sessionize
 
   /** c is Option: a NULL value must not kill the stream — the batch twin

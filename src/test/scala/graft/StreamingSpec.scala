@@ -67,6 +67,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_._2).toSet == batchFps)
   }
 
+  test("stream-static incremental admission matches the batch operator row-for-row") {
+    // the streaming twin is append-mode STATELESS (per-row signatures +
+    // 8 stream-static index probes + higher-order verify) and its
+    // contract is exactly the batch one — arriving docs never pair with
+    // each other, the corpus is fixed — so parity is full row equality,
+    // not modulo ordering
+    val dir = Files.createTempDirectory("graft-stream-incr")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingJobs.incrementalAdmissionStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("incr_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val streamed = spark.table("incr_stream").collect().map(key).sortBy(_._1)
+    val batch = graft.operators.Dedup.dedupIncremental(Tables.documents(spark, sf))
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"stream=${streamed.length} batch=${batch.length} " +
+        s"diff=${streamed.zip(batch).filter(p => p._1 != p._2).take(3).mkString(",")}")
+    assert(streamed.exists(_._2) && streamed.exists(!_._2),
+      "corpus exercises only one admission branch")
+  }
+
   test("streaming as-of join matches the batch LOCF window row-for-row") {
     val dir = stageEventsDir("asof")
     val q = StreamingJobs.asofJoinStream(spark, dir)
