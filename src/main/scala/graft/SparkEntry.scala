@@ -88,6 +88,9 @@ object SparkEntry {
     // bucket index the batch probes (shares the exact form's oracle —
     // spec-pinned row equality on the gate corpus)
     "dedup_incremental_lsh" -> ((s, d) => Dedup.dedupIncrementalLshQ(Tables.documents(s, d))),
+    // round 6: leakage-safe train/val/test assignment, keyed on the dedup
+    // fingerprint so exact duplicates can never straddle splits
+    "corpus_split" -> ((s, d) => TextOps.corpusSplitQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,5 +133,6 @@ object SparkEntry {
     "dedup_cluster_lsh" -> Dedup.dedupClustersSql,
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dedup_incremental_lsh" -> Dedup.dedupIncrementalSql,
+    "corpus_split" -> TextOps.corpusSplitSql,
   )
 }

@@ -321,4 +321,53 @@ object TextOps {
        |       (quality_score >= 0.5 AND pred_lang <> 'unknown' AND doc_id = canonical_id) AS admitted
        |FROM fp
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------- corpus_split
+
+  /** Leakage-safe deterministic train/val/test split — the assignment a
+    * training pipeline makes before anything touches a model. Keyed on the
+    * exact-dedup FINGERPRINT, not doc_id: byte-identical documents always
+    * land in the same split, so an exact duplicate can never straddle
+    * train/test (the classic eval-contamination bug). The split hash is
+    * md5 over a salted fingerprint — content-stable (re-ingesting the
+    * same corpus reproduces the split; adding docs never moves existing
+    * ones), uniform, and cross-engine exact: md5 hex is identical in
+    * Spark and DuckDB, and fixed-width lowercase hex compares
+    * lexicographically = numerically, so the 80/10/10 thresholds are hex
+    * string literals (cccc₁₆ = 52428 ≈ .8·65536, e666₁₆ = 58982 ≈ .9·65536)
+    * with no integer conversion to drift between engines.
+    *
+    * Scale shape: pure fused map pass — two md5s and a substring compare
+    * per row, ZERO exchanges (spec-pinned). */
+  def corpusSplit(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("fingerprint",
+        expr("md5(lower(trim(regexp_replace(text, '\\\\s+', ' '))))"))
+      .withColumn("bucket",
+        expr("substring(md5(concat('graft-split:', fingerprint)), 1, 4)"))
+      .withColumn("split",
+        when(col("bucket") < lit("cccc"), lit("train"))
+          .when(col("bucket") < lit("e666"), lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("fingerprint"), col("split"))
+
+  def corpusSplitQ(documents: DataFrame): DataFrame =
+    corpusSplit(documents).orderBy("doc_id")
+
+  val corpusSplitSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, fingerprint,
+       |         substring(md5('graft-split:' || fingerprint), 1, 4) AS bucket
+       |  FROM fp
+       |)
+       |SELECT doc_id, fingerprint,
+       |       CASE WHEN bucket < 'cccc' THEN 'train'
+       |            WHEN bucket < 'e666' THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
 }

@@ -10,6 +10,37 @@ class TextOpsSpec extends AnyFunSuite {
 
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("corpus_split: fingerprint-keyed (no leakage), ~80/10/10, map-only plan") {
+    val rows = TextOps.corpusSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // leakage safety: every doc sharing a fingerprint shares a split. The
+    // sf0.001 corpus has no byte-identical docs (500 distinct
+    // fingerprints), so PLANT exact dups: re-id every doc, including
+    // whitespace-variant copies (same normalized fingerprint by design)
+    val planted = docs.select(col("doc_id") + 10000, concat(col("text"), lit("  ")),
+        col("lang"), col("source"), col("n_chars"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val withDups = TextOps.corpusSplit(docs.unionByName(planted)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byFp = withDups.groupBy(_._2)
+    assert(byFp.forall(_._2.length == 2), "each fingerprint should appear exactly twice")
+    byFp.foreach { case (fp, ds) =>
+      assert(ds.map(_._3).distinct.length == 1, s"fingerprint $fp straddles splits")
+    }
+    // proportions: binomial at n=500 → generous bands around 0.8/0.1/0.1
+    val n = rows.length.toDouble
+    val frac = rows.groupBy(_._3).view.mapValues(_.length / n).toMap
+    assert(frac.getOrElse("train", 0.0) > 0.7 && frac.getOrElse("train", 0.0) < 0.9, s"$frac")
+    assert(frac.getOrElse("val", 0.0) > 0.03 && frac.getOrElse("val", 0.0) < 0.2, s"$frac")
+    assert(frac.getOrElse("test", 0.0) > 0.03 && frac.getOrElse("test", 0.0) < 0.2, s"$frac")
+    // determinism + plan shape: pure map pass, zero exchanges of any kind
+    val again = TextOps.corpusSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(again.sortBy(_._1).sameElements(rows.sortBy(_._1)))
+    val plan = TextOps.corpusSplit(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"corpus_split should be map-only:\n$plan")
+  }
+
   test("text_stats ratios are in [0,1] and n_chars matches length") {
     val rows = TextOps.textStats(docs).collect()
     assert(rows.nonEmpty)
