@@ -91,6 +91,14 @@ object SparkEntry {
     // round 6: leakage-safe train/val/test assignment, keyed on the dedup
     // fingerprint so exact duplicates can never straddle splits
     "corpus_split" -> ((s, d) => TextOps.corpusSplitQ(Tables.documents(s, d))),
+    // round 6 (second half): corpus CURATION — eval-set decontamination
+    // (broadcast benchmark n-gram probe), Gopher-style intra-doc repetition
+    // gates (pure map pass), stratified quantile quality selection, and
+    // deterministic token-budget mixture packing
+    "contamination_check" -> ((s, d) => Curation.contaminationCheckQ(Tables.documents(s, d))),
+    "doc_ngram_repetition" -> ((s, d) => Curation.ngramRepetitionQ(Tables.documents(s, d))),
+    "quality_select" -> ((s, d) => Curation.qualitySelectQ(Tables.documents(s, d))),
+    "token_budget_pack" -> ((s, d) => Curation.tokenBudgetPackQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,5 +142,9 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dedup_incremental_lsh" -> Dedup.dedupIncrementalSql,
     "corpus_split" -> TextOps.corpusSplitSql,
+    "contamination_check" -> Curation.contaminationCheckSql,
+    "doc_ngram_repetition" -> Curation.ngramRepetitionSql,
+    "quality_select" -> Curation.qualitySelectSql,
+    "token_budget_pack" -> Curation.tokenBudgetPackSql,
   )
 }

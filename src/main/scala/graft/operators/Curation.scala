@@ -1,0 +1,357 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import Parity.{r, rsql}
+
+/** Training-corpus CURATION operators (round 6, beyond the SURVEY §2
+  * reference inventory): the decisions a large-scale pretraining-data
+  * pipeline makes after hygiene (TextOps) and dedup (Dedup/Lsh) — is this
+  * document leaking the eval set, is it internally degenerate, does it make
+  * the quality cut, and does it fit the mixture budget.
+  *
+  * All four are oracle-able ANSI SQL shapes (no engine-internal hashes in
+  * any output), and each has an explicit 100 TB plan:
+  *
+  *  - [[contaminationCheck]]: benchmark n-gram set is broadcast (eval sets
+  *    are ~MB against a ~100 TB corpus); the probe is a map-side broadcast
+  *    join + one per-doc count — never a corpus shuffle on gram.
+  *  - [[ngramRepetition]]: per-row higher-order expressions only — a pure
+  *    fused map pass, ZERO exchanges (spec-pinned), O(distinct·len) per doc.
+  *  - [[qualitySelect]]: one hash shuffle on the stratum key (lang) + an
+  *    in-partition sort — the standard quantile-curation shape.
+  *  - [[tokenBudgetPack]]: one hash shuffle on source + a running-sum
+  *    window in deterministic hash order — mixture construction that is
+  *    reproducible across re-ingests (greedy prefix pack, content-keyed
+  *    order like corpus_split).
+  *
+  * Reference relation: the reference's QC-filter → feature selection path
+  * (read_gold.py, test_train.py:44-60) makes admit/—reject decisions per
+  * trial; these are the corpus-scale text analogs of that gating stage.
+  */
+object Curation {
+
+  // ------------------------------------------------------ contamination_check
+
+  /** 8-gram overlap is the standard eval-decontamination shingle width
+    * (long enough that chance collisions vanish, short enough that a
+    * near-verbatim leak still shares most of its grams). */
+  val ContamN = 8
+
+  /** Stand-in "held-out benchmark" partition: doc_id % 20 == 7 (≈5% of the
+    * corpus) — the same partition-by-id convention as
+    * [[Dedup.IncrementalBatchMod]]'s batch stand-in. */
+  val ContamBenchMod = 20L
+  val ContamBenchRem = 7L
+
+  /** Contaminated = at least this fraction of the doc's distinct 8-grams
+    * appear anywhere in the benchmark. */
+  val ContamThreshold = 0.2
+
+  /** doc_id → distinct word n-grams (space-joined), plus their count.
+    * Docs shorter than n tokens get an empty set (guarded slice). */
+  private[graft] def ngramSets(documents: DataFrame, n: Int): DataFrame = {
+    val tail = (1 until n).map(j => s", ' ', w[i + $j]").mkString
+    documents
+      .select(col("doc_id"), expr("split(lower(trim(text)), '\\\\s+')").as("w"))
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(w) >= $n
+           |  THEN array_distinct(transform(slice(w, 1, size(w) - ${n - 1}),
+           |         (x, i) -> concat(x$tail)))
+           |  ELSE array() END""".stripMargin).as("grams"))
+      .select(col("doc_id"), col("grams"), expr("size(grams)").as("n_grams"))
+  }
+
+  /** Eval-set decontamination: for every CORPUS doc, the fraction of its
+    * distinct [[ContamN]]-grams that appear anywhere in the BENCHMARK
+    * partition, and the contamination verdict. A doc that shares ≥ τ of its
+    * grams with the eval set is a leak — exactly the check run before any
+    * corpus is allowed near a training job (near-verbatim copies of eval
+    * items score ~1.0; unrelated docs score 0 at this gram width).
+    *
+    * Scale shape: the benchmark gram set (distinct, hashed to 64-bit) is
+    * BROADCAST — eval benchmarks are a few MB against a ~100 TB corpus —
+    * so the probe is a map-side broadcast semi-ish join on the corpus gram
+    * stream plus one count per doc; the only data shuffle is the per-doc
+    * hit aggregation (and docs with zero hits never enter it — they rejoin
+    * as n_hit = 0 at the final left join, same economics as
+    * [[Dedup.dedupIncremental]]). The join carries xxhash64(gram), not the
+    * string (narrow rows); the exact-string SQL oracle guards collisions. */
+  def contaminationCheck(documents: DataFrame,
+                         n: Int = ContamN,
+                         benchMod: Long = ContamBenchMod,
+                         benchRem: Long = ContamBenchRem,
+                         threshold: Double = ContamThreshold): DataFrame = {
+    val g = ngramSets(documents, n)
+    val isBench = col("doc_id") % benchMod === benchRem
+    val benchGrams = g.filter(isBench)
+      .select(explode(col("grams")).as("gram"))
+      .select(expr("xxhash64(gram)").as("gh")).distinct()
+    val corpus = g.filter(!isBench)
+    val hits = corpus
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), expr("xxhash64(gram)").as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), col("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("overlap_ratio", expr("CAST(n_hit AS DOUBLE) / n_grams"))
+      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+  }
+
+  def contaminationCheckQ(documents: DataFrame): DataFrame =
+    contaminationCheck(documents)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        r("overlap_ratio", 4), col("contaminated"))
+      .orderBy("doc_id")
+
+  val contaminationCheckSql: String = {
+    val joins = (1 until ContamN)
+      .map(j => s" || ' ' || w[i + $j]").mkString
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |         list_distinct([w[i]$joins for i in range(1, len(w) - ${ContamN - 2})]) AS grams
+       |  FROM toks
+       |), bench AS (
+       |  SELECT DISTINCT unnest(grams) AS gram FROM g
+       |  WHERE doc_id % $ContamBenchMod = $ContamBenchRem
+       |), corpus AS (
+       |  SELECT doc_id, len(grams) AS n_grams FROM g
+       |  WHERE doc_id % $ContamBenchMod <> $ContamBenchRem
+       |), cex AS (
+       |  SELECT doc_id, unnest(grams) AS gram FROM g
+       |  WHERE doc_id % $ContamBenchMod <> $ContamBenchRem
+       |), hits AS (
+       |  SELECT c.doc_id, count(*) AS n_hit
+       |  FROM cex c JOIN bench b ON c.gram = b.gram
+       |  GROUP BY 1
+       |), joined AS (
+       |  SELECT corpus.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
+       |         CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams AS overlap_ratio
+       |  FROM corpus LEFT JOIN hits ON hits.doc_id = corpus.doc_id
+       |)
+       |SELECT doc_id, n_grams, n_hit, ${rsql("overlap_ratio", 4, "overlap_ratio")},
+       |       overlap_ratio >= $ContamThreshold AS contaminated
+       |FROM joined
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ----------------------------------------------------- doc_ngram_repetition
+
+  /** Gopher-style intra-document repetition gates (measured on this corpus:
+    * bigram dup-ratio median 0.028 / max 0.133, top-bigram fraction median
+    * 0.033 / max 0.167 — the thresholds sit above the medians so the flag
+    * splits the corpus non-trivially). */
+  val Dup2Max = 0.05
+  val Top2Max = 0.10
+  val Dup3Max = 0.05
+
+  /** Intra-document repetition signals over word bigrams/trigrams — the
+    * Gopher repetition filters: duplicate-n-gram fraction (how much of the
+    * doc is n-grams it already used) and top-n-gram fraction (how much one
+    * single bigram dominates), with the composite keep flag.
+    *
+    * Scale shape: everything is per-row higher-order expressions
+    * (transform/array_distinct/filter) — a pure fused MAP pass, zero
+    * exchanges (spec-pinned), embarrassingly parallel at any corpus size.
+    * The top-frequency term is O(distinct·len) per row, bounded by doc
+    * length — the deliberate trade against explode + two shuffled
+    * aggregations per doc, which at 100 TB would shuffle the whole token
+    * stream twice to compute a per-doc scalar (the spec cross-checks this
+    * map-side computation against exactly that relational form). */
+  def ngramRepetition(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+      .withColumn("g2",
+        expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))"))
+      .withColumn("g3", expr(
+        """CASE WHEN size(w) >= 3
+          |  THEN transform(slice(w, 1, size(w) - 2),
+          |         (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))
+          |  ELSE array() END""".stripMargin))
+      .withColumn("n2", expr("size(g2)"))
+      .withColumn("d2", expr("size(array_distinct(g2))"))
+      .withColumn("top2",
+        expr("array_max(transform(array_distinct(g2), d -> size(filter(g2, y -> y = d))))"))
+      .withColumn("n3", expr("size(g3)"))
+      .withColumn("d3", expr("size(array_distinct(g3))"))
+      .withColumn("dup2_ratio", expr("1.0 - CAST(d2 AS DOUBLE) / n2"))
+      .withColumn("top2_frac", expr("CAST(top2 AS DOUBLE) / n2"))
+      .withColumn("dup3_ratio", expr("1.0 - CAST(d3 AS DOUBLE) / n3"))
+      .withColumn("keep_repetition",
+        col("dup2_ratio") <= Dup2Max && col("top2_frac") <= Top2Max &&
+          col("dup3_ratio") <= Dup3Max)
+
+  def ngramRepetitionQ(documents: DataFrame): DataFrame =
+    ngramRepetition(documents)
+      .select(col("doc_id"), col("n2"), col("d2"), col("top2"), col("n3"), col("d3"),
+        r("dup2_ratio", 4), r("top2_frac", 4), r("dup3_ratio", 4),
+        col("keep_repetition"))
+      .orderBy("doc_id")
+
+  /** DuckDB twin computes the SAME scalars relationally (unnest → per-gram
+    * counts → per-doc aggregates) — an independent formulation, which is
+    * the point: it oracles the map-side higher-order logic. */
+  val ngramRepetitionSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |         [w[i] || ' ' || w[i + 1] for i in range(1, len(w))] AS g2,
+       |         [w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] for i in range(1, len(w) - 1)] AS g3
+       |  FROM toks
+       |), c2 AS (
+       |  SELECT doc_id, gram, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+       |  GROUP BY 1, 2
+       |), a2 AS (
+       |  SELECT doc_id, count(*) AS d2, CAST(max(c) AS BIGINT) AS top2 FROM c2 GROUP BY 1
+       |), c3 AS (
+       |  SELECT doc_id, gram, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(g3) AS gram FROM g)
+       |  GROUP BY 1, 2
+       |), a3 AS (
+       |  SELECT doc_id, count(*) AS d3 FROM c3 GROUP BY 1
+       |), j AS (
+       |  SELECT g.doc_id, len(g2) AS n2, a2.d2, a2.top2, len(g3) AS n3, a3.d3,
+       |         1.0 - CAST(a2.d2 AS DOUBLE) / len(g2) AS dup2_ratio,
+       |         CAST(a2.top2 AS DOUBLE) / len(g2) AS top2_frac,
+       |         1.0 - CAST(a3.d3 AS DOUBLE) / len(g3) AS dup3_ratio
+       |  FROM g JOIN a2 ON a2.doc_id = g.doc_id JOIN a3 ON a3.doc_id = g.doc_id
+       |)
+       |SELECT doc_id, n2, d2, top2, n3, d3,
+       |       ${rsql("dup2_ratio", 4, "dup2_ratio")},
+       |       ${rsql("top2_frac", 4, "top2_frac")},
+       |       ${rsql("dup3_ratio", 4, "dup3_ratio")},
+       |       (dup2_ratio <= $Dup2Max AND top2_frac <= $Top2Max
+       |         AND dup3_ratio <= $Dup3Max) AS keep_repetition
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------- quality_select
+
+  /** Keep the top half of each language stratum by quality. */
+  val SelectFraction = 0.5
+
+  private val stopwordsIn = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Percentile-based quality CURATION, stratified by language: rank every
+    * doc within its lang by [[TextOps.textQuality]]'s composite score and
+    * keep the top [[SelectFraction]] — "take the best half of each
+    * language" rather than the fixed absolute threshold of `text_quality`'s
+    * keep flag (absolute thresholds drift per stratum; quantile cuts
+    * don't). Ordering is on the ROUNDED score (engine-stable text, ties
+    * broken by doc_id) so ranks are deterministic cross-engine.
+    *
+    * Scale shape: one hash shuffle on lang + in-partition sort. Stratum
+    * skew (one language owning most of a corpus) is real at 100 TB — the
+    * fix is range-partitioning within the stratum on the rank key and a
+    * two-pass quantile estimate; at gate scale the single-window form is
+    * the honest plan. */
+  def qualitySelect(documents: DataFrame,
+                    fraction: Double = SelectFraction): DataFrame = {
+    val scored = TextOps.textQuality(documents)
+    val w = Window.partitionBy("lang")
+      .orderBy(expr(Parity.rexpr("quality_score", 4)).desc, col("doc_id"))
+    scored
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("selected", col("pct_rank") <= fraction)
+  }
+
+  def qualitySelectQ(documents: DataFrame): DataFrame =
+    qualitySelect(documents)
+      .select(col("doc_id"), col("lang"), r("quality_score", 4),
+        r("pct_rank", 6), col("selected"))
+      .orderBy("doc_id")
+
+  val qualitySelectSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |         length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
+       |  FROM documents
+       |), q2 AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(list_filter(toks, t -> t IN ($stopwordsIn))) AS DOUBLE) / len(toks) AS stop_ratio,
+       |         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS repetition_ratio,
+       |         CAST(alpha_len AS DOUBLE) / len(toks) AS mean_word_len
+       |  FROM q
+       |), q3 AS (
+       |  SELECT doc_id, lang,
+       |         0.4 * least(stop_ratio / 0.1, 1.0) + 0.3 * (1.0 - repetition_ratio) + 0.3 * least(mean_word_len / 5.0, 1.0) AS quality_score
+       |  FROM q2
+       |), ranked AS (
+       |  SELECT doc_id, lang, quality_score,
+       |         percent_rank() OVER (PARTITION BY lang
+       |           ORDER BY ${Parity.rexpr("quality_score", 4)} DESC, doc_id) AS pct_rank
+       |  FROM q3
+       |)
+       |SELECT doc_id, lang, ${rsql("quality_score", 4, "quality_score")},
+       |       ${rsql("pct_rank", 6, "pct_rank")},
+       |       pct_rank <= $SelectFraction AS selected
+       |FROM ranked
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- token_budget_pack
+
+  /** Per-source token budget for the packed mixture (sources here carry
+    * ~1.3–1.5k BPE tokens each, so ~800 packs a bit over half of every
+    * source — a non-trivial cut). */
+  val BudgetPerSource = 800L
+
+  /** Deterministic data-mixture construction: pack documents per source in
+    * content-stable pseudo-random order (md5 over the doc id, same
+    * hex-order trick as corpus_split) until the source's token budget is
+    * exhausted — the greedy prefix pack every mixture recipe ("x tokens of
+    * source A, y of source B") compiles down to. Reproducible across
+    * re-ingests and engines: the order key is a hash both engines compute
+    * identically, the running sum is integer-exact, and the budget test is
+    * an integer compare.
+    *
+    * Scale shape: one hash shuffle on source + one in-partition sort for
+    * the running-sum window (ROWS frame, map-side exact). At 100 TB a
+    * single source can exceed one partition — then the same prefix-sum runs
+    * as range-partitioned cumulative sum (sort by key, per-partition
+    * totals, broadcast offsets); the single-window form is the gate-scale
+    * plan of that. */
+  def tokenBudgetPack(documents: DataFrame,
+                      budget: Long = BudgetPerSource): DataFrame = {
+    val bpe = TextOps.BpePattern.replace("\\", "\\\\")
+    val w = Window.partitionBy("source").orderBy("pack_key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .withColumn("bpe_tokens", expr(s"size(regexp_extract_all(text, '$bpe', 0))"))
+      .withColumn("pack_key",
+        expr("md5(concat('graft-pack:', CAST(doc_id AS STRING)))"))
+      .withColumn("cum_tokens", sum(col("bpe_tokens").cast("long")).over(w))
+      .withColumn("packed", col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("bpe_tokens"), col("pack_key"),
+        col("cum_tokens"), col("packed"))
+  }
+
+  def tokenBudgetPackQ(documents: DataFrame): DataFrame =
+    tokenBudgetPack(documents).orderBy("doc_id")
+
+  val tokenBudgetPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS bpe_tokens,
+       |         md5('graft-pack:' || CAST(doc_id AS VARCHAR)) AS pack_key
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, bpe_tokens, pack_key,
+       |         CAST(sum(bpe_tokens) OVER (PARTITION BY source
+       |           ORDER BY pack_key, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |  FROM t
+       |)
+       |SELECT doc_id, source, bpe_tokens, pack_key, cum_tokens,
+       |       cum_tokens <= $BudgetPerSource AS packed
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Curation operators (round 6): eval-set decontamination, intra-doc
+  * repetition gates, stratified quality selection, token-budget packing.
+  * Each test pins either an independent recomputation (the map-side logic
+  * vs a relational form computed in Spark itself) or the load-bearing plan
+  * shape.
+  */
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("contamination_check: hashed probe equals exact string-set intersection") {
+    // the operator joins on xxhash64(gram) for shuffle width; recompute the
+    // hit counts joining on the gram STRING and require identical results —
+    // this guards both the hash-collision risk and the split/slice logic
+    val out = Curation.contaminationCheck(docs)
+      .select("doc_id", "n_grams", "n_hit").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val g = Curation.ngramSets(docs, Curation.ContamN)
+    val isBench = col("doc_id") % Curation.ContamBenchMod === Curation.ContamBenchRem
+    val benchSet = g.filter(isBench).select(explode(col("grams")).as("gram")).distinct()
+    val expected = g.filter(!isBench)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(benchSet, Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, ng, nHit) =>
+      assert(nHit == expected.getOrElse(id, 0L),
+        s"doc $id: hashed probe n_hit=$nHit != exact ${expected.getOrElse(id, 0L)}")
+      assert(nHit >= 0 && nHit <= ng)
+    }
+    assert(expected.nonEmpty) // some doc shares at least one 8-gram
+  }
+
+  test("contamination_check: flags exactly the near-verbatim leaks, bench excluded") {
+    val rows = Curation.contaminationCheck(docs).collect()
+    // no benchmark doc may appear in the output
+    assert(rows.forall(r =>
+      r.getAs[Long]("doc_id") % Curation.ContamBenchMod != Curation.ContamBenchRem))
+    val contaminated = rows.filter(_.getAs[Boolean]("contaminated"))
+    // the gate corpus plants near-dup docs straddling the %20==7 split —
+    // at 8-gram width those (and only those) cross the 0.2 threshold, with
+    // near-total overlap; everything else has ratio ~0
+    assert(contaminated.nonEmpty, "expected at least one planted leak")
+    contaminated.foreach { r =>
+      assert(r.getAs[Double]("overlap_ratio") > 0.9,
+        s"contaminated doc ${r.getAs[Long]("doc_id")} should be a near-verbatim leak")
+    }
+    rows.filterNot(_.getAs[Boolean]("contaminated")).foreach { r =>
+      assert(r.getAs[Double]("overlap_ratio") < Curation.ContamThreshold)
+    }
+  }
+
+  test("contamination_check plan: benchmark set is broadcast, no shuffle on gram") {
+    val plan = Curation.contaminationCheck(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe should broadcast the bench set:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"gram probe must not sort-merge (corpus-wide gram shuffle):\n$plan")
+  }
+
+  test("doc_ngram_repetition: map-side higher-order stats equal relational form") {
+    val out = Curation.ngramRepetition(docs)
+      .select("doc_id", "n2", "d2", "top2", "n3", "d3").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    // independent relational recomputation: explode + two aggregations
+    val w2 = docs
+      .select(col("doc_id"), expr("split(lower(trim(text)), '\\\\s+')").as("w"))
+      .select(col("doc_id"),
+        explode(expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n2"), count(lit(1)).as("d2"), max("c").as("top2"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    w2.foreach { case (id, (n2, d2, top2)) =>
+      val (mn2, md2, mtop2, _, _) = out(id)
+      assert(mn2.toLong == n2 && md2.toLong == d2 && mtop2.toLong == top2,
+        s"doc $id: map-side ($mn2,$md2,$mtop2) != relational ($n2,$d2,$top2)")
+    }
+    assert(out.keySet == w2.keySet)
+  }
+
+  test("doc_ngram_repetition plan: pure map pass, zero exchanges") {
+    val plan = Curation.ngramRepetition(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition stats should be map-only:\n$plan")
+  }
+
+  test("quality_select: within each lang, every selected doc outranks every unselected") {
+    val rows = Curation.qualitySelect(docs)
+      .select(col("lang"), expr(graft.operators.Parity.rexpr("quality_score", 4)).as("qs"),
+        col("selected"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sel = rs.filter(_._3).map(_._2)
+      val unsel = rs.filterNot(_._3).map(_._2)
+      assert(sel.nonEmpty && unsel.nonEmpty, s"$lang: selection should split the stratum")
+      // rounded-score ordering with doc_id tie-break: a tie can straddle the
+      // boundary, so the invariant is min(selected) >= max(unselected)
+      assert(sel.min >= unsel.max,
+        s"$lang: selected min ${sel.min} < unselected max ${unsel.max}")
+      // the quantile cut keeps roughly the configured fraction
+      val frac = sel.length.toDouble / rs.length
+      assert(frac > 0.35 && frac < 0.65, s"$lang: selected fraction $frac")
+    }
+  }
+
+  test("token_budget_pack: packed set is the maximal budget-feasible prefix per source") {
+    val rows = Curation.tokenBudgetPack(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("pack_key"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("bpe_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("packed")))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(t => (t._2, t._3)) // (pack_key, doc_id) order
+      var running = 0L
+      ordered.foreach { case (_, _, id, bpe, cum, packed) =>
+        running += bpe
+        assert(cum == running, s"$src doc $id: cum_tokens $cum != running $running")
+        // cum is monotone in this order, so packed == (cum <= budget) IS the
+        // maximal-prefix property
+        assert(packed == (running <= Curation.BudgetPerSource),
+          s"$src doc $id: packed=$packed, cum=$running")
+      }
+      assert(ordered.exists(_._6) && ordered.exists(!_._6),
+        s"$src: budget should split the source")
+    }
+  }
+}
