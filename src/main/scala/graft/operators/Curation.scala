@@ -50,19 +50,35 @@ object Curation {
     * appear anywhere in the benchmark. */
   val ContamThreshold = 0.2
 
-  /** doc_id → distinct word n-grams (space-joined), plus their count.
-    * Docs shorter than n tokens get an empty set (guarded slice). */
-  private[graft] def ngramSets(documents: DataFrame, n: Int): DataFrame = {
+  /** The distinct word n-gram set expression over `w` (the split token
+    * array). Docs shorter than n tokens get an empty set: the guard is a
+    * `greatest(size - (n-1), 0)` slice LENGTH, deliberately not a CASE
+    * around the whole transform — a CASE at the generator position knocks
+    * the downstream explode off the cheap Generate path (measured ~20×:
+    * 3.1 s vs 0.15 s for the corpus explode at sf0.01). */
+  private def gramArrayExpr(n: Int): String = {
     val tail = (1 until n).map(j => s", ' ', w[i + $j]").mkString
+    s"array_distinct(transform(slice(w, 1, greatest(size(w) - ${n - 1}, 0)), (x, i) -> concat(x$tail)))"
+  }
+
+  /** doc_id → distinct word n-grams (space-joined), plus their count. */
+  private[graft] def ngramSets(documents: DataFrame, n: Int): DataFrame =
     documents
       .select(col("doc_id"), expr("split(lower(trim(text)), '\\\\s+')").as("w"))
-      .select(col("doc_id"), expr(
-        s"""CASE WHEN size(w) >= $n
-           |  THEN array_distinct(transform(slice(w, 1, size(w) - ${n - 1}),
-           |         (x, i) -> concat(x$tail)))
-           |  ELSE array() END""".stripMargin).as("grams"))
+      .select(col("doc_id"), expr(gramArrayExpr(n)).as("grams"))
       .select(col("doc_id"), col("grams"), expr("size(grams)").as("n_grams"))
-  }
+
+  /** Exploded (doc_id, gram) stream with the gram expression INLINE as the
+    * Generate's child. Same engineering as [[Dedup.shingleExploded]]:
+    * exploding a NAMED projected column lets `InferFiltersFromGenerate` +
+    * predicate pushdown inline the whole 8-term transform into a Filter at
+    * the scan, computing the gram array 3× per row — measured 11× wall on
+    * this stage (1.7 s vs 0.15 s at sf0.01). Inline at the generator, no
+    * filter is inferred and the array is built once. */
+  private def ngramExploded(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), expr("split(lower(trim(text)), '\\\\s+')").as("w"))
+      .select(col("doc_id"), explode(expr(gramArrayExpr(n))).as("gram"))
 
   /** Eval-set decontamination: for every CORPUS doc, the fraction of its
     * distinct [[ContamN]]-grams that appear anywhere in the BENCHMARK
@@ -84,21 +100,20 @@ object Curation {
                          benchMod: Long = ContamBenchMod,
                          benchRem: Long = ContamBenchRem,
                          threshold: Double = ContamThreshold): DataFrame = {
-    val g = ngramSets(documents, n)
     val isBench = col("doc_id") % benchMod === benchRem
-    val benchGrams = g.filter(isBench)
-      .select(explode(col("grams")).as("gram"))
+    val benchGrams = ngramExploded(documents.filter(isBench), n)
       .select(expr("xxhash64(gram)").as("gh")).distinct()
-    val corpus = g.filter(!isBench)
-    val hits = corpus
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val hits = ngramExploded(documents.filter(!isBench), n)
       .select(col("doc_id"), expr("xxhash64(gram)").as("gh"))
       .join(broadcast(benchGrams), Seq("gh"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    corpus.select(col("doc_id"), col("n_grams"))
+    ngramSets(documents.filter(!isBench), n)
+      .select(col("doc_id"), col("n_grams"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-      .withColumn("overlap_ratio", expr("CAST(n_hit AS DOUBLE) / n_grams"))
+      // greatest(n_grams, 1): a doc too short to have any n-gram has zero
+      // hits, so ratio 0 (not null) and contaminated = false on both engines
+      .withColumn("overlap_ratio", expr("CAST(n_hit AS DOUBLE) / greatest(n_grams, 1)"))
       .withColumn("contaminated", col("overlap_ratio") >= threshold)
   }
 
@@ -132,7 +147,7 @@ object Curation {
        |  GROUP BY 1
        |), joined AS (
        |  SELECT corpus.doc_id, n_grams, COALESCE(n_hit, 0) AS n_hit,
-       |         CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_grams AS overlap_ratio
+       |         CAST(COALESCE(n_hit, 0) AS DOUBLE) / greatest(n_grams, 1) AS overlap_ratio
        |  FROM corpus LEFT JOIN hits ON hits.doc_id = corpus.doc_id
        |)
        |SELECT doc_id, n_grams, n_hit, ${rsql("overlap_ratio", 4, "overlap_ratio")},
@@ -170,10 +185,7 @@ object Curation {
       .withColumn("g2",
         expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))"))
       .withColumn("g3", expr(
-        """CASE WHEN size(w) >= 3
-          |  THEN transform(slice(w, 1, size(w) - 2),
-          |         (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))
-          |  ELSE array() END""".stripMargin))
+        "transform(slice(w, 1, greatest(size(w) - 2, 0)), (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))"))
       .withColumn("n2", expr("size(g2)"))
       .withColumn("d2", expr("size(array_distinct(g2))"))
       .withColumn("top2",
