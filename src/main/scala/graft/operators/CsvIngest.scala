@@ -63,11 +63,14 @@ object CsvIngest {
         metaInt(4).as("take"),
         metaInt(5).as("session_id"),
         split(col("value"), ",").as("parts"))
-      .select(col("headset"), col("synset"), col("image_id"), col("take"),
-        col("session_id"), col("parts").getItem(0).as("channel"),
-        expr("slice(parts, 2, size(parts) - 1)").as("samples"))
+      // the samples slice stays INLINE in the generator (not a named
+      // `samples` column): a named column gets InferFiltersFromGenerate's
+      // size>0/isnotnull filter with the slice inlined — two extra array
+      // copies per line at the scan (same pathology as Dedup.shingleExploded,
+      // milder: `parts` itself is multi-referenced so split stays shared)
       .selectExpr("headset", "synset", "image_id", "take", "session_id",
-        "channel", "posexplode(samples) AS (sample_idx, value_str)")
+        "parts[0] AS channel",
+        "posexplode(slice(parts, 2, size(parts) - 1)) AS (sample_idx, value_str)")
       .select(col("headset"), col("synset"), col("image_id"), col("take"),
         col("session_id"), col("channel"), col("sample_idx"),
         (col("sample_idx") / lit(FS)).as("time_sec"),

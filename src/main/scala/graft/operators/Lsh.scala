@@ -38,8 +38,9 @@ object Lsh {
     * as one file/partition (local single-file tables; at 100 TB inputs are
     * already split). */
   def minhashSignatures(documents: DataFrame): DataFrame = {
-    val ex = Dedup.shingleSets(documents)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    // inline-explode shape (Dedup.shingleExploded): exploding a named
+    // shingle column pays InferFiltersFromGenerate's 3× array recompute
+    val ex = Dedup.shingleExploded(documents)
       .repartition(col("doc_id"))
     val mins = (0 until MinhashK).map(j =>
       min(expr(s"xxhash64($j, s)")).as(s"mh_$j"))
@@ -123,8 +124,8 @@ object Lsh {
     * together (never summed, so no overflow). Same explode+agg rationale
     * as [[minhashSignatures]]. */
   def simhashes(documents: DataFrame): DataFrame = {
-    val ex = Dedup.shingleSets(documents)
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    // inline-explode shape — see minhashSignatures
+    val ex = Dedup.shingleExploded(documents)
       .withColumn("h", expr("xxhash64(s)"))
       .repartition(col("doc_id"))
     val bitSums = (0 until 64).map(i =>
@@ -185,14 +186,18 @@ object Lsh {
   def lshBuckets(embeddings: DataFrame): DataFrame =
     Similarity.withNorm(embeddings)
       .withColumn("planes", typedLit(Planes.map(_.toSeq)))
-      .withColumn("bucket", expr(
-        s"""transform(sequence(0, ${LshTables - 1}), t ->
-           |  named_struct('t', t, 'key',
-           |    aggregate(sequence(0, ${LshBits - 1}), 0L, (acc, p) ->
-           |      acc | (CASE WHEN graft_dot(vd, planes[t * $LshBits + p]) > 0.0
-           |                  THEN shiftleft(1L, p) ELSE 0L END))))""".stripMargin))
+      // bucket expression INLINE as the Generate child (not a named column
+      // first): a named column would get InferFiltersFromGenerate's
+      // size>0/isnotnull filter, and pushdown would inline the whole
+      // 40-hyperplane graft_dot computation into a scan-side Filter — 3×
+      // the dot products per vector (same pathology as Dedup.shingleExploded)
       .select(col("vec_id"), col("label"), col("vd"), col("norm"),
-        explode(col("bucket")).as("bk"))
+        explode(expr(
+          s"""transform(sequence(0, ${LshTables - 1}), t ->
+             |  named_struct('t', t, 'key',
+             |    aggregate(sequence(0, ${LshBits - 1}), 0L, (acc, p) ->
+             |      acc | (CASE WHEN graft_dot(vd, planes[t * $LshBits + p]) > 0.0
+             |                  THEN shiftleft(1L, p) ELSE 0L END))))""".stripMargin)).as("bk"))
       .select(col("vec_id"), col("label"), col("vd"), col("norm"),
         col("bk.t").as("t"), col("bk.key").as("key"))
 
