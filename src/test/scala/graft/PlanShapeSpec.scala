@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CsvIngest, Dedup, SignalOps, TextOps}
+import graft.operators.{CsvIngest, Curation, Dedup, Lsh, SignalOps, TextOps}
 
 /** Locks PERF.md's load-bearing plan-shape claims into `sbt test`, so the
   * class of silent plan regression that bit round 3 (an iterative self-join
@@ -82,6 +82,34 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(count(p, "CartesianProduct") == 0 && count(p, "BroadcastNestedLoopJoin") == 0,
         s"no nested-loop anywhere in the pair path:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
+  test("explode stages carry no inferred filter recomputing the generator input") {
+    // InferFiltersFromGenerate + pushdown inlines a NAMED generator column's
+    // defining expression into a scan-side Filter, recomputing the array 3×
+    // per row (measured 11× wall on the 8-gram stage, 3.3× on bigrams —
+    // PERF.md). The fix keeps the array expression inline as the Generate
+    // child, where no filter is inferred. These pins fail if any of the
+    // four production explode sites regresses to the named-column shape.
+    def filterLines(plan: String): Seq[String] =
+      plan.linesIterator.filter(_.contains("Filter ")).toSeq
+    val docs = Tables.documents(spark, sf)
+
+    val pSh = planOf(Dedup.shingleExploded(docs))
+    assert(!filterLines(pSh).exists(_.contains("array_distinct")),
+      s"shingle explode re-grew an inferred filter recomputing the shingle array:\n$pSh")
+
+    val pContam = planOf(Curation.contaminationCheck(docs))
+    assert(!filterLines(pContam).exists(_.contains("array_distinct")),
+      s"contamination probe re-grew an inferred gram-recompute filter:\n$pContam")
+
+    val pLshB = planOf(Lsh.lshBuckets(Tables.embeddings(spark, sf)))
+    assert(!filterLines(pLshB).exists(_.contains("graft_dot")),
+      s"lshBuckets re-grew an inferred filter recomputing the hyperplane dots:\n$pLshB")
+
+    val pCsv = planOf(CsvIngest.csvIngest(spark, CsvIngest.FixtureDir))
+    assert(!filterLines(pCsv).exists(_.contains("slice(")),
+      s"csv_ingest re-grew an inferred filter recomputing the samples slice:\n$pCsv")
   }
 
   /** 63-edge chain over 64 vertices: worst-case diameter for the size,
