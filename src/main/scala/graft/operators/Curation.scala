@@ -56,7 +56,7 @@ object Curation {
     * around the whole transform — a CASE at the generator position knocks
     * the downstream explode off the cheap Generate path (measured ~20×:
     * 3.1 s vs 0.15 s for the corpus explode at sf0.01). */
-  private def gramArrayExpr(n: Int): String = {
+  private[graft] def gramArrayExpr(n: Int): String = {
     val tail = (1 until n).map(j => s", ' ', w[i + $j]").mkString
     s"array_distinct(transform(slice(w, 1, greatest(size(w) - ${n - 1}, 0)), (x, i) -> concat(x$tail)))"
   }

@@ -144,6 +144,55 @@ object StreamingJobs {
       .select(col("doc_id"), col("dup_of").isNull.as("is_new"), col("dup_of"))
   }
 
+  // --------------------------- stream-static eval-set decontamination
+
+  /** Stream-static DECONTAMINATION — the streaming half of
+    * [[graft.operators.Curation.contaminationCheck]]: documents arrive as
+    * an unbounded stream and are checked against the STATIC held-out
+    * benchmark gram set at ingest time — the decontamination gate in the
+    * ingest path, verdict FINAL at arrival.
+    *
+    * Append-mode STATELESS end to end: the doc's distinct 8-grams are a
+    * pure per-row expression, the benchmark set rides as ONE static row
+    * (its distinct gram hashes, sorted) joined in on a constant key, and
+    * n_hit is a per-row array_intersect size — no aggregation, no
+    * watermark, no state store. Value-identical to the batch probe-join +
+    * per-doc count: both count the DISTINCT gram hashes of the doc present
+    * in the benchmark set (row-for-row parity spec-pinned).
+    *
+    * Scale notes: the static side is exactly what the batch operator
+    * broadcasts — a few MB of benchmark gram hashes against a 100 TB
+    * corpus — re-read (and re-broadcast) per micro-batch; the membership
+    * test is O(|doc grams| + |bench|) per doc via the sorted intersect.
+    * If the benchmark ever outgrew broadcast size, the probe becomes the
+    * batch operator's hash join keyed on gram — the dial moves, the
+    * contract doesn't. */
+  def contaminationStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val n = Curation.ContamN
+    val isBench = col("doc_id") % Curation.ContamBenchMod === Curation.ContamBenchRem
+    val benchSet = Curation
+      .ngramSets(spark.read.schema(documentsRawSchema).parquet(dir).filter(isBench), n)
+      .select(explode(col("grams")).as("gram"))
+      .select(expr("xxhash64(gram)").as("gh")).distinct()
+      .agg(sort_array(collect_set(col("gh"))).as("bench_ghs"))
+      .withColumn("k", lit(1))
+    spark.readStream
+      .schema(documentsRawSchema)
+      .parquet(dir)
+      .filter(!isBench)
+      .select(col("doc_id"), expr("split(lower(trim(text)), '\\\\s+')").as("w"))
+      .select(col("doc_id"), expr(Curation.gramArrayExpr(n)).as("grams"))
+      .select(col("doc_id"), expr("size(grams)").as("n_grams"),
+        expr("transform(grams, g -> xxhash64(g))").as("ghs"), lit(1).as("k"))
+      .join(benchSet, Seq("k"), "left")
+      .withColumn("n_hit",
+        expr("CAST(coalesce(size(array_intersect(ghs, bench_ghs)), 0) AS BIGINT)"))
+      .withColumn("overlap_ratio", expr("CAST(n_hit AS DOUBLE) / greatest(n_grams, 1)"))
+      .withColumn("contaminated", col("overlap_ratio") >= Curation.ContamThreshold)
+      .select("doc_id", "n_grams", "n_hit", "overlap_ratio", "contaminated")
+  }
+
   // ------------------------------------------------- stateful sessionize
 
   /** c is Option: a NULL value must not kill the stream — the batch twin

@@ -92,6 +92,32 @@ class StreamingSpec extends AnyFunSuite {
       "corpus exercises only one admission branch")
   }
 
+  test("stream-static decontamination matches the batch operator row-for-row") {
+    // append-mode stateless: per-row gram sets + one static bench-set row
+    // joined on a constant key + per-row intersect — verdict final at
+    // arrival, so parity with the batch probe-join is full row equality
+    val dir = Files.createTempDirectory("graft-stream-contam")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingJobs.contaminationStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    val streamed = spark.table("contam_stream")
+      .select("doc_id", "n_grams", "n_hit", "overlap_ratio", "contaminated")
+      .collect().map(key).sortBy(_._1)
+    val batch = graft.operators.Curation.contaminationCheck(Tables.documents(spark, sf))
+      .select("doc_id", "n_grams", "n_hit", "overlap_ratio", "contaminated")
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"stream=${streamed.length} batch=${batch.length} " +
+        s"diff=${streamed.zip(batch).filter(p => p._1 != p._2).take(3).mkString(",")}")
+    assert(streamed.exists(_._5) && streamed.exists(!_._5),
+      "corpus exercises only one contamination verdict")
+  }
+
   test("streaming as-of join matches the batch LOCF window row-for-row") {
     val dir = stageEventsDir("asof")
     val q = StreamingJobs.asofJoinStream(spark, dir)
