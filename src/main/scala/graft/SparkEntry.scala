@@ -99,6 +99,9 @@ object SparkEntry {
     "doc_ngram_repetition" -> ((s, d) => Curation.ngramRepetitionQ(Tables.documents(s, d))),
     "quality_select" -> ((s, d) => Curation.qualitySelectQ(Tables.documents(s, d))),
     "token_budget_pack" -> ((s, d) => Curation.tokenBudgetPackQ(Tables.documents(s, d))),
+    // round 6 (second half, cont.): term salience + per-source health rollup
+    "tfidf_topterms" -> ((s, d) => Curation.tfidfTopTermsQ(Tables.documents(s, d))),
+    "corpus_report" -> ((s, d) => Curation.corpusReportQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -146,5 +149,7 @@ object SparkEntry {
     "doc_ngram_repetition" -> Curation.ngramRepetitionSql,
     "quality_select" -> Curation.qualitySelectSql,
     "token_budget_pack" -> Curation.tokenBudgetPackSql,
+    "tfidf_topterms" -> Curation.tfidfTopTermsSql,
+    "corpus_report" -> Curation.corpusReportSql,
   )
 }

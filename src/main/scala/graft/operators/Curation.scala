@@ -309,6 +309,146 @@ object Curation {
        |FROM ranked
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- tfidf_topterms
+
+  /** Top terms per document. */
+  val TfidfTopK = 3
+
+  /** Per-document top-[[TfidfTopK]] terms by tf·idf — the term-salience
+    * signal retrieval-style quality scoring and topic tagging run over a
+    * corpus. The idf is the BM25-style RATIO form
+    * `(N - df + 0.5) / (df + 0.5)` rather than a logarithm: same ranking
+    * (monotone in df), but pure +,-,*,/ double arithmetic, which both
+    * engines compute bit-identically — `ln()` is libm-dependent and a
+    * 1-ulp divergence under a rank boundary would flip rows (§6's
+    * "no transcendental functions in ranking keys" in practice).
+    *
+    * Scale shape: explode tokens (inline generator) → (doc, term) tf
+    * aggregation → term df aggregation → join back → per-doc top-k window.
+    * The df frame is vocabulary-sized: broadcast here, a term-keyed
+    * shuffle join at open-vocabulary scale (the join key dial, not a
+    * shape change). N rides as a 1-row broadcast cross join. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = TfidfTopK): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(expr("split(lower(trim(text)), '\\\\s+')")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr(
+        "CAST(tf AS DOUBLE) * (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), r("score", 4), col("rank"))
+  }
+
+  def tfidfTopTermsQ(documents: DataFrame): DataFrame =
+    tfidfTopTerms(documents).orderBy("doc_id", "rank")
+
+  val tfidfTopTermsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+       |  FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+       |), scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |         CAST(tf AS DOUBLE) * (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |), ranked AS (
+       |  SELECT doc_id, term, tf, df, score,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored
+       |)
+       |SELECT doc_id, term, tf, df, ${rsql("score", 4, "score")}, rank
+       |FROM ranked
+       |WHERE rank <= $TfidfTopK
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------- corpus_report
+
+  /** Per-source corpus HEALTH rollup — the dashboard row a training-data
+    * pipeline publishes per ingest source: document count, quality-gate /
+    * language-gate / dedup-canonical / admitted counts (the
+    * [[TextOps.corpusFilter]] verdicts), mean quality, and token volume.
+    * Mean quality goes through the integer domain (§6): per-doc scores are
+    * rounded to 4 decimals and summed as BIGINT, so the per-source mean is
+    * an exact integer ratio — immune to float summation order, which a
+    * plain avg(double) is not.
+    *
+    * Scale shape: rides [[TextOps.corpusFilter]]'s single fingerprint
+    * exchange, then ONE more partial-aggregated shuffle on source — 20
+    * output rows summarize the corpus. */
+  def corpusReport(documents: DataFrame): DataFrame =
+    TextOps.corpusFilter(documents)
+      .withColumn("bpe_tokens",
+        expr(s"size(regexp_extract_all(text, '${TextOps.BpePattern.replace("\\", "\\\\")}', 0))"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep_quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("keep_lang"), 1L).otherwise(0L)).as("n_lang"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(expr("CAST(round(quality_score * 10000.0) AS BIGINT)")).as("q4_sum"),
+        sum(col("bpe_tokens").cast("long")).as("sum_tokens"))
+      .withColumn("mean_quality", expr("CAST(q4_sum AS DOUBLE) / n_docs / 10000.0"))
+      .select(col("source"), col("n_docs"), col("n_quality"), col("n_lang"),
+        col("n_canonical"), col("n_admitted"), col("sum_tokens"),
+        r("mean_quality", 4))
+
+  def corpusReportQ(documents: DataFrame): DataFrame =
+    corpusReport(documents).orderBy("source")
+
+  val corpusReportSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, source, text,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |         length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
+       |  FROM documents
+       |), q2 AS (
+       |  SELECT doc_id, source, text,
+       |         CAST(len(list_filter(toks, t -> t IN ($stopwordsIn))) AS DOUBLE) / len(toks) AS stop_ratio,
+       |         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS repetition_ratio,
+       |         CAST(alpha_len AS DOUBLE) / len(toks) AS mean_word_len
+       |  FROM q
+       |), q3 AS (
+       |  SELECT doc_id, source, text,
+       |         0.4 * least(stop_ratio / 0.1, 1.0) + 0.3 * (1.0 - repetition_ratio) + 0.3 * least(mean_word_len / 5.0, 1.0) AS quality_score
+       |  FROM q2
+       |), scored AS (
+       |  SELECT doc_id, source, text, quality_score,
+       |         ${TextOps.LangMarkers.map { case (l, ms) => s"${TextOps.scoreExpr(ms)} AS s_$l" }.mkString(",\n       |         ")}
+       |  FROM q3
+       |), lp AS (
+       |  SELECT doc_id, source, quality_score,
+       |         ${TextOps.predExpr} AS pred_lang,
+       |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       |         len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS bpe_tokens
+       |  FROM scored
+       |), fp AS (
+       |  SELECT doc_id, source, quality_score, pred_lang, bpe_tokens,
+       |         min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+       |  FROM lp
+       |)
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN quality_score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |       CAST(sum(CASE WHEN pred_lang <> 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       |       CAST(sum(CASE WHEN doc_id = canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       |       CAST(sum(CASE WHEN quality_score >= 0.5 AND pred_lang <> 'unknown' AND doc_id = canonical_id THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |       CAST(sum(bpe_tokens) AS BIGINT) AS sum_tokens,
+       |       ${rsql("CAST(sum(CAST(round(quality_score * 10000.0) AS BIGINT)) AS DOUBLE) / count(*) / 10000.0", 4, "mean_quality")}
+       |FROM fp
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ------------------------------------------------------- token_budget_pack
 
   /** Per-source token budget for the packed mixture (sources here carry

@@ -133,10 +133,10 @@ object TextOps {
     "es" -> Seq(" el ", " los ", " una ", " que "),
     "fr" -> Seq(" le ", " les ", " des ", " est "))
 
-  private def scoreExpr(markers: Seq[String]): String =
+  private[graft] def scoreExpr(markers: Seq[String]): String =
     markers.map(m => s"(CASE WHEN contains(text, '$m') THEN 1 ELSE 0 END)").mkString(" + ")
 
-  private val predExpr: String = {
+  private[graft] val predExpr: String = {
     val langs = LangMarkers.map(_._1)
     val ges = langs.map { l =>
       val others = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")

@@ -110,6 +110,54 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf_topterms: ranks are dense per doc, scores descend, tf recounts exactly") {
+    val rows = Curation.tfidfTopTerms(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    // Scala-side recount of tf and df from the raw text — independent of
+    // the Spark aggregation path
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tokensOf = texts.view.mapValues(_.trim.toLowerCase.split("\\s+").toSeq).toMap
+    val dfOf = tokensOf.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._6).sorted.sameElements(1 to rs.length), s"doc $id ranks not dense")
+      val byRank = rs.sortBy(_._6)
+      assert(byRank.map(_._5).sameElements(byRank.map(_._5).sorted.reverse),
+        s"doc $id scores not descending")
+      rs.foreach { case (_, term, tf, df, _, _) =>
+        assert(tf == tokensOf(id).count(_ == term).toLong,
+          s"doc $id term '$term': tf $tf != recount")
+        assert(df == dfOf(term).toLong, s"term '$term': df $df != recount")
+      }
+    }
+    assert(rows.groupBy(_._1).size == texts.size, "every doc should emit top terms")
+  }
+
+  test("corpus_report: per-source counts recompute from corpus_filter rows") {
+    val report = Curation.corpusReport(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    val perDoc = graft.operators.TextOps.corpusFilter(docs)
+      .select("source", "keep_quality", "keep_lang", "is_canonical", "admitted",
+        "quality_score")
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getDouble(5)))
+    perDoc.groupBy(_._1).foreach { case (src, ds) =>
+      val (nDocs, nQ, nL, nC, nA, _, meanQ) = report(src)
+      assert(nDocs == ds.length.toLong, s"$src n_docs")
+      assert(nQ == ds.count(_._2).toLong, s"$src n_quality")
+      assert(nL == ds.count(_._3).toLong, s"$src n_lang")
+      assert(nC == ds.count(_._4).toLong, s"$src n_canonical")
+      assert(nA == ds.count(_._5).toLong, s"$src n_admitted")
+      val expectedMean = ds.map(d => math.round(d._6 * 10000.0)).sum.toDouble /
+        ds.length / 10000.0
+      assert(math.abs(meanQ - expectedMean) < 1e-4, s"$src mean_quality $meanQ vs $expectedMean")
+    }
+    assert(report.keySet == perDoc.map(_._1).toSet)
+  }
+
   test("token_budget_pack: packed set is the maximal budget-feasible prefix per source") {
     val rows = Curation.tokenBudgetPack(docs).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[String]("pack_key"),
