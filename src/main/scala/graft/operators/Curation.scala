@@ -329,9 +329,14 @@ object Curation {
     * shuffle join at open-vocabulary scale (the join key dial, not a
     * shape change). N rides as a 1-row broadcast cross join. */
   def tfidfTopTerms(documents: DataFrame, k: Int = TfidfTopK): DataFrame = {
+    // tf feeds BOTH the output rows and the df aggregation — materialize it
+    // once (the CC checkpoint discipline): unmaterialized, Catalyst plans
+    // the token explode + (doc,term) shuffle-agg TWICE, and that pair is
+    // the expensive stage of the whole operator at corpus scale
     val tf = documents
       .select(col("doc_id"), explode(expr("split(lower(trim(text)), '\\\\s+')")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
