@@ -110,6 +110,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination_check: empty benchmark partition yields zero hits, not nulls") {
+    import spark.implicits._
+    // no doc_id % 20 == 7 → the broadcast bench set is empty; every corpus
+    // doc must come back n_hit=0 / ratio 0.0 / contaminated=false
+    val d = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val out = Curation.contaminationCheck(d).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_hit") == 0L)
+      assert(r.getAs[Double]("overlap_ratio") == 0.0)
+      assert(!r.getAs[Boolean]("contaminated"))
+    }
+  }
+
+  test("token_budget_pack: a first doc alone over budget packs nothing from its source") {
+    import spark.implicits._
+    val big = ("x " * 1000).trim // 1000 bpe tokens > 800 budget
+    val d = Seq((1L, big, "en", "solo", big.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.tokenBudgetPack(d).collect()
+    assert(out.length == 1 && !out.head.getAs[Boolean]("packed"))
+  }
+
   test("tfidf_topterms: ranks are dense per doc, scores descend, tf recounts exactly") {
     val rows = Curation.tfidfTopTerms(docs).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),

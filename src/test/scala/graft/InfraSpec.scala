@@ -64,6 +64,45 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH corpus index persists bucketed by band key; probe shuffles ONLY the batch side") {
+    // dedup_incremental_lsh's economics claim made executable: at 100 TB the
+    // corpus bucket index is PRECOMPUTED once, stored bucketed by bkey, and
+    // every future batch probes it without re-shuffling (or re-hashing) the
+    // corpus — only the incoming batch moves. Broadcast disabled so the
+    // join shape is the real large-corpus one.
+    import graft.operators.{Dedup, Lsh}
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      val mod = Dedup.IncrementalBatchMod
+      val corpus = docs.filter(col("doc_id") % mod =!= 0)
+      Lsh.bandedBuckets(corpus)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "bkey").sortBy("bkey")
+        .saveAsTable("graft_lsh_idx")
+      val batch = Lsh.bandedBuckets(docs.filter(col("doc_id") % mod === 0))
+        .withColumnRenamed("doc_id", "bid")
+      val probe = spark.table("graft_lsh_idx").join(batch, Seq("bkey"))
+        .select("bid", "doc_id").distinct()
+      val plan = probe.queryExecution.executedPlan.toString
+      val joinShuffles = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && l.contains("bkey"))
+      assert(joinShuffles == 1,
+        s"probe must shuffle exactly the batch side on bkey (corpus reads bucketed):\n$plan")
+      // candidate parity with the inline (non-persisted) index
+      val persisted = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inline = Lsh.bandedBuckets(corpus).join(batch, Seq("bkey"))
+        .select("bid", "doc_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(persisted == inline && persisted.nonEmpty,
+        s"persisted-index candidates diverge: ${persisted.size} vs ${inline.size}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lsh_idx")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("temp-view spark.sql runs the oracle SQL dialect for shared queries") {
     // these oracle strings are ANSI enough to run unmodified on Spark —
     // same text, DataFrame plan vs spark.sql plan, identical results
