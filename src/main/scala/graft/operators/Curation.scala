@@ -20,8 +20,10 @@ import Parity.{r, rsql}
   *    join + one per-doc count — never a corpus shuffle on gram.
   *  - [[ngramRepetition]]: per-row higher-order expressions only — a pure
   *    fused map pass, ZERO exchanges (spec-pinned), O(distinct·len) per doc.
-  *  - [[qualitySelect]]: one hash shuffle on the stratum key (lang) + an
-  *    in-partition sort — the standard quantile-curation shape.
+  *  - [[qualitySelect]]: two-pass stratified rank count — a score-histogram
+  *    aggregation, then a broadcast join + tie-bucket window; no
+  *    whole-stratum sort anywhere (round 7; [[qualitySelectWindow]] keeps
+  *    the single-window reference form).
   *  - [[tokenBudgetPack]]: one hash shuffle on source + a running-sum
   *    window in deterministic hash order — mixture construction that is
   *    reproducible across re-ingests (greedy prefix pack, content-keyed
@@ -89,11 +91,18 @@ object Curation {
     *
     * Scale shape: the benchmark gram set (distinct, hashed to 64-bit) is
     * BROADCAST — eval benchmarks are a few MB against a ~100 TB corpus —
-    * so the probe is a map-side broadcast semi-ish join on the corpus gram
-    * stream plus one count per doc; the only data shuffle is the per-doc
-    * hit aggregation (and docs with zero hits never enter it — they rejoin
-    * as n_hit = 0 at the final left join, same economics as
-    * [[Dedup.dedupIncremental]]). The join carries xxhash64(gram), not the
+    * and the corpus gram stream probes it in ONE pass: a map-side broadcast
+    * LEFT join tags each distinct gram as hit/miss, and a single per-doc
+    * aggregation derives BOTH n_grams (count of exploded distinct grams)
+    * and n_hit from that one stream. The split+8-term-concat+array_distinct
+    * transform is the expensive stage of this operator (PERF.md), so it
+    * must run exactly once per corpus row — the previous two-frame form
+    * (probe + a separate ngramSets pass for n_grams) paid it twice, the
+    * multi-consumer re-plan the CC checkpoint discipline exists for, fixed
+    * here by derivation rather than materialization. Docs whose text is too
+    * short to have any n-gram never enter the exploded stream; they re-enter
+    * at the final left join (against a doc_id-only column-pruned scan) as
+    * n_grams = 0, n_hit = 0. The probe carries xxhash64(gram), not the
     * string (narrow rows); the exact-string SQL oracle guards collisions. */
   def contaminationCheck(documents: DataFrame,
                          n: Int = ContamN,
@@ -103,18 +112,23 @@ object Curation {
     val isBench = col("doc_id") % benchMod === benchRem
     val benchGrams = ngramExploded(documents.filter(isBench), n)
       .select(expr("xxhash64(gram)").as("gh")).distinct()
-    val hits = ngramExploded(documents.filter(!isBench), n)
+      .withColumn("hit", lit(1L))
+    val stats = ngramExploded(documents.filter(!isBench), n)
       .select(col("doc_id"), expr("xxhash64(gram)").as("gh"))
-      .join(broadcast(benchGrams), Seq("gh"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    ngramSets(documents.filter(!isBench), n)
-      .select(col("doc_id"), col("n_grams"))
-      .join(hits, Seq("doc_id"), "left")
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .join(broadcast(benchGrams), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ng"), sum(coalesce(col("hit"), lit(0L))).as("nh"))
+    documents.filter(!isBench).select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      // int cast keeps the pre-round-7 schema (n_grams was size(grams))
+      .withColumn("n_grams", coalesce(col("ng"), lit(0L)).cast("int"))
+      .withColumn("n_hit", coalesce(col("nh"), lit(0L)))
       // greatest(n_grams, 1): a doc too short to have any n-gram has zero
       // hits, so ratio 0 (not null) and contaminated = false on both engines
       .withColumn("overlap_ratio", expr("CAST(n_hit AS DOUBLE) / greatest(n_grams, 1)"))
       .withColumn("contaminated", col("overlap_ratio") >= threshold)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        col("overlap_ratio"), col("contaminated"))
   }
 
   def contaminationCheckQ(documents: DataFrame): DataFrame =
@@ -178,7 +192,13 @@ object Curation {
     * length — the deliberate trade against explode + two shuffled
     * aggregations per doc, which at 100 TB would shuffle the whole token
     * stream twice to compute a per-doc scalar (the spec cross-checks this
-    * map-side computation against exactly that relational form). */
+    * map-side computation against exactly that relational form).
+    *
+    * Degenerate-doc CONVENTION (pinned both engines, spec-checked): a doc
+    * too short to have any bigram/trigram emits counts 0 and ratios 0.0 —
+    * never NULL — and keep_repetition = true (nothing to gate on). The
+    * ratios are a SINGLE division of integer-derived values over
+    * greatest(n, 1), identical formula text on both sides (§6). */
   def ngramRepetition(documents: DataFrame): DataFrame =
     documents
       .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
@@ -189,12 +209,12 @@ object Curation {
       .withColumn("n2", expr("size(g2)"))
       .withColumn("d2", expr("size(array_distinct(g2))"))
       .withColumn("top2",
-        expr("array_max(transform(array_distinct(g2), d -> size(filter(g2, y -> y = d))))"))
+        expr("coalesce(array_max(transform(array_distinct(g2), d -> size(filter(g2, y -> y = d)))), 0)"))
       .withColumn("n3", expr("size(g3)"))
       .withColumn("d3", expr("size(array_distinct(g3))"))
-      .withColumn("dup2_ratio", expr("1.0 - CAST(d2 AS DOUBLE) / n2"))
-      .withColumn("top2_frac", expr("CAST(top2 AS DOUBLE) / n2"))
-      .withColumn("dup3_ratio", expr("1.0 - CAST(d3 AS DOUBLE) / n3"))
+      .withColumn("dup2_ratio", expr("CAST(n2 - d2 AS DOUBLE) / greatest(n2, 1)"))
+      .withColumn("top2_frac", expr("CAST(top2 AS DOUBLE) / greatest(n2, 1)"))
+      .withColumn("dup3_ratio", expr("CAST(n3 - d3 AS DOUBLE) / greatest(n3, 1)"))
       .withColumn("keep_repetition",
         col("dup2_ratio") <= Dup2Max && col("top2_frac") <= Top2Max &&
           col("dup3_ratio") <= Dup3Max)
@@ -208,7 +228,10 @@ object Curation {
 
   /** DuckDB twin computes the SAME scalars relationally (unnest → per-gram
     * counts → per-doc aggregates) — an independent formulation, which is
-    * the point: it oracles the map-side higher-order logic. */
+    * the point: it oracles the map-side higher-order logic. a2/a3 join back
+    * LEFT with COALESCE 0 so a doc with no bigrams/trigrams emits the same
+    * counts-0/ratios-0 row as the Spark side (the degenerate-doc
+    * convention), instead of vanishing through an inner join. */
   val ngramRepetitionSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
@@ -230,11 +253,13 @@ object Curation {
        |), a3 AS (
        |  SELECT doc_id, count(*) AS d3 FROM c3 GROUP BY 1
        |), j AS (
-       |  SELECT g.doc_id, len(g2) AS n2, a2.d2, a2.top2, len(g3) AS n3, a3.d3,
-       |         1.0 - CAST(a2.d2 AS DOUBLE) / len(g2) AS dup2_ratio,
-       |         CAST(a2.top2 AS DOUBLE) / len(g2) AS top2_frac,
-       |         1.0 - CAST(a3.d3 AS DOUBLE) / len(g3) AS dup3_ratio
-       |  FROM g JOIN a2 ON a2.doc_id = g.doc_id JOIN a3 ON a3.doc_id = g.doc_id
+       |  SELECT g.doc_id, len(g2) AS n2,
+       |         COALESCE(a2.d2, 0) AS d2, COALESCE(a2.top2, 0) AS top2,
+       |         len(g3) AS n3, COALESCE(a3.d3, 0) AS d3,
+       |         CAST(len(g2) - COALESCE(a2.d2, 0) AS DOUBLE) / greatest(len(g2), 1) AS dup2_ratio,
+       |         CAST(COALESCE(a2.top2, 0) AS DOUBLE) / greatest(len(g2), 1) AS top2_frac,
+       |         CAST(len(g3) - COALESCE(a3.d3, 0) AS DOUBLE) / greatest(len(g3), 1) AS dup3_ratio
+       |  FROM g LEFT JOIN a2 ON a2.doc_id = g.doc_id LEFT JOIN a3 ON a3.doc_id = g.doc_id
        |)
        |SELECT doc_id, n2, d2, top2, n3, d3,
        |       ${rsql("dup2_ratio", 4, "dup2_ratio")},
@@ -250,8 +275,6 @@ object Curation {
   /** Keep the top half of each language stratum by quality. */
   val SelectFraction = 0.5
 
-  private val stopwordsIn = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
-
   /** Percentile-based quality CURATION, stratified by language: rank every
     * doc within its lang by [[TextOps.textQuality]]'s composite score and
     * keep the top [[SelectFraction]] — "take the best half of each
@@ -260,13 +283,59 @@ object Curation {
     * don't). Ordering is on the ROUNDED score (engine-stable text, ties
     * broken by doc_id) so ranks are deterministic cross-engine.
     *
-    * Scale shape: one hash shuffle on lang + in-partition sort. Stratum
-    * skew (one language owning most of a corpus) is real at 100 TB — the
-    * fix is range-partitioning within the stratum on the rank key and a
-    * two-pass quantile estimate; at gate scale the single-window form is
-    * the honest plan. */
+    * This is the SCALE form (round 7, shipping): a TWO-PASS stratified rank
+    * count instead of a whole-stratum percent_rank window. The single
+    * `Window.partitionBy(lang)` form ([[qualitySelectWindow]]) funnels each
+    * stratum's entire sort onto one reducer — at 100 TB with one dominant
+    * language, that task IS the job. Here:
+    *
+    *  - Pass 1 aggregates the per-stratum SCORE HISTOGRAM — the rank key is
+    *    the 4-decimal rounded score, so the histogram is ≤ 10⁴ rows per
+    *    stratum regardless of corpus size — and a window over the HISTOGRAM
+    *    (not the docs) turns it into cumulative higher-score counts + the
+    *    stratum total.
+    *  - Pass 2 re-scores the docs, broadcast-joins the histogram back on
+    *    (lang, score bucket), and resolves ties with a row_number window
+    *    partitioned by (lang, qs4) — TIE BUCKETS, not whole strata — so a
+    *    dominant language spreads across reducers in proportion to its
+    *    score diversity. pct_rank = (n_higher + tie_rank − 1) / (n − 1),
+    *    exactly percent_rank under the total (score desc, doc_id) order:
+    *    one division of exact integers, bit-identical to the window form
+    *    and the DuckDB oracle (the SAME oracle gates both forms).
+    *
+    * The scoring map pass deliberately runs TWICE (once per pass) rather
+    * than checkpointing the scored corpus — materializing a 100 TB frame to
+    * save a map pass is the wrong trade; this is the documented exception
+    * to the multi-consumer checkpoint discipline, the same economics as the
+    * two-pass quantile estimate it implements. Spec-pinned: row equality
+    * with [[qualitySelectWindow]], and a plan shape with no percent_rank
+    * and no doc-row window partitioned by lang alone. */
   def qualitySelect(documents: DataFrame,
                     fraction: Double = SelectFraction): DataFrame = {
+    val scored = TextOps.textQuality(documents)
+      .withColumn("qs4", expr("CAST(round(quality_score * 10000.0) AS BIGINT)"))
+    val hist = scored.groupBy("lang", "qs4").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("lang").orderBy(col("qs4").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = hist
+      .withColumn("n_higher", sum("c").over(wCum) - col("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+      .select("lang", "qs4", "n_higher", "n")
+    val wTie = Window.partitionBy("lang", "qs4").orderBy("doc_id")
+    scored.join(broadcast(ranks), Seq("lang", "qs4"))
+      .withColumn("tie_rank", row_number().over(wTie))
+      .withColumn("pct_rank",
+        expr("CAST(n_higher + tie_rank - 1 AS DOUBLE) / greatest(n - 1, 1)"))
+      .withColumn("selected", col("pct_rank") <= fraction)
+  }
+
+  /** The single-window reference form of [[qualitySelect]] — one hash
+    * shuffle on lang + a whole-stratum in-partition sort. Correct and
+    * simplest at gate scale; kept as the equality oracle for the two-pass
+    * scale form (CurationSpec pins row-for-row identity, which is also the
+    * argument for both sharing one SQL oracle). */
+  def qualitySelectWindow(documents: DataFrame,
+                          fraction: Double = SelectFraction): DataFrame = {
     val scored = TextOps.textQuality(documents)
     val w = Window.partitionBy("lang")
       .orderBy(expr(Parity.rexpr("quality_score", 4)).desc, col("doc_id"))
@@ -282,22 +351,7 @@ object Curation {
       .orderBy("doc_id")
 
   val qualitySelectSql: String =
-    s"""WITH q AS (
-       |  SELECT doc_id, lang,
-       |         string_split_regex(lower(trim(text)), '\\s+') AS toks,
-       |         length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
-       |  FROM documents
-       |), q2 AS (
-       |  SELECT doc_id, lang,
-       |         CAST(len(list_filter(toks, t -> t IN ($stopwordsIn))) AS DOUBLE) / len(toks) AS stop_ratio,
-       |         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS repetition_ratio,
-       |         CAST(alpha_len AS DOUBLE) / len(toks) AS mean_word_len
-       |  FROM q
-       |), q3 AS (
-       |  SELECT doc_id, lang,
-       |         0.4 * least(stop_ratio / 0.1, 1.0) + 0.3 * (1.0 - repetition_ratio) + 0.3 * least(mean_word_len / 5.0, 1.0) AS quality_score
-       |  FROM q2
-       |), ranked AS (
+    s"""WITH ${TextOps.qualityScoreCtes(Seq("lang"))}, ranked AS (
        |  SELECT doc_id, lang, quality_score,
        |         percent_rank() OVER (PARTITION BY lang
        |           ORDER BY ${Parity.rexpr("quality_score", 4)} DESC, doc_id) AS pct_rank
@@ -412,22 +466,7 @@ object Curation {
     corpusReport(documents).orderBy("source")
 
   val corpusReportSql: String =
-    s"""WITH q AS (
-       |  SELECT doc_id, source, text,
-       |         string_split_regex(lower(trim(text)), '\\s+') AS toks,
-       |         length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
-       |  FROM documents
-       |), q2 AS (
-       |  SELECT doc_id, source, text,
-       |         CAST(len(list_filter(toks, t -> t IN ($stopwordsIn))) AS DOUBLE) / len(toks) AS stop_ratio,
-       |         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS repetition_ratio,
-       |         CAST(alpha_len AS DOUBLE) / len(toks) AS mean_word_len
-       |  FROM q
-       |), q3 AS (
-       |  SELECT doc_id, source, text,
-       |         0.4 * least(stop_ratio / 0.1, 1.0) + 0.3 * (1.0 - repetition_ratio) + 0.3 * least(mean_word_len / 5.0, 1.0) AS quality_score
-       |  FROM q2
-       |), scored AS (
+    s"""WITH ${TextOps.qualityScoreCtes(Seq("source", "text"))}, scored AS (
        |  SELECT doc_id, source, text, quality_score,
        |         ${TextOps.LangMarkers.map { case (l, ms) => s"${TextOps.scoreExpr(ms)} AS s_$l" }.mkString(",\n       |         ")}
        |  FROM q3

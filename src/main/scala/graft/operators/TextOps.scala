@@ -67,6 +67,33 @@ object TextOps {
 
   private val stopwordsIn = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Shared DuckDB CTE text computing the composite quality score — ONE
+    * definition interpolated into [[corpusFilterSql]],
+    * `Curation.qualitySelectSql` and `Curation.corpusReportSql`, so the
+    * three oracles cannot drift from each other (or from [[textQuality]]'s
+    * weights) if [[Stopwords]] or the score formula changes. Emits CTEs
+    * `q`/`q2`/`q3`; `q3` ends with (doc_id, carry…, quality_score). The
+    * text embeds `|` margins for the callers' `stripMargin`. */
+  private[graft] def qualityScoreCtes(carry: Seq[String]): String = {
+    val cols = (Seq("doc_id") ++ carry).mkString(", ")
+    s"""q AS (
+       |  SELECT $cols,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+       |         length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
+       |  FROM documents
+       |), q2 AS (
+       |  SELECT $cols,
+       |         CAST(len(list_filter(toks, t -> t IN ($stopwordsIn))) AS DOUBLE) / len(toks) AS stop_ratio,
+       |         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS repetition_ratio,
+       |         CAST(alpha_len AS DOUBLE) / len(toks) AS mean_word_len
+       |  FROM q
+       |), q3 AS (
+       |  SELECT $cols,
+       |         0.4 * least(stop_ratio / 0.1, 1.0) + 0.3 * (1.0 - repetition_ratio) + 0.3 * least(mean_word_len / 5.0, 1.0) AS quality_score
+       |  FROM q2
+       |)"""
+  }
+
   /** Stopword ratio, mean word length, repetition ratio → composite
     * quality score + keep flag (the usual pre-training corpus filter). */
   def textQuality(documents: DataFrame): DataFrame =
@@ -283,22 +310,7 @@ object TextOps {
       .orderBy("doc_id")
 
   val corpusFilterSql: String =
-    s"""WITH q AS (
-       |  SELECT doc_id, text,
-       |         string_split_regex(lower(trim(text)), '\\s+') AS toks,
-       |         length(regexp_replace(text, '\\s+', '', 'g')) AS alpha_len
-       |  FROM documents
-       |), q2 AS (
-       |  SELECT doc_id, text,
-       |         CAST(len(list_filter(toks, t -> t IN ($stopwordsIn))) AS DOUBLE) / len(toks) AS stop_ratio,
-       |         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS repetition_ratio,
-       |         CAST(alpha_len AS DOUBLE) / len(toks) AS mean_word_len
-       |  FROM q
-       |), q3 AS (
-       |  SELECT doc_id, text,
-       |         0.4 * least(stop_ratio / 0.1, 1.0) + 0.3 * (1.0 - repetition_ratio) + 0.3 * least(mean_word_len / 5.0, 1.0) AS quality_score
-       |  FROM q2
-       |), scored AS (
+    s"""WITH ${qualityScoreCtes(Seq("text"))}, scored AS (
        |  SELECT doc_id, text, quality_score,
        |         ${LangMarkers.map { case (l, ms) => s"${scoreExpr(ms)} AS s_$l" }.mkString(",\n       |         ")}
        |  FROM q3

@@ -110,6 +110,68 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination_check plan: the corpus gram transform runs ONCE (single-scan form)") {
+    // round 7 (advice): n_grams and the hit probe derive from ONE exploded
+    // gram stream. The expensive split+concat+array_distinct transform must
+    // appear exactly twice in the plan — once for the benchmark side, once
+    // for the corpus side — never a third time for a separate counts pass.
+    val plan = Curation.contaminationCheck(docs).queryExecution.executedPlan.toString
+    val gramSites = plan.linesIterator.count(_.contains("array_distinct"))
+    assert(gramSites == 2, s"expected bench + corpus gram transforms only, got $gramSites:\n$plan")
+  }
+
+  test("doc_ngram_repetition: degenerate docs emit counts 0, ratios 0, keep=true") {
+    import spark.implicits._
+    // pinned convention (both engines): no bigrams/trigrams → 0s, never
+    // NULL, keep=true; a 2-token doc has one bigram (top2_frac 1.0 → gated)
+    // and still zero trigrams
+    val d = Seq((1L, "one", "en", "s", 3L), (2L, "two words", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.ngramRepetition(d)
+      .select("doc_id", "n2", "d2", "top2", "n3", "d3",
+        "dup2_ratio", "top2_frac", "dup3_ratio", "keep_repetition")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2, "every doc must emit a row, however short")
+    val r1 = out(1L)
+    assert(r1.getInt(1) == 0 && r1.getInt(2) == 0 && r1.getInt(3) == 0 &&
+      r1.getInt(4) == 0 && r1.getInt(5) == 0)
+    assert(r1.getDouble(6) == 0.0 && r1.getDouble(7) == 0.0 && r1.getDouble(8) == 0.0)
+    assert(r1.getBoolean(9), "degenerate doc must keep=true, not NULL")
+    val r2 = out(2L)
+    assert(r2.getInt(1) == 1 && r2.getInt(3) == 1 && r2.getInt(4) == 0)
+    assert(r2.getDouble(7) == 1.0 && !r2.getBoolean(9))
+    assert(r2.getDouble(8) == 0.0)
+  }
+
+  test("quality_select: two-pass scale form is row-identical to the window reference form") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lang", "quality_score", "pct_rank", "selected")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val scale = rows(Curation.qualitySelect(docs))
+    val window = rows(Curation.qualitySelectWindow(docs))
+    assert(scale.keySet == window.keySet)
+    // pct_rank must match BIT-identically: both are one division of the
+    // same exact integers ((rows before) / (n-1)) — this is what lets the
+    // two forms share one DuckDB oracle
+    scale.foreach { case (id, s) =>
+      assert(s == window(id), s"doc $id: scale $s != window ${window(id)}")
+    }
+  }
+
+  test("quality_select plan: no percent_rank, doc-row window partitioned by tie bucket") {
+    val plan = Curation.qualitySelect(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("percent_rank"),
+      s"scale form must not compute percent_rank over doc rows:\n$plan")
+    // the only doc-row window is the tie-break row_number, and its partition
+    // spec must include the score bucket — a lang-only partition would be
+    // the one-reducer-per-stratum shape this form exists to remove
+    val rn = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("qs4")),
+      s"row_number window must partition by (lang, qs4):\n$plan")
+  }
+
   test("contamination_check: empty benchmark partition yields zero hits, not nulls") {
     import spark.implicits._
     // no doc_id % 20 == 7 → the broadcast bench set is empty; every corpus
