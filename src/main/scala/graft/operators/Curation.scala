@@ -511,10 +511,10 @@ object Curation {
     *
     * Scale shape: one hash shuffle on source + one in-partition sort for
     * the running-sum window (ROWS frame, map-side exact). At 100 TB a
-    * single source can exceed one partition — then the same prefix-sum runs
-    * as range-partitioned cumulative sum (sort by key, per-partition
-    * totals, broadcast offsets); the single-window form is the gate-scale
-    * plan of that. */
+    * single source can exceed one partition — [[tokenBudgetPackRange]] runs
+    * the SAME prefix-sum algebra range-partitioned (per-partition totals +
+    * broadcast offsets), row-identical by spec; this single-window form is
+    * the gate-scale plan of that. */
   def tokenBudgetPack(documents: DataFrame,
                       budget: Long = BudgetPerSource): DataFrame = {
     val bpe = TextOps.BpePattern.replace("\\", "\\\\")
@@ -525,6 +525,60 @@ object Curation {
       .withColumn("pack_key",
         expr("md5(concat('graft-pack:', CAST(doc_id AS STRING)))"))
       .withColumn("cum_tokens", sum(col("bpe_tokens").cast("long")).over(w))
+      .withColumn("packed", col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("bpe_tokens"), col("pack_key"),
+        col("cum_tokens"), col("packed"))
+  }
+
+  /** The GIANT-SOURCE form of [[tokenBudgetPack]] (round 7): the same
+    * deterministic prefix pack when one source exceeds a single partition —
+    * the case where `Window.partitionBy(source)` funnels that source's
+    * whole sort onto one reducer. The prefix sum is decomposed exactly as
+    * the scaladoc above promises:
+    *
+    *  1. range-partition on the FULL pack order (source, pack_key, doc_id),
+    *     so every partition holds a contiguous slice of each source's
+    *     global order;
+    *  2. one tiny aggregation of per-(source, partition) totals, turned
+    *     into per-partition starting OFFSETS by a window over that
+    *     partition-count-sized frame;
+    *  3. a local running sum within each (source, partition) slice plus the
+    *     broadcast offset — same integer algebra, so `cum_tokens` is
+    *     row-identical to the single-window form (spec-pinned).
+    *
+    * The partition id is DATA here (it selects the offset), and it derives
+    * from physical partitioning — the frame is localCheckpoint'd before the
+    * two consumers not just for the usual multi-consumer economics but for
+    * CORRECTNESS: an unmaterialized re-plan could renumber
+    * spark_partition_id between the totals pass and the final join. Output
+    * does not depend on WHERE the range boundaries land, only on slices
+    * being contiguous in the total order, which range partitioning on the
+    * full unique key guarantees. */
+  def tokenBudgetPackRange(documents: DataFrame,
+                           budget: Long = BudgetPerSource,
+                           numParts: Int = 32): DataFrame = {
+    val bpe = TextOps.BpePattern.replace("\\", "\\\\")
+    val base = documents
+      .withColumn("bpe_tokens", expr(s"size(regexp_extract_all(text, '$bpe', 0))"))
+      .withColumn("pack_key",
+        expr("md5(concat('graft-pack:', CAST(doc_id AS STRING)))"))
+      .select("doc_id", "source", "bpe_tokens", "pack_key")
+    val ranged = base
+      .repartitionByRange(numParts, col("source"), col("pack_key"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy("source", "pid")
+      .agg(sum(col("bpe_tokens").cast("long")).as("ptotal"))
+    val wOff = Window.partitionBy("source").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("offset", coalesce(sum("ptotal").over(wOff), lit(0L)))
+      .select("source", "pid", "offset")
+    val wLocal = Window.partitionBy("source", "pid").orderBy("pack_key", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("source", "pid"))
+      .withColumn("cum_tokens",
+        sum(col("bpe_tokens").cast("long")).over(wLocal) + col("offset"))
       .withColumn("packed", col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("bpe_tokens"), col("pack_key"),
         col("cum_tokens"), col("packed"))

@@ -290,10 +290,20 @@ object Dedup {
     * and the batch ships to every bucket). Batch docs with no shingle
     * overlap at all never reach the aggregation — they re-enter at the
     * final left join as `is_new = true`. Complements the exact-key
-    * `incremental_new_keys` (A10) the way near-dup complements equality. */
+    * `incremental_new_keys` (A10) the way near-dup complements equality.
+    *
+    * `broadcastBatch` is the DEGRADE dial (round 7): a genuinely large
+    * batch (a backfill, a merged week of ingest) must fall back to a
+    * shuffled equi-join rather than OOM assembling the broadcast relation
+    * the hint forces. false drops every batch-side hint — the candidate
+    * join and the n1 sizes dim plan as shuffles (or whatever AQE picks
+    * from real sizes) — with row-identical output (spec-pinned both
+    * settings). */
   def dedupIncremental(documents: DataFrame,
                        batchMod: Long = IncrementalBatchMod,
-                       threshold: Double = JaccardThreshold): DataFrame = {
+                       threshold: Double = JaccardThreshold,
+                       broadcastBatch: Boolean = true): DataFrame = {
+    def batchSide(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
     // inline-explode shape (see shingleExploded) — and the candidate rows
     // stay (sh, id)-narrow: BOTH sides' shingle counts join back after the
     // pair aggregation (|pairs| rows, broadcast-sized batch dim) instead of
@@ -305,10 +315,10 @@ object Dedup {
       .select(col("doc_id").as("bid"), col("sh"))
     val corpus = exh.filter(col("doc_id") % batchMod =!= 0)
       .select(col("doc_id").as("cid"), col("sh"))
-    val dups = broadcast(batch).join(corpus, Seq("sh"))
+    val dups = batchSide(batch).join(corpus, Seq("sh"))
       .groupBy("bid", "cid")
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.filter(col("doc_id") % batchMod === 0)
+      .join(batchSide(sizes.filter(col("doc_id") % batchMod === 0)
         .select(col("doc_id").as("bid"), col("nsh").as("n1"))), Seq("bid"))
       .join(sizes.filter(col("doc_id") % batchMod =!= 0)
         .select(col("doc_id").as("cid"), col("nsh").as("n2")), Seq("cid"))
@@ -332,16 +342,19 @@ object Dedup {
     * the exact form whenever banded recall is 1 on the batch×corpus pairs
     * (gate corpus: spec-pinned row equality, which is what lets it share
     * the exact operator's SQL oracle, same argument as
-    * [[dedupClustersLsh]]). */
+    * [[dedupClustersLsh]]). `broadcastBatch` is the same degrade dial as
+    * [[dedupIncremental]]'s: false drops the batch-side hint so an
+    * oversized batch probe shuffles instead of OOMing the broadcast. */
   def dedupIncrementalLsh(documents: DataFrame,
                           batchMod: Long = IncrementalBatchMod,
-                          threshold: Double = JaccardThreshold): DataFrame = {
+                          threshold: Double = JaccardThreshold,
+                          broadcastBatch: Boolean = true): DataFrame = {
     val buckets = Lsh.bandedBuckets(documents)
     val batchB = buckets.filter(col("doc_id") % batchMod === 0)
       .select(col("doc_id").as("bid"), col("bkey"))
     val corpusB = buckets.filter(col("doc_id") % batchMod =!= 0)
       .select(col("doc_id").as("cid"), col("bkey"))
-    val cand = broadcast(batchB).join(corpusB, Seq("bkey"))
+    val cand = (if (broadcastBatch) broadcast(batchB) else batchB).join(corpusB, Seq("bkey"))
       .select("bid", "cid").distinct()
     val sh = shingleSets(documents)
     val dups = cand

@@ -244,6 +244,36 @@ class CurationSpec extends AnyFunSuite {
     assert(report.keySet == perDoc.map(_._1).toSet)
   }
 
+  test("token_budget_pack: range-partitioned giant-source form is row-identical") {
+    // round 7: the decomposed prefix sum (range partition + per-partition
+    // totals + broadcast offsets + local running sum) must reproduce the
+    // single-window cum_tokens EXACTLY, at several partition counts —
+    // including 1 (degenerate: offsets all 0) and more partitions than the
+    // corpus needs
+    val expected = Curation.tokenBudgetPack(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Curation.tokenBudgetPackRange(docs, numParts = parts).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3),
+          r.getLong(4), r.getBoolean(5))).toMap
+      assert(got.keySet == expected.keySet, s"parts=$parts row set differs")
+      got.foreach { case (id, g) =>
+        assert(g == expected(id), s"parts=$parts doc $id: $g != ${expected(id)}")
+      }
+    }
+    // and the doc-row window of the range form partitions by (source, pid),
+    // never by source alone — no single-reducer source anywhere
+    val plan = Curation.tokenBudgetPackRange(docs, numParts = 7)
+      .queryExecution.executedPlan.toString
+    // the doc-row running sum is the only currentrow-framed window (the
+    // offsets window over the tiny totals frame ends at -1)
+    val docWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("currentrow")).toSeq
+    assert(docWindows.nonEmpty && docWindows.forall(_.contains("pid")),
+      s"running-sum window must partition by (source, pid):\n$plan")
+  }
+
   test("token_budget_pack: packed set is the maximal budget-feasible prefix per source") {
     val rows = Curation.tokenBudgetPack(docs).collect()
       .map(r => (r.getAs[String]("source"), r.getAs[String]("pack_key"),

@@ -43,6 +43,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("incremental admission degrade dial: broadcastBatch=false shuffles, same rows") {
+    // round 7: the batch-side broadcast() is a dial, not a hard-coding — an
+    // oversized batch must degrade to a shuffled equi-join, not OOM the
+    // broadcast. With auto-broadcast off, the non-hinted form must plan NO
+    // broadcast at all, and both settings must emit identical rows.
+    def rows(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.select("doc_id", "is_new", "dup_of").collect().map(_.toString).sorted
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Dedup.dedupIncremental(docs, broadcastBatch = false)
+      val p = shuffled.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+        s"broadcastBatch=false must not broadcast anything:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"candidate join should degrade to a shuffled equi-join:\n$p")
+      assert(rows(shuffled).sameElements(rows(Dedup.dedupIncremental(docs))),
+        "dial changed the output rows")
+      // the LSH twin carries the same dial
+      assert(rows(Dedup.dedupIncrementalLsh(docs, broadcastBatch = false))
+        .sameElements(rows(Dedup.dedupIncrementalLsh(docs))),
+        "LSH dial changed the output rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("jaccard inverted-index join plans a hash join, not a cartesian product") {
     val plan = Dedup.ngramJaccardPairs(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
