@@ -185,14 +185,21 @@ object Curation {
     * doc is n-grams it already used) and top-n-gram fraction (how much one
     * single bigram dominates), with the composite keep flag.
     *
-    * Scale shape: everything is per-row higher-order expressions
-    * (transform/array_distinct/filter) — a pure fused MAP pass, zero
-    * exchanges (spec-pinned), embarrassingly parallel at any corpus size.
-    * The top-frequency term is O(distinct·len) per row, bounded by doc
-    * length — the deliberate trade against explode + two shuffled
-    * aggregations per doc, which at 100 TB would shuffle the whole token
-    * stream twice to compute a per-doc scalar (the spec cross-checks this
-    * map-side computation against exactly that relational form).
+    * Scale shape: everything is per-row higher-order expressions — a pure
+    * fused MAP pass, zero exchanges (spec-pinned), embarrassingly parallel
+    * at any corpus size — the deliberate trade against explode + two
+    * shuffled aggregations per doc, which at 100 TB would shuffle the
+    * whole token stream twice to compute a per-doc scalar (the spec
+    * cross-checks this map-side computation against exactly that
+    * relational form). The top-frequency term is SORT + RUN-LENGTH
+    * (array_sort, then max run of adjacent equals via aggregate) —
+    * O(len·log len) per row. The round-6 form (array_max over
+    * per-distinct-gram filter counts) was O(distinct·len), quadratic in
+    * document length: fine on this corpus's ~30-word docs but measured
+    * 30× slower at 100×-length documents of the SAME total token volume
+    * (10.5 s vs 0.35 s — StressLongDocs, PERF.md), a gap that grows
+    * linearly with doc length; same value on every doc (cross-checked in
+    * the tool and by the relational spec).
     *
     * Degenerate-doc CONVENTION (pinned both engines, spec-checked): a doc
     * too short to have any bigram/trigram emits counts 0 and ratios 0.0 —
@@ -208,8 +215,18 @@ object Curation {
         "transform(slice(w, 1, greatest(size(w) - 2, 0)), (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))"))
       .withColumn("n2", expr("size(g2)"))
       .withColumn("d2", expr("size(array_distinct(g2))"))
-      .withColumn("top2",
-        expr("coalesce(array_max(transform(array_distinct(g2), d -> size(filter(g2, y -> y = d)))), 0)"))
+      // max run of adjacent equals over the sorted bigrams = max
+      // multiplicity; aggregate over an empty array returns the finish of
+      // the zero state, so the degenerate case is 0 without a coalesce
+      .withColumn("top2", expr(
+        """aggregate(
+          |  array_sort(g2),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
+          |    'best', greatest(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
+          |  acc -> acc.best)""".stripMargin))
       .withColumn("n3", expr("size(g3)"))
       .withColumn("d3", expr("size(array_distinct(g3))"))
       .withColumn("dup2_ratio", expr("CAST(n2 - d2 AS DOUBLE) / greatest(n2, 1)"))

@@ -97,10 +97,20 @@ object StreamingJobs {
     * never pair either), so parity is row-for-row, not modulo ordering
     * (spec-pinned).
     *
-    * Scale notes: one index probe per band per doc; the static side is
-    * re-read per micro-batch (broadcast at daily-batch sizes, bucket-
-    * pruned at corpus scale); per-bucket member lists are bounded by LSH
-    * bucket balance — the same Σ bucket² economics as the batch twin. */
+    * Scale notes: one index probe per band per doc; per-bucket member
+    * lists are bounded by LSH bucket balance — the same Σ bucket²
+    * economics as the batch twin (broadcast at daily-batch sizes,
+    * bucket-pruned at corpus scale).
+    *
+    * Static-side REFRESH contract (round 7, spec-pinned): the corpus
+    * index snapshot is captured at query (re)START — the batch
+    * DataFrame's file listing is fixed when the plan is built, so files
+    * added to the corpus mid-run are NOT seen by later micro-batches of
+    * the same run. An index rebuild is picked up by restarting the query
+    * (the natural shape: one AvailableNow run per scheduled ingest batch,
+    * checkpoint skipping already-processed stream files), and emitted
+    * verdicts are FINAL (append mode): a doc judged against an older
+    * index is never retroactively re-judged. */
   def incrementalAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, Lsh}
     val mod = Dedup.IncrementalBatchMod
@@ -162,11 +172,12 @@ object StreamingJobs {
     *
     * Scale notes: the static side is exactly what the batch operator
     * broadcasts — a few MB of benchmark gram hashes against a 100 TB
-    * corpus — re-read (and re-broadcast) per micro-batch; the membership
-    * test is O(|doc grams| + |bench|) per doc via the sorted intersect.
-    * If the benchmark ever outgrew broadcast size, the probe becomes the
-    * batch operator's hash join keyed on gram — the dial moves, the
-    * contract doesn't. */
+    * corpus; the membership test is O(|doc grams| + |bench|) per doc via
+    * the sorted intersect. If the benchmark ever outgrew broadcast size,
+    * the probe becomes the batch operator's hash join keyed on gram — the
+    * dial moves, the contract doesn't. Static-side refresh follows the
+    * same contract as [[incrementalAdmissionStream]]: benchmark snapshot
+    * captured at query (re)start, emitted verdicts final. */
   def contaminationStream(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Curation
     val n = Curation.ContamN
