@@ -298,7 +298,10 @@ object Dedup {
     * the hint forces. false drops every batch-side hint — the candidate
     * join and the n1 sizes dim plan as shuffles (or whatever AQE picks
     * from real sizes) — with row-identical output (spec-pinned both
-    * settings). */
+    * settings). Measured crossover (StressIncrBatch, PERF.md): on the 10×
+    * corpus the broadcast wins at a 20% batch and already LOSES at a 50%
+    * backfill batch (6.6 s shuffled vs 7.7 s broadcast) — the dial's
+    * threshold arrives well before broadcast memory does. */
   def dedupIncremental(documents: DataFrame,
                        batchMod: Long = IncrementalBatchMod,
                        threshold: Double = JaccardThreshold,
