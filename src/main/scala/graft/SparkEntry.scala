@@ -99,6 +99,11 @@ object SparkEntry {
     "doc_ngram_repetition" -> ((s, d) => Curation.ngramRepetitionQ(Tables.documents(s, d))),
     "quality_select" -> ((s, d) => Curation.qualitySelectQ(Tables.documents(s, d))),
     "token_budget_pack" -> ((s, d) => Curation.tokenBudgetPackQ(Tables.documents(s, d))),
+    // round 7: the giant-source scale form of the prefix pack (range
+    // partition + per-partition totals + broadcast offsets) — registered
+    // like dedup_incremental_lsh: shares the window form's oracle, valid
+    // via the spec-pinned row identity at several partition counts
+    "token_budget_pack_range" -> ((s, d) => Curation.tokenBudgetPackRangeQ(Tables.documents(s, d))),
     // round 6 (second half, cont.): term salience + per-source health rollup
     "tfidf_topterms" -> ((s, d) => Curation.tfidfTopTermsQ(Tables.documents(s, d))),
     "corpus_report" -> ((s, d) => Curation.corpusReportQ(Tables.documents(s, d))),
@@ -149,6 +154,7 @@ object SparkEntry {
     "doc_ngram_repetition" -> Curation.ngramRepetitionSql,
     "quality_select" -> Curation.qualitySelectSql,
     "token_budget_pack" -> Curation.tokenBudgetPackSql,
+    "token_budget_pack_range" -> Curation.tokenBudgetPackSql,
     "tfidf_topterms" -> Curation.tfidfTopTermsSql,
     "corpus_report" -> Curation.corpusReportSql,
   )

@@ -604,6 +604,13 @@ object Curation {
   def tokenBudgetPackQ(documents: DataFrame): DataFrame =
     tokenBudgetPack(documents).orderBy("doc_id")
 
+  /** Registered twin of [[tokenBudgetPackRange]] — shares
+    * [[tokenBudgetPackSql]] as its oracle, valid because the spec pins
+    * row identity with the window form at several partition counts (the
+    * same shared-oracle argument as dedup_incremental_lsh). */
+  def tokenBudgetPackRangeQ(documents: DataFrame): DataFrame =
+    tokenBudgetPackRange(documents).orderBy("doc_id")
+
   val tokenBudgetPackSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, source,

@@ -31,11 +31,18 @@ class CurationSpec extends AnyFunSuite {
       .join(benchSet, Seq("gram"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 7: n_grams is counted from the exploded stream (single-scan
+    // form) — cross-check it against the gram ARRAY size per doc
+    val expectedNg = g.filter(!isBench)
+      .select(col("doc_id"), col("n_grams")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
     out.foreach { case (id, ng, nHit) =>
       assert(nHit == expected.getOrElse(id, 0L),
         s"doc $id: hashed probe n_hit=$nHit != exact ${expected.getOrElse(id, 0L)}")
+      assert(ng == expectedNg(id), s"doc $id: exploded-count n_grams=$ng != array size")
       assert(nHit >= 0 && nHit <= ng)
     }
+    assert(out.map(_._1).toSet == expectedNg.keySet)
     assert(expected.nonEmpty) // some doc shares at least one 8-gram
   }
 
