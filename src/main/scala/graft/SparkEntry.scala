@@ -96,6 +96,9 @@ object SparkEntry {
     // gates (pure map pass), stratified quantile quality selection, and
     // deterministic token-budget mixture packing
     "contamination_check" -> ((s, d) => Curation.contaminationCheckQ(Tables.documents(s, d))),
+    // round 7: per-doc marginal novelty (dataset-decay / dedup-pressure
+    // signal) over the persisted-index two-aggregation shape
+    "doc_novelty" -> ((s, d) => Curation.docNoveltyQ(Tables.documents(s, d))),
     "doc_ngram_repetition" -> ((s, d) => Curation.ngramRepetitionQ(Tables.documents(s, d))),
     "quality_select" -> ((s, d) => Curation.qualitySelectQ(Tables.documents(s, d))),
     "token_budget_pack" -> ((s, d) => Curation.tokenBudgetPackQ(Tables.documents(s, d))),
@@ -151,6 +154,7 @@ object SparkEntry {
     "dedup_incremental_lsh" -> Dedup.dedupIncrementalSql,
     "corpus_split" -> TextOps.corpusSplitSql,
     "contamination_check" -> Curation.contaminationCheckSql,
+    "doc_novelty" -> Curation.docNoveltySql,
     "doc_ngram_repetition" -> Curation.ngramRepetitionSql,
     "quality_select" -> Curation.qualitySelectSql,
     "token_budget_pack" -> Curation.tokenBudgetPackSql,

@@ -170,6 +170,86 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------- doc_novelty
+
+  /** Per-document MARGINAL NOVELTY (round 7): the fraction of a doc's
+    * distinct word 8-grams never seen in any EARLIER doc (doc_id order as
+    * ingest order) — the dataset-decay signal an ingest pipeline charts to
+    * decide when a source is mined out, and the per-doc form of dedup
+    * pressure: replicas of earlier content score ~0, fresh content ~1 (at
+    * 8-gram width chance overlap vanishes, so the signal is duplication,
+    * not vocabulary saturation).
+    *
+    * Scale shape: the exploded hashed gram stream is materialized ONCE
+    * (localCheckpoint here; at 100 TB the same narrow (doc_id, gh) index
+    * is persisted bucketed by gh — the asset dedup pipelines already keep,
+    * cf. the persisted-LSH-index spec), because it genuinely feeds TWO
+    * aggregations with different keys: per-doc gram counts, and the
+    * gram→first-doc min whose own regrouping by first-doc yields per-doc
+    * novel counts as a ≤|docs|-sized frame — no gram-level join-back
+    * anywhere. Short docs re-enter at the final left join (doc_id-only
+    * pruned scan) as n_grams = 0, n_novel = 0, ratio 0.0, and
+    * all_novel = true (vacuous integer equality 0 = 0 — pinned, both
+    * engines). The hash carries xxhash64(gram); the exact-string SQL
+    * oracle guards collisions, same argument as [[contaminationCheck]]. */
+  def docNovelty(documents: DataFrame, n: Int = ContamN): DataFrame = {
+    val ex = ngramExploded(documents, n)
+      .select(col("doc_id"), expr("xxhash64(gram)").as("gh"))
+      .localCheckpoint()
+    val perDoc = ex.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+    val novel = ex.groupBy("gh").agg(min("doc_id").as("fd"))
+      .groupBy("fd").agg(count(lit(1)).as("nn"))
+      .withColumnRenamed("fd", "doc_id")
+    documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(novel, Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("ng"), lit(0L)))
+      .withColumn("n_novel", coalesce(col("nn"), lit(0L)))
+      .withColumn("novelty_ratio", expr("CAST(n_novel AS DOUBLE) / greatest(n_grams, 1)"))
+      .withColumn("all_novel", col("n_novel") === col("n_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        col("novelty_ratio"), col("all_novel"))
+  }
+
+  def docNoveltyQ(documents: DataFrame): DataFrame =
+    docNovelty(documents)
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        r("novelty_ratio", 4), col("all_novel"))
+      .orderBy("doc_id")
+
+  /** DuckDB twin mirrors the two-aggregation shape on exact gram STRINGS
+    * (which is what oracles the 64-bit hash path). */
+  val docNoveltySql: String = {
+    val joins = (1 until ContamN).map(j => s" || ' ' || w[i + $j]").mkString
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |         list_distinct([w[i]$joins for i in range(1, len(w) - ${ContamN - 2})]) AS grams
+       |  FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(grams) AS gram FROM g
+       |), cnt AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM ex GROUP BY 1
+       |), m AS (
+       |  SELECT gram, min(doc_id) AS fd FROM ex GROUP BY 1
+       |), novel AS (
+       |  SELECT fd AS doc_id, count(*) AS n_novel FROM m GROUP BY 1
+       |), j AS (
+       |  SELECT d.doc_id,
+       |         COALESCE(cnt.n_grams, 0) AS n_grams,
+       |         COALESCE(novel.n_novel, 0) AS n_novel
+       |  FROM documents d
+       |  LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+       |  LEFT JOIN novel ON novel.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, n_grams, n_novel,
+       |       ${rsql("CAST(n_novel AS DOUBLE) / greatest(n_grams, 1)", 4, "novelty_ratio")},
+       |       n_novel = n_grams AS all_novel
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------- doc_ngram_repetition
 
   /** Gopher-style intra-document repetition gates (measured on this corpus:

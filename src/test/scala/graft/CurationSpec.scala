@@ -72,6 +72,49 @@ class CurationSpec extends AnyFunSuite {
       s"gram probe must not sort-merge (corpus-wide gram shuffle):\n$plan")
   }
 
+  test("doc_novelty: planted near-dups score ~0, fresh docs ~1, totals recompute") {
+    val rows = Curation.docNovelty(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length == docs.count(), "every doc must emit a row")
+    rows.foreach { case (id, ng, nn, ratio, allNovel) =>
+      assert(nn >= 0 && nn <= ng, s"doc $id: n_novel $nn out of [0, $ng]")
+      assert(allNovel == (nn == ng), s"doc $id: all_novel flag inconsistent")
+      assert(math.abs(ratio - nn.toDouble / math.max(ng, 1)) < 1e-12)
+    }
+    // the corpus plants near-dup pairs: the LATER member of each pair must
+    // score ~0 (its grams were seen at the earlier member), and at 8-gram
+    // width everything unplanted is fully novel
+    val lows = rows.filter(r => r._2 > 0 && r._4 < 0.5)
+    assert(lows.nonEmpty, "expected the planted later near-dups to score low")
+    assert(rows.count(_._5) > rows.length / 2, "most docs should be fully novel")
+    // independent recomputation via the exact-string relational path
+    val g = Curation.ngramSets(docs, Curation.ContamN)
+    val expected = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(min("doc_id").as("fd"))
+      .groupBy("fd").agg(count(lit(1)).as("nn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, _, nn, _, _) =>
+      assert(nn == expected.getOrElse(id, 0L), s"doc $id: n_novel $nn != exact recount")
+    }
+  }
+
+  test("doc_novelty: degenerate docs emit 0/0/0.0/all_novel=true; plan reads the materialized index") {
+    import spark.implicits._
+    val d = Seq((1L, "too short for an eight gram"), (2L, "a b c d e f g h i j"))
+      .toDF("doc_id", "text")
+    val out = Curation.docNovelty(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) == ((0L, 0L, 0.0, true)), "no-gram doc: pinned degenerate convention")
+    assert(out(2L)._1 == 3L && out(2L)._4, "10-token doc has 3 novel 8-grams")
+    // both aggregations must consume the checkpointed gram index — the
+    // final plan re-plans NO generate and NO gram transform
+    val plan = Curation.docNovelty(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("array_distinct"),
+      s"aggs must read the materialized index, not re-plan the explode:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"), s"expected checkpoint scans:\n$plan")
+  }
+
   test("doc_ngram_repetition: map-side higher-order stats equal relational form") {
     val out = Curation.ngramRepetition(docs)
       .select("doc_id", "n2", "d2", "top2", "n3", "d3").collect()
