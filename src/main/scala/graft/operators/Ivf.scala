@@ -68,6 +68,11 @@ object Ivf {
       .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
+    // empty corpus → no centroids (caller yields an empty result: day-one
+    // totality, EmptyInputSpec); a NON-empty corpus smaller than k stays a
+    // loud config error — an index with more centroids than vectors is
+    // ill-defined, not a degenerate case to paper over
+    if (sample.isEmpty) return Array.empty
     require(sample.length >= k, s"corpus smaller than k=$k")
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

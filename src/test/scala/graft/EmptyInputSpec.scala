@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Day-one totality (round 7): every corpus operator must return an EMPTY
+  * result — not throw — on an empty input table. A real pipeline hits this
+  * constantly (first run of an ingest source, an empty daily partition, a
+  * filter that drained a batch), and a driver-side assumption (a head() on
+  * stats, a quantizer sample, a non-guarded aggregate) is exactly the kind
+  * of bug that only fires in production's empty corner.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType))))
+
+  private def emptyEmb: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", StringType))))
+
+  test("document/curation/dedup operators are total on an empty corpus") {
+    val d = emptyDocs
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "text_stats" -> TextOps.textStats(d),
+      "text_quality" -> TextOps.textQuality(d),
+      "lang_id" -> TextOps.langId(d),
+      "token_count" -> TextOps.tokenCount(d),
+      "doc_fingerprint" -> TextOps.docFingerprint(d),
+      "dedup_exact" -> TextOps.dedupExact(d),
+      "corpus_filter" -> TextOps.corpusFilter(d),
+      "corpus_split" -> TextOps.corpusSplit(d),
+      "ngram_jaccard" -> Dedup.ngramJaccardPairs(d),
+      "ngram_jaccard_salted" -> Dedup.ngramJaccardPairs(d, saltCandidates = Some(4)),
+      "dedup_clusters" -> Dedup.dedupClusters(d),
+      "dedup_clusters_lsh" -> Dedup.dedupClustersLsh(d),
+      "dedup_incremental" -> Dedup.dedupIncremental(d),
+      "dedup_incremental_noBcast" -> Dedup.dedupIncremental(d, broadcastBatch = false),
+      "dedup_incremental_lsh" -> Dedup.dedupIncrementalLsh(d),
+      "minhash_lsh" -> Lsh.minhashLshPairs(d),
+      "simhash" -> Lsh.simhashPairs(d),
+      "contamination_check" -> Curation.contaminationCheck(d),
+      "doc_novelty" -> Curation.docNovelty(d),
+      "ngram_repetition" -> Curation.ngramRepetition(d),
+      "quality_select" -> Curation.qualitySelect(d),
+      "quality_select_window" -> Curation.qualitySelectWindow(d),
+      "token_budget_pack" -> Curation.tokenBudgetPack(d),
+      "token_budget_pack_range" -> Curation.tokenBudgetPackRange(d),
+      "tfidf_topterms" -> Curation.tfidfTopTerms(d),
+      "corpus_report" -> Curation.corpusReport(d))
+    ops.foreach { case (name, df) =>
+      val n = try df.count() catch {
+        case e: Throwable => fail(s"$name threw on empty corpus: $e")
+      }
+      assert(n == 0, s"$name returned $n rows on an empty corpus")
+    }
+  }
+
+  test("embedding operators are total on an empty table") {
+    val e = emptyEmb
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "knn_cosine_brute" -> Similarity.knnCosineBrute(e),
+      "embedding_dedup" -> Similarity.embeddingDedup(e),
+      "knn_cosine_lsh" -> Lsh.knnCosineLsh(e),
+      "embedding_dedup_lsh" -> Lsh.embeddingDedupLsh(e),
+      // the driver-side quantizer yields zero centroids on an empty corpus
+      // (a NON-empty corpus smaller than k stays a loud config error)
+      "knn_cosine_ivf" -> Ivf.knnCosineIvf(e))
+    ops.foreach { case (name, df) =>
+      val n = try df.count() catch {
+        case ex: Throwable => fail(s"$name threw on empty embeddings: $ex")
+      }
+      assert(n == 0, s"$name returned $n rows on empty embeddings")
+    }
+  }
+}
