@@ -38,26 +38,18 @@ object StressLongDocs {
       .repartition(32, col("doc_id"))
       .localCheckpoint()
 
-  /** round-6 top2: O(distinct·len) per row. */
+  /** round-6 top2: O(distinct·len) per row (kept here as the A/B foil). */
   val quadTop2 =
     "coalesce(array_max(transform(array_distinct(g2), d -> size(filter(g2, y -> y = d)))), 0)"
 
-  /** sort + run-length top2: O(len log len) per row. */
-  val runLenTop2 =
-    """aggregate(
-      |  array_sort(g2),
-      |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
-      |  (acc, x) -> named_struct(
-      |    'prev', x,
-      |    'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
-      |    'best', greatest(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
-      |  acc -> acc.best)""".stripMargin
+  /** sort + run-length top2 — the SHIPPING expression (Curation's
+    * constant, so the cross-check below always validates production). */
+  val runLenTop2: String = Curation.Top2RunLenExpr
 
   def top2Frame(docs: DataFrame, top2Expr: String): DataFrame =
     docs
       .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
-      .withColumn("g2",
-        expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))"))
+      .withColumn("g2", expr(Curation.G2Expr))
       .withColumn("top2", expr(top2Expr))
       .select("doc_id", "top2")
 

@@ -260,6 +260,28 @@ object Curation {
   val Top2Max = 0.10
   val Dup3Max = 0.05
 
+  /** Max multiplicity over `g2` as max run of adjacent equals after
+    * array_sort — O(len·log len) per row (the round-6 O(distinct·len) form
+    * measured 30× slower on 100×-length docs; StressLongDocs A/Bs this
+    * exact constant against the quadratic form, so the equivalence
+    * evidence tracks the shipping expression). Aggregate over an empty
+    * array returns the finish of the zero state, so the degenerate case is
+    * 0 without a coalesce. */
+  private[graft] val Top2RunLenExpr: String =
+    """aggregate(
+      |  array_sort(g2),
+      |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+      |  (acc, x) -> named_struct(
+      |    'prev', x,
+      |    'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
+      |    'best', greatest(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
+      |  acc -> acc.best)""".stripMargin
+
+  /** The word-bigram array over `w` (no distinct — multiplicities matter
+    * here, unlike [[Dedup]]'s shingle sets). Shared with StressLongDocs. */
+  private[graft] val G2Expr: String =
+    "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))"
+
   /** Intra-document repetition signals over word bigrams/trigrams — the
     * Gopher repetition filters: duplicate-n-gram fraction (how much of the
     * doc is n-grams it already used) and top-n-gram fraction (how much one
@@ -289,24 +311,12 @@ object Curation {
   def ngramRepetition(documents: DataFrame): DataFrame =
     documents
       .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
-      .withColumn("g2",
-        expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))"))
+      .withColumn("g2", expr(G2Expr))
       .withColumn("g3", expr(
         "transform(slice(w, 1, greatest(size(w) - 2, 0)), (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))"))
       .withColumn("n2", expr("size(g2)"))
       .withColumn("d2", expr("size(array_distinct(g2))"))
-      // max run of adjacent equals over the sorted bigrams = max
-      // multiplicity; aggregate over an empty array returns the finish of
-      // the zero state, so the degenerate case is 0 without a coalesce
-      .withColumn("top2", expr(
-        """aggregate(
-          |  array_sort(g2),
-          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
-          |  (acc, x) -> named_struct(
-          |    'prev', x,
-          |    'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
-          |    'best', greatest(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
-          |  acc -> acc.best)""".stripMargin))
+      .withColumn("top2", expr(Top2RunLenExpr))
       .withColumn("n3", expr("size(g3)"))
       .withColumn("d3", expr("size(array_distinct(g3))"))
       .withColumn("dup2_ratio", expr("CAST(n2 - d2 AS DOUBLE) / greatest(n2, 1)"))
@@ -419,7 +429,15 @@ object Curation {
       .withColumn("n", sum("c").over(Window.partitionBy("lang")))
       .select("lang", "qs4", "n_higher", "n")
     val wTie = Window.partitionBy("lang", "qs4").orderBy("doc_id")
-    scored.join(broadcast(ranks), Seq("lang", "qs4"))
+    // null-safe join keys: a NULL lang (nullable schema) or NULL text (→
+    // NULL score → NULL qs4) forms its own stratum/tie bucket in the
+    // window form, so the histogram join must match NULL groups too — a
+    // plain equi-join would silently DROP those rows (round-7 review)
+    val ranksR = ranks.select(col("lang").as("r_lang"), col("qs4").as("r_qs4"),
+      col("n_higher"), col("n"))
+    scored.join(broadcast(ranksR),
+        col("lang") <=> col("r_lang") && col("qs4") <=> col("r_qs4"))
+      .drop("r_lang", "r_qs4")
       .withColumn("tie_rank", row_number().over(wTie))
       .withColumn("pct_rank",
         expr("CAST(n_higher + tie_rank - 1 AS DOUBLE) / greatest(n - 1, 1)"))
@@ -673,7 +691,13 @@ object Curation {
       .select("source", "pid", "offset")
     val wLocal = Window.partitionBy("source", "pid").orderBy("pack_key", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offsets), Seq("source", "pid"))
+    // null-safe on source: the window form keeps a NULL-source partition,
+    // so the offsets join must match the NULL group rather than drop it
+    val offsetsR = offsets.select(col("source").as("o_source"),
+      col("pid").as("o_pid"), col("offset"))
+    ranged.join(broadcast(offsetsR),
+        col("source") <=> col("o_source") && col("pid") === col("o_pid"))
+      .drop("o_source", "o_pid")
       .withColumn("cum_tokens",
         sum(col("bpe_tokens").cast("long")).over(wLocal) + col("offset"))
       .withColumn("packed", col("cum_tokens") <= budget)

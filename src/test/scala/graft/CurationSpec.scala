@@ -210,6 +210,41 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("scale forms keep NULL-keyed rows the window forms keep (null-safe joins)") {
+    import spark.implicits._
+    // NULL lang and NULL text (→ NULL score → NULL qs4) form their own
+    // stratum/tie bucket in the window forms; the scale forms' histogram/
+    // offset joins must match those NULL groups, not drop the rows — the
+    // round-7 review caught plain equi-joins doing exactly that
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "a", 43L),
+      (2L, "a b c d e f g h i j", null, "a", 19L),
+      (3L, null, "en", null, 0L),
+      (4L, "one two three four five six seven of the and", "en", "b", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def qRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "lang", "pct_rank", "selected").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDouble(2), r.getBoolean(3))).sortBy(_._1)
+    val qs = qRows(Curation.qualitySelect(d))
+    assert(qs.map(_._1).sameElements(Array(1L, 2L, 3L, 4L)),
+      s"two-pass form dropped NULL-keyed rows: ${qs.mkString(",")}")
+    assert(qs.sameElements(qRows(Curation.qualitySelectWindow(d))),
+      "two-pass != window on the NULL-bearing corpus")
+    def pRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "source", "cum_tokens", "packed").collect()
+      // cum_tokens/packed are NULL for a NULL-text doc (NULL bpe count) —
+      // read nullable, the parity requirement is both forms agreeing
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        Option(r.getAs[java.lang.Boolean](3)))).sortBy(_._1)
+    val pr = pRows(Curation.tokenBudgetPackRange(d, numParts = 3))
+    assert(pr.map(_._1).sameElements(Array(1L, 2L, 3L, 4L)),
+      s"range form dropped NULL-source rows: ${pr.mkString(",")}")
+    assert(pr.sameElements(pRows(Curation.tokenBudgetPack(d))),
+      "range != window on the NULL-bearing corpus")
+  }
+
   test("quality_select plan: no percent_rank, doc-row window partitioned by tie bucket") {
     val plan = Curation.qualitySelect(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("percent_rank"),

@@ -61,9 +61,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"candidate join should degrade to a shuffled equi-join:\n$p")
       assert(rows(shuffled).sameElements(rows(Dedup.dedupIncremental(docs))),
         "dial changed the output rows")
-      // the LSH twin carries the same dial
-      assert(rows(Dedup.dedupIncrementalLsh(docs, broadcastBatch = false))
-        .sameElements(rows(Dedup.dedupIncrementalLsh(docs))),
+      // the LSH twin carries the same dial — rows identical AND the
+      // no-broadcast plan shape held (rows alone would pass even if a
+      // hard broadcast() crept back onto the probe)
+      val lshShuffled = Dedup.dedupIncrementalLsh(docs, broadcastBatch = false)
+      val pl = lshShuffled.queryExecution.executedPlan.toString
+      assert(!pl.contains("BroadcastHashJoin") && !pl.contains("BroadcastExchange"),
+        s"LSH broadcastBatch=false must not broadcast anything:\n$pl")
+      assert(rows(lshShuffled).sameElements(rows(Dedup.dedupIncrementalLsh(docs))),
         "LSH dial changed the output rows")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
