@@ -36,6 +36,9 @@ object SparkEntry {
     "streaming_window_agg" -> ((s, d) => Relational.streamingWindowAgg(Tables.events(s, d))),
     // §A signal pipeline
     "csv_ingest" -> ((s, _) => CsvIngest.csvIngestQ(s)),
+    // round 7: JSONL document ingest — explicit schema (no inference
+    // pass), PERMISSIVE corrupt-line handling, nested-meta flatten
+    "jsonl_ingest" -> ((s, _) => JsonlIngest.jsonlIngestQ(s)),
     "bronze_ingest" -> ((s, d) => SignalOps.bronzeIngestQ(Tables.events(s, d))),
     "silver_zscore" -> ((s, d) => SignalOps.silverZscoreQ(Tables.events(s, d))),
     "gold_trial_stats" -> ((s, d) => SignalOps.goldTrialStatsQ(Tables.events(s, d))),
@@ -123,6 +126,7 @@ object SparkEntry {
     "json_extract" -> Relational.jsonExtractSql,
     "streaming_window_agg" -> Relational.streamingWindowAggSql,
     "csv_ingest" -> CsvIngest.csvIngestSql,
+    "jsonl_ingest" -> JsonlIngest.jsonlIngestSql,
     "bronze_ingest" -> SignalOps.bronzeIngestSql,
     "silver_zscore" -> SignalOps.silverZscoreSql,
     "gold_trial_stats" -> SignalOps.goldTrialStatsSql,
