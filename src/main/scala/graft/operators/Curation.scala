@@ -682,24 +682,33 @@ object Curation {
       .repartitionByRange(numParts, col("source"), col("pack_key"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
+    // pcnt (non-null bpe count per slice) reproduces the window form's
+    // NULL semantics exactly: its running sum is NULL only while EVERY row
+    // so far in the source is NULL-bpe (a NULL-text doc), so a NULL row
+    // leading a LATER slice must take the prior slices' sum, not NULL —
+    // local-sum + offset alone gets that wrong (round-7 review)
     val totals = ranged.groupBy("source", "pid")
-      .agg(sum(col("bpe_tokens").cast("long")).as("ptotal"))
+      .agg(sum(col("bpe_tokens").cast("long")).as("ptotal"),
+        count(col("bpe_tokens")).as("pcnt"))
     val wOff = Window.partitionBy("source").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
       .withColumn("offset", coalesce(sum("ptotal").over(wOff), lit(0L)))
-      .select("source", "pid", "offset")
+      .withColumn("prior_cnt", coalesce(sum("pcnt").over(wOff), lit(0L)))
+      .select("source", "pid", "offset", "prior_cnt")
     val wLocal = Window.partitionBy("source", "pid").orderBy("pack_key", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // null-safe on source: the window form keeps a NULL-source partition,
     // so the offsets join must match the NULL group rather than drop it
     val offsetsR = offsets.select(col("source").as("o_source"),
-      col("pid").as("o_pid"), col("offset"))
+      col("pid").as("o_pid"), col("offset"), col("prior_cnt"))
     ranged.join(broadcast(offsetsR),
         col("source") <=> col("o_source") && col("pid") === col("o_pid"))
       .drop("o_source", "o_pid")
+      .withColumn("local_cum", sum(col("bpe_tokens").cast("long")).over(wLocal))
       .withColumn("cum_tokens",
-        sum(col("bpe_tokens").cast("long")).over(wLocal) + col("offset"))
+        expr("CASE WHEN local_cum IS NULL AND prior_cnt = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE coalesce(local_cum, 0) + offset END"))
       .withColumn("packed", col("cum_tokens") <= budget)
       .select(col("doc_id"), col("source"), col("bpe_tokens"), col("pack_key"),
         col("cum_tokens"), col("packed"))

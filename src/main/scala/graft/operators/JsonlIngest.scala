@@ -64,14 +64,18 @@ object JsonlIngest {
         col("meta.origin").as("origin"),
         col("meta.quality").as("quality"))
 
-  /** Rejected-line audit for ingest attribution: the raw text of every
-    * line that failed to parse. localCheckpoint first — Spark refuses
-    * queries referencing ONLY the internal corrupt-record column on a
-    * live JSON scan, and the audit is a side channel, not a hot path. */
+  /** Rejected-line audit for ingest attribution: (salvaged doc_id if any
+    * field parsed, raw line text) for every line that failed to parse.
+    * Referencing a real data column alongside `_corrupt` is what makes
+    * this legal on the live scan — Spark refuses queries whose referenced
+    * columns are ONLY the internal corrupt-record column — so the audit
+    * stays a plain filtered scan, no materialization of the parsed corpus
+    * (the round-7 review caught a localCheckpoint here that would have
+    * stored every parsed partition to surface a handful of lines). */
   def jsonlCorrupt(spark: SparkSession, dir: String): DataFrame =
-    parsed(spark, dir).localCheckpoint()
+    parsed(spark, dir)
       .filter(col("_corrupt").isNotNull)
-      .select(col("_corrupt").as("raw_line"))
+      .select(col("doc_id"), col("_corrupt").as("raw_line"))
 
   def jsonlIngestQ(spark: SparkSession): DataFrame =
     jsonlIngest(spark, FixtureDir)

@@ -243,6 +243,20 @@ class CurationSpec extends AnyFunSuite {
       s"range form dropped NULL-source rows: ${pr.mkString(",")}")
     assert(pr.sameElements(pRows(Curation.tokenBudgetPack(d))),
       "range != window on the NULL-bearing corpus")
+    // NULL-bpe docs INSIDE a populated source, swept across partition
+    // counts so some split lands a NULL row at the head of a non-first
+    // slice — the window form gives it the prior rows' running sum, and
+    // the range form must too (not NULL + offset = NULL; round-7 review)
+    val d2 = (1L to 12L).map { i =>
+      val text = if (i % 4 == 0) null else s"w$i " * i.toInt
+      (i, text, "en", "src", i)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val w2 = pRows(Curation.tokenBudgetPack(d2))
+    for (parts <- 1 to 8) {
+      val r2 = pRows(Curation.tokenBudgetPackRange(d2, numParts = parts))
+      assert(r2.sameElements(w2),
+        s"parts=$parts: range ${r2.mkString(",")} != window ${w2.mkString(",")}")
+    }
   }
 
   test("quality_select plan: no percent_rank, doc-row window partitioned by tie bucket") {

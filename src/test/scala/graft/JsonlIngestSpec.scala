@@ -26,10 +26,16 @@ class JsonlIngestSpec extends AnyFunSuite {
     }
   }
 
-  test("corrupt audit surfaces exactly the syntactically-broken line") {
+  test("corrupt audit surfaces exactly the syntactically-broken line, no materialization") {
     val corrupt = JsonlIngest.jsonlCorrupt(spark, JsonlIngest.FixtureDir).collect()
     assert(corrupt.length == 1, s"expected 1 corrupt line, got ${corrupt.length}")
-    assert(corrupt.head.getString(0).contains("unterminated"))
+    assert(corrupt.head.getAs[String]("raw_line").contains("unterminated"))
+    // a plain filtered scan — the audit must not checkpoint/cache the
+    // parsed corpus to dodge the corrupt-column-only restriction
+    val p = JsonlIngest.jsonlCorrupt(spark, JsonlIngest.FixtureDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Scan json") && !p.contains("Scan ExistingRDD"),
+      s"corrupt audit should read the scan directly:\n$p")
   }
 
   test("plan is map-only with a single scan — no shuffle, no inference pre-pass") {
