@@ -150,7 +150,10 @@ object Curation {
        |  SELECT DISTINCT unnest(grams) AS gram FROM g
        |  WHERE doc_id % $ContamBenchMod = $ContamBenchRem
        |), corpus AS (
-       |  SELECT doc_id, len(grams) AS n_grams FROM g
+       |  -- COALESCE: NULL text → NULL grams; the Spark side pins such docs
+       |  -- to n_grams = 0 via its exploded-stream left join, so the oracle
+       |  -- must agree (round-8 advice; same shape as docNoveltySql)
+       |  SELECT doc_id, COALESCE(len(grams), 0) AS n_grams FROM g
        |  WHERE doc_id % $ContamBenchMod <> $ContamBenchRem
        |), cex AS (
        |  SELECT doc_id, unnest(grams) AS gram FROM g
@@ -278,9 +281,11 @@ object Curation {
       |  acc -> acc.best)""".stripMargin
 
   /** The word-bigram array over `w` (no distinct — multiplicities matter
-    * here, unlike [[Dedup]]'s shingle sets). Shared with StressLongDocs. */
+    * here, unlike [[Dedup]]'s shingle sets). Shared with StressLongDocs.
+    * greatest(…, 0): `w` can now be EMPTY (NULL text coalesces to array())
+    * and a bare size-1 slice length of -1 is an ANSI error. */
   private[graft] val G2Expr: String =
-    "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))"
+    "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> concat(x, ' ', w[i + 1]))"
 
   /** Intra-document repetition signals over word bigrams/trigrams — the
     * Gopher repetition filters: duplicate-n-gram fraction (how much of the
@@ -304,13 +309,18 @@ object Curation {
     * the tool and by the relational spec).
     *
     * Degenerate-doc CONVENTION (pinned both engines, spec-checked): a doc
-    * too short to have any bigram/trigram emits counts 0 and ratios 0.0 —
-    * never NULL — and keep_repetition = true (nothing to gate on). The
+    * too short to have any bigram/trigram — including a NULL-text doc,
+    * whose token array coalesces to empty — emits counts 0 and ratios
+    * 0.0 — never NULL — and keep_repetition = true (nothing to gate on). The
     * ratios are a SINGLE division of integer-derived values over
     * greatest(n, 1), identical formula text on both sides (§6). */
   def ngramRepetition(documents: DataFrame): DataFrame =
     documents
-      .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+      // coalesce to array(): NULL text must hit the same counts-0/ratios-0
+      // degenerate convention as a too-short doc — bare split(NULL) yields a
+      // NULL array, whose size(-1)/aggregate(NULL) mix would emit a
+      // half-NULL row diverging from the DuckDB twin (round-8 advice)
+      .withColumn("w", expr("coalesce(split(lower(trim(text)), '\\\\s+'), array())"))
       .withColumn("g2", expr(G2Expr))
       .withColumn("g3", expr(
         "transform(slice(w, 1, greatest(size(w) - 2, 0)), (x, i) -> concat(x, ' ', w[i + 1], ' ', w[i + 2]))"))
@@ -341,7 +351,9 @@ object Curation {
     * convention), instead of vanishing through an inner join. */
   val ngramRepetitionSql: String =
     s"""WITH toks AS (
-       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+       |  -- COALESCE to [] mirrors the Spark side's NULL-text guard: a NULL
+       |  -- text doc emits the same counts-0/ratios-0/keep=true row
+       |  SELECT doc_id, COALESCE(string_split_regex(lower(trim(text)), '\\s+'), []) AS w FROM documents
        |), g AS (
        |  SELECT doc_id,
        |         [w[i] || ' ' || w[i + 1] for i in range(1, len(w))] AS g2,
@@ -494,10 +506,18 @@ object Curation {
     *
     * Scale shape: explode tokens (inline generator) → (doc, term) tf
     * aggregation → term df aggregation → join back → per-doc top-k window.
-    * The df frame is vocabulary-sized: broadcast here, a term-keyed
-    * shuffle join at open-vocabulary scale (the join key dial, not a
-    * shape change). N rides as a 1-row broadcast cross join. */
-  def tfidfTopTerms(documents: DataFrame, k: Int = TfidfTopK): DataFrame = {
+    * The df frame is VOCABULARY-sized, so its join-back is a dial
+    * (`broadcastDf`, same pattern as [[Dedup.ngramJaccardPairs]]'
+    * `broadcastSizes`): true (default) broadcasts — right for any closed
+    * vocabulary, where df is MBs against a corpus of any size — false
+    * drops the hint so an OPEN vocabulary (urls, ids, code literals: df
+    * grows with the corpus) degrades to a term-keyed shuffle join instead
+    * of OOMing the build side. tf is already term-keyed from its own
+    * aggregation, so the shuffle join reuses that partitioning on one
+    * side. Output row-identical either way (spec-pinned). N rides as a
+    * 1-row broadcast cross join in both settings. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = TfidfTopK,
+                    broadcastDf: Boolean = true): DataFrame = {
     // tf feeds BOTH the output rows and the df aggregation — materialize it
     // once (the CC checkpoint discipline): unmaterialized, Catalyst plans
     // the token explode + (doc,term) shuffle-agg TWICE, and that pair is
@@ -509,7 +529,7 @@ object Curation {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(if (broadcastDf) broadcast(df) else df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score", expr(
         "CAST(tf AS DOUBLE) * (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)"))
@@ -668,10 +688,21 @@ object Curation {
     * spark_partition_id between the totals pass and the final join. Output
     * does not depend on WHERE the range boundaries land, only on slices
     * being contiguous in the total order, which range partitioning on the
-    * full unique key guarantees. */
+    * full unique key guarantees.
+    *
+    * `numParts ≤ 0` (the default) derives the width from
+    * `spark.sql.shuffle.partitions` — the deployment's own parallelism
+    * dial — so the range form scales with the cluster instead of silently
+    * capping at a literal (round-8 advice; same derivation as
+    * [[Dedup.ngramJaccardPairs]]' salt stats). The explicit parameter
+    * remains for the partition-count-invariance sweep spec. */
   def tokenBudgetPackRange(documents: DataFrame,
                            budget: Long = BudgetPerSource,
-                           numParts: Int = 32): DataFrame = {
+                           numParts: Int = 0): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else documents.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
     val bpe = TextOps.BpePattern.replace("\\", "\\\\")
     val base = documents
       .withColumn("bpe_tokens", expr(s"size(regexp_extract_all(text, '$bpe', 0))"))
@@ -679,7 +710,7 @@ object Curation {
         expr("md5(concat('graft-pack:', CAST(doc_id AS STRING)))"))
       .select("doc_id", "source", "bpe_tokens", "pack_key")
     val ranged = base
-      .repartitionByRange(numParts, col("source"), col("pack_key"), col("doc_id"))
+      .repartitionByRange(parts, col("source"), col("pack_key"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
     // pcnt (non-null bpe count per slice) reproduces the window form's

@@ -61,10 +61,20 @@ object Dedup {
     * shingle (not the string) and nothing else per row — on a dense-
     * vocabulary corpus the candidate join is Σ df(s)² rows, so payload
     * width is the dominant shuffle cost. Doc shingle counts are joined
-    * back AFTER the pair aggregation (|pairs| rows, broadcastable dim)
-    * instead of riding through the join. A 64-bit key collision inside one
-    * corpus (p ≈ |shingles|²/2⁶⁵) would perturb one `inter` count; the
-    * exact-string oracle guards it.
+    * back AFTER the pair aggregation instead of riding through the join —
+    * but note the BUILD side of that join-back is the `sizes` frame, ONE
+    * ROW PER DOCUMENT (the |pairs|-row frame is the probe side): at 10⁹
+    * docs a broadcast sizes frame is a ~16 GB build side, an OOM rather
+    * than a slowdown. `broadcastSizes` is therefore a dial, identical in
+    * spirit to [[dedupIncremental]]'s `broadcastBatch`: true (default)
+    * hints both size dims broadcast — right whenever the corpus's doc
+    * COUNT is broadcast-sized, which covers every per-tenant/per-shard
+    * invocation — false drops the hints so the join-back becomes two
+    * doc_id-keyed shuffle joins against the (much smaller) aggregated
+    * pair frame, and AQE may still locally re-choose broadcast from real
+    * sizes. Output is row-identical either way (spec-pinned). A 64-bit
+    * key collision inside one corpus (p ≈ |shingles|²/2⁶⁵) would perturb
+    * one `inter` count; the exact-string oracle guards it.
     *
     * `maxDf` is the LOSSY scale escape hatch for adversarially dense
     * corpora where Σ df² degenerates toward n² (PERF.md): shingles with
@@ -92,7 +102,8 @@ object Dedup {
     * itself is the problem. */
   def ngramJaccardPairs(documents: DataFrame, threshold: Double = JaccardThreshold,
                         maxDf: Option[Long] = None,
-                        saltCandidates: Option[Int] = None): DataFrame = {
+                        saltCandidates: Option[Int] = None,
+                        broadcastSizes: Boolean = true): DataFrame = {
     val sh = shingleSets(documents)
     val exAll = shingleExploded(documents)
       .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
@@ -120,12 +131,13 @@ object Dedup {
         Skew.saltedJoinHot(aM, bM, "sh", salt, hotShingles(exM, parts, HotDfFloor))
       case None => a.join(b, Seq("sh"))
     }
+    def dim(df: DataFrame): DataFrame = if (broadcastSizes) broadcast(df) else df
     candidates
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("id1"), col("nsh").as("n1"))), Seq("id1"))
-      .join(broadcast(sizes.select(col("doc_id").as("id2"), col("nsh").as("n2"))), Seq("id2"))
+      .join(dim(sizes.select(col("doc_id").as("id1"), col("nsh").as("n1"))), Seq("id1"))
+      .join(dim(sizes.select(col("doc_id").as("id2"), col("nsh").as("n2"))), Seq("id2"))
       .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (n1 + n2 - inter)"))
       .filter(col("jaccard") >= threshold)
   }

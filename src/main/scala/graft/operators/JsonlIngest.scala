@@ -64,8 +64,16 @@ object JsonlIngest {
         col("meta.origin").as("origin"),
         col("meta.quality").as("quality"))
 
-  /** Rejected-line audit for ingest attribution: (salvaged doc_id if any
-    * field parsed, raw line text) for every line that failed to parse.
+  /** Rejected-line audit for ingest attribution: (doc_id, raw line text)
+    * for every line that failed to parse. `doc_id` is non-NULL ONLY for
+    * partially-parseable records (a type mismatch in another field):
+    * PERMISSIVE mode nulls EVERY data column when a line is syntactically
+    * broken and only populates `_corrupt`, so the planted invalid-JSON
+    * fixture line carries doc_id = NULL here — attribution for that case
+    * is the raw line itself. Type-mismatch salvage is also outside the
+    * DuckDB oracle's parity contract (`ignore_errors` drops the whole
+    * line where Spark salvages fields), which is why the audit is
+    * spec-gated, not oracled.
     * Referencing a real data column alongside `_corrupt` is what makes
     * this legal on the live scan — Spark refuses queries whose referenced
     * columns are ONLY the internal corrupt-record column — so the audit

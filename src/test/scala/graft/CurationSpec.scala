@@ -174,19 +174,25 @@ class CurationSpec extends AnyFunSuite {
     import spark.implicits._
     // pinned convention (both engines): no bigrams/trigrams → 0s, never
     // NULL, keep=true; a 2-token doc has one bigram (top2_frac 1.0 → gated)
-    // and still zero trigrams
-    val d = Seq((1L, "one", "en", "s", 3L), (2L, "two words", "en", "s", 9L))
+    // and still zero trigrams. A NULL-text doc (round-8 advice) must hit
+    // the SAME all-zero convention — the token array coalesces to empty,
+    // so no size(NULL)/aggregate(NULL) half-NULL row can leak out.
+    val d = Seq((1L, "one", "en", "s", 3L), (2L, "two words", "en", "s", 9L),
+      (3L, null, "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = Curation.ngramRepetition(d)
       .select("doc_id", "n2", "d2", "top2", "n3", "d3",
         "dup2_ratio", "top2_frac", "dup3_ratio", "keep_repetition")
       .collect().map(r => r.getLong(0) -> r).toMap
-    assert(out.size == 2, "every doc must emit a row, however short")
-    val r1 = out(1L)
-    assert(r1.getInt(1) == 0 && r1.getInt(2) == 0 && r1.getInt(3) == 0 &&
-      r1.getInt(4) == 0 && r1.getInt(5) == 0)
-    assert(r1.getDouble(6) == 0.0 && r1.getDouble(7) == 0.0 && r1.getDouble(8) == 0.0)
-    assert(r1.getBoolean(9), "degenerate doc must keep=true, not NULL")
+    assert(out.size == 3, "every doc must emit a row, however short")
+    for (id <- Seq(1L, 3L)) {
+      val r1 = out(id)
+      assert(r1.getInt(1) == 0 && r1.getInt(2) == 0 && r1.getInt(3) == 0 &&
+        r1.getInt(4) == 0 && r1.getInt(5) == 0, s"doc $id counts")
+      assert(r1.getDouble(6) == 0.0 && r1.getDouble(7) == 0.0 && r1.getDouble(8) == 0.0,
+        s"doc $id ratios")
+      assert(r1.getBoolean(9), s"degenerate doc $id must keep=true, not NULL")
+    }
     val r2 = out(2L)
     assert(r2.getInt(1) == 1 && r2.getInt(3) == 1 && r2.getInt(4) == 0)
     assert(r2.getDouble(7) == 1.0 && !r2.getBoolean(9))
@@ -317,6 +323,29 @@ class CurationSpec extends AnyFunSuite {
       }
     }
     assert(rows.groupBy(_._1).size == texts.size, "every doc should emit top terms")
+  }
+
+  test("tfidf_topterms df join degrade dial: broadcastDf=false shuffles, same rows") {
+    // round 8 (verdict): the df frame is VOCABULARY-sized — at open-vocab
+    // scale (urls/ids/code literals) it grows with the corpus, so the
+    // broadcast hint must be a dial: false degrades the join-back to a
+    // term-keyed shuffle join, rows identical.
+    def rows(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.select("doc_id", "term", "tf", "df", "rank").collect().map(_.toString).sorted
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Curation.tfidfTopTerms(docs, broadcastDf = false)
+      val p = shuffled.queryExecution.executedPlan.toString
+      // N's 1-row cross join legitimately stays broadcast; the df JOIN must
+      // not — no BroadcastHASHjoin may remain (the N ride is nested-loop)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"broadcastDf=false must shuffle the df join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"df join should degrade to a shuffled equi-join:\n$p")
+      assert(rows(shuffled).sameElements(rows(Curation.tfidfTopTerms(docs))),
+        "dial changed the output rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
   test("corpus_report: per-source counts recompute from corpus_filter rows") {

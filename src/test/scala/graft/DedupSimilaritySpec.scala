@@ -73,6 +73,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
 
+  test("jaccard sizes join-back degrade dial: broadcastSizes=false shuffles, same rows") {
+    // round 8 (verdict): the sizes frame is ONE ROW PER DOCUMENT — the last
+    // corpus-proportional broadcast hint in a shipped operator. At 10⁹ docs
+    // it is an OOM, so it must be a dial: false drops both hints and the
+    // join-back degrades to doc_id-keyed shuffle joins, rows identical.
+    def rows(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.select("id1", "id2", "n1", "n2", "inter").collect().map(_.toString).sorted
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = Dedup.ngramJaccardPairs(docs, broadcastSizes = false)
+      val p = shuffled.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+        s"broadcastSizes=false must not broadcast anything:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+      assert(rows(shuffled).sameElements(rows(Dedup.ngramJaccardPairs(docs))),
+        "dial changed the output rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
+
   test("jaccard inverted-index join plans a hash join, not a cartesian product") {
     val plan = Dedup.ngramJaccardPairs(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
