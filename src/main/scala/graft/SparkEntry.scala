@@ -94,6 +94,9 @@ object SparkEntry {
     // round 6: leakage-safe train/val/test assignment, keyed on the dedup
     // fingerprint so exact duplicates can never straddle splits
     "corpus_split" -> ((s, d) => TextOps.corpusSplitQ(Tables.documents(s, d))),
+    // round 8: sub-document dedup — fixed-token-window paragraphs,
+    // per-window duplicate-of-earlier verdicts, per-doc dup-fraction gate
+    "paragraph_dedup" -> ((s, d) => ParagraphDedup.paragraphDedupQ(Tables.documents(s, d))),
     // round 6 (second half): corpus CURATION — eval-set decontamination
     // (broadcast benchmark n-gram probe), Gopher-style intra-doc repetition
     // gates (pure map pass), stratified quantile quality selection, and
@@ -157,6 +160,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dedup_incremental_lsh" -> Dedup.dedupIncrementalSql,
     "corpus_split" -> TextOps.corpusSplitSql,
+    "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,
     "contamination_check" -> Curation.contaminationCheckSql,
     "doc_novelty" -> Curation.docNoveltySql,
     "doc_ngram_repetition" -> Curation.ngramRepetitionSql,

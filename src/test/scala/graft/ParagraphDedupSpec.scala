@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ParagraphDedup
+
+/** Sub-document (fixed-token-window) dedup: planted-window semantics, an
+  * independent Scala recount over the gate corpus, and the load-bearing
+  * plan shape (inline generator, materialized fp index, fp-keyed hash
+  * join).
+  */
+class ParagraphDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  /** 8-token windows as strings, the same tokenization as the operator. */
+  private def windowsOf(text: String): Seq[String] = {
+    val w = Option(text).map(_.trim.toLowerCase.split("\\s+").toSeq).getOrElse(Seq.empty)
+    w.grouped(ParagraphDedup.ParaWindowTokens).map(_.mkString(" ")).toSeq
+  }
+
+  test("planted fixture: copies, partial overlap, within-doc repeats, NULL text") {
+    import spark.implicits._
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8"   // window A
+    val b = "b1 b2 b3 b4 b5 b6 b7 b8"   // window B
+    val c = "c1 c2 c3 c4 c5 c6 c7 c8"   // window C
+    val d = Seq(
+      (1L, s"$a $b"),        // first occurrence of A and B
+      (2L, s"$a $c"),        // A dup (earlier in doc 1), C fresh → frac 0.5
+      (3L, s"$a $b"),        // full copy of doc 1 → frac 1.0
+      (4L, null),            // NULL text → 0 windows
+      (5L, s"$c $c"),        // within-doc repeat: 2nd C dups doc 2's C; BOTH
+                             // windows dup earlier content → frac 1.0
+      (6L, "f1 f2 f3")       // single short fresh window → frac 0.0
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.paragraphDedup(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) == ((2L, 0L, 0.0, true)))
+    assert(out(2L) == ((2L, 1L, 0.5, false)))
+    assert(out(3L) == ((2L, 2L, 1.0, false)))
+    assert(out(4L) == ((0L, 0L, 0.0, true)), "NULL text: degenerate convention")
+    assert(out(5L) == ((2L, 2L, 1.0, false)))
+    assert(out(6L) == ((1L, 0L, 0.0, true)))
+    // verdict attribution: doc 2's A window must point at (doc 1, idx 0)
+    val v = ParagraphDedup.paragraphVerdicts(d)
+      .filter(col("doc_id") === 2L && col("para_idx") === 0)
+      .select("first_doc", "first_idx").head()
+    assert(v.getLong(0) == 1L && v.getInt(1) == 0)
+  }
+
+  test("gate corpus: rollup matches an independent Scala recount") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // first-occurrence by (doc_id, para_idx) over all windows, in Scala
+    val all = texts.sortBy(_._1).flatMap { case (id, t) =>
+      windowsOf(t).zipWithIndex.map { case (p, i) => (id, i, p) }
+    }
+    val firstOf = all.groupBy(_._3).map { case (p, occ) =>
+      p -> occ.map(o => (o._1, o._2)).min
+    }
+    val expected = all.groupBy(_._1).map { case (id, ws) =>
+      id -> (ws.length.toLong,
+        ws.count(w => firstOf(w._3) != ((w._1, w._2))).toLong)
+    }
+    val got = ParagraphDedup.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == texts.map(_._1).toSet, "every doc must emit a row")
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id: got ${got(id)}, recount $e")
+    }
+    // the gate corpus must exercise both branches (planted near-dups share
+    // aligned windows; fresh docs share none)
+    val fracs = ParagraphDedup.paragraphDedup(docs)
+      .select("keep_paragraphs").collect().map(_.getBoolean(0))
+    assert(fracs.contains(true) && fracs.contains(false),
+      "gate corpus should split on the dup-fraction gate")
+  }
+
+  test("plan shape: inline generator, materialized fp index feeds both consumers, hash join") {
+    // the window expression must stay the Generate child — no inferred
+    // filter recomputing the window array at the scan
+    val pEx = ParagraphDedup.paragraphExploded(docs)
+      .queryExecution.executedPlan.toString
+    val filterLines = pEx.linesIterator.filter(_.contains("Filter ")).toSeq
+    assert(!filterLines.exists(_.contains("array_join")),
+      s"window explode re-grew an inferred filter recomputing the window array:\n$pEx")
+    // downstream of the checkpoint: no Generate re-plan, no cartesian; the
+    // fp self-alignment is a hash/merge join over the materialized index
+    val p = ParagraphDedup.paragraphDedup(docs).queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"),
+      s"verdict join must consume the checkpointed fp index:\n$p")
+    assert(!p.contains("Generate"),
+      s"rollup must not re-plan the window explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pairwise comparison anywhere:\n$p")
+  }
+}
