@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL image-format header decoding over opaque binary payloads
+  * (round 8) — the triage pass a multimodal ingest runs before any byte
+  * reaches a pixel decoder: format detection plus width / height /
+  * bit-depth / component-count straight from the container headers, as
+  * pure byte arithmetic in Catalyst expressions (substring + hex + conv —
+  * all codegen'd; no UDF, no media library).
+  *
+  *  - PNG: fixed layout — 8-byte signature, then the IHDR chunk puts
+  *    width at bytes 17–20 (u32 BE), height 21–24, bit depth 25, color
+  *    type 26 (component count is the standard color-type mapping).
+  *  - JPEG: the dimensions live in a SOFn segment at a file-dependent
+  *    offset, so the parser is a real SEGMENT WALKER: an `aggregate` fold
+  *    hops marker to marker by each segment's big-endian length field
+  *    until it lands on a SOF marker (C0–CF minus DHT/JPG/DAC), then
+  *    reads precision / height / width / components at fixed offsets from
+  *    it. First-occurrence string scans are WRONG here — table payloads
+  *    may legally contain the FF C0 byte pair (the committed fixtures
+  *    plant exactly that in a DQT), and only length-hopping parses them;
+  *    the spec pins the trap. The walk is bounded ([[MaxSegments]] hops —
+  *    headers precede entropy data, real files carry well under 32
+  *    pre-SOF segments) and freezes to a no-SOF verdict on any
+  *    malformation (non-FF marker byte, truncated file) instead of
+  *    throwing — one corrupt file costs one NULL row, not the job.
+  *  - anything else: format 'unknown', NULL fields — same convention.
+  *
+  * Scale shape: map-only over the binary column (spec-pinned zero
+  * exchanges). The fixture read uses the `binaryFile` source (files as
+  * the parallelism unit); at corpus scale the same expressions run
+  * against a parquet `payload` binary column — the operator takes the
+  * frame, not the path, so both bindings share this code. This replaces
+  * "header peek" plumbing with an actual decoder: a user gets real
+  * dimensions from real PNG/JPEG bytes. The pixel-level decode (IDAT
+  * inflate / entropy decode) stays out of scope — that genuinely needs a
+  * media library the environment doesn't ship ([[Multimodal]] documents
+  * that boundary).
+  *
+  * Reference relation: the reference's media tables stop at opaque S3
+  * keys; this is the §2.C 34/35 multimodal family made real at the
+  * header level.
+  */
+object ImageHeaders {
+
+  /** Committed fixture dir (tools/make_image_fixtures.py regenerates it
+    * byte-identically): 4 PNGs spanning color types 0/2/3/6 and 8/16-bit
+    * depth, 3 JPEGs (baseline, progressive, grayscale) each carrying the
+    * FF C0 trap in a DQT payload, and one non-image file. */
+  val FixtureDir = "/root/repo/fixtures/images"
+
+  /** Segment-walk bound: headers precede entropy data and real files
+    * carry well under this many pre-SOF segments. */
+  val MaxSegments = 32
+
+  /** SOF0–SOF15 marker bytes minus DHT (C4), JPG (C8), DAC (CC) — the
+    * markers whose payload is the frame header. */
+  val SofMarkers: Seq[Int] = Seq(192, 193, 194, 195, 197, 198, 199,
+    201, 202, 203, 205, 206, 207)
+
+  private def u8(p: String) = s"CAST(conv(hex(substring(content, $p, 1)), 16, 10) AS INT)"
+  private def u16(p: String) = s"CAST(conv(hex(substring(content, $p, 2)), 16, 10) AS INT)"
+
+  /** 1-based byte offset of the SOF marker's FF, or 0 if none found. */
+  private[graft] val SofOffExpr: String = {
+    val sofSet = SofMarkers.mkString(", ")
+    s"""aggregate(
+       |  sequence(1, $MaxSegments),
+       |  named_struct('off', 3, 'sof', 0),
+       |  (acc, i) -> IF(acc.sof > 0 OR acc.off + 9 > octet_length(content)
+       |                 OR ${u8("acc.off")} <> 255, acc,
+       |    IF(${u8("acc.off + 1")} IN ($sofSet),
+       |       named_struct('off', acc.off, 'sof', acc.off),
+       |       named_struct('off', acc.off + 2 + ${u16("acc.off + 2")}, 'sof', 0))),
+       |  acc -> acc.sof)""".stripMargin
+  }
+
+  /** Header decode over any frame carrying (`file`, `content` binary,
+    * `byte_len`). */
+  def decodeHeaders(binaries: DataFrame): DataFrame =
+    binaries
+      .withColumn("format", expr(
+        """CASE WHEN hex(substring(content, 1, 8)) = '89504E470D0A1A0A' THEN 'png'
+          |     WHEN hex(substring(content, 1, 2)) = 'FFD8' THEN 'jpeg'
+          |     ELSE 'unknown' END""".stripMargin))
+      .withColumn("sof", when(col("format") === "jpeg", expr(SofOffExpr)))
+      .withColumn("width", expr(
+        s"""CASE WHEN format = 'png' THEN CAST(conv(hex(substring(content, 17, 4)), 16, 10) AS INT)
+           |     WHEN format = 'jpeg' AND sof > 0 THEN ${u16("sof + 7")} END""".stripMargin))
+      .withColumn("height", expr(
+        s"""CASE WHEN format = 'png' THEN CAST(conv(hex(substring(content, 21, 4)), 16, 10) AS INT)
+           |     WHEN format = 'jpeg' AND sof > 0 THEN ${u16("sof + 5")} END""".stripMargin))
+      .withColumn("bit_depth", expr(
+        s"""CASE WHEN format = 'png' THEN ${u8("25")}
+           |     WHEN format = 'jpeg' AND sof > 0 THEN ${u8("sof + 4")} END""".stripMargin))
+      .withColumn("n_components", expr(
+        s"""CASE WHEN format = 'png' THEN
+           |       CASE ${u8("26")} WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+           |                        WHEN 4 THEN 2 WHEN 6 THEN 4 END
+           |     WHEN format = 'jpeg' AND sof > 0 THEN ${u8("sof + 9")} END""".stripMargin))
+      .select(col("file"), col("format"), col("byte_len"),
+        col("width"), col("height"), col("bit_depth"), col("n_components"))
+
+  /** Fixture binding: `binaryFile` source → decode. */
+  def imageHeaderDecode(spark: SparkSession, dir: String = FixtureDir): DataFrame =
+    decodeHeaders(
+      spark.read.format("binaryFile").load(s"$dir/*")
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
+          col("content"), col("length").as("byte_len")))
+
+  def imageHeaderDecodeQ(spark: SparkSession): DataFrame =
+    imageHeaderDecode(spark).orderBy("file")
+
+  /** DuckDB twin: same byte arithmetic over `read_blob`, with the segment
+    * walk as a RECURSIVE CTE hopping `off → off + 2 + len` — an
+    * independent formulation of the fold (recursion vs aggregate), which
+    * is the point of the oracle. Byte access goes through the hex string
+    * (the [[Multimodal.multimodalDecodeSql]] strpos trick). */
+  val imageHeaderDecodeSql: String = {
+    def du8(p: String) =
+      s"((strpos('0123456789ABCDEF', substr(h, 2*($p)-1, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, 2*($p), 1))-1)"
+    def du16(p: String) = s"(${du8(p)}*256 + ${du8(s"($p)+1")})"
+    def du32(p: String) = s"(${du16(p)}*65536 + ${du16(s"($p)+2")})"
+    val sofSet = SofMarkers.mkString(", ")
+    s"""WITH RECURSIVE b AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file, hex(content) AS h,
+       |         CAST(size AS BIGINT) AS byte_len
+       |  FROM read_blob('$FixtureDir/*')
+       |), f AS (
+       |  SELECT file, h, byte_len,
+       |         CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+       |              WHEN substr(h, 1, 4) = 'FFD8' THEN 'jpeg'
+       |              ELSE 'unknown' END AS format
+       |  FROM b
+       |), seg(file, off) AS (
+       |  SELECT file, 3 FROM f WHERE format = 'jpeg'
+       |  UNION ALL
+       |  SELECT s.file, s.off + 2 + ${du16("s.off + 2")}
+       |  FROM seg s JOIN f ON f.file = s.file
+       |  WHERE s.off + 9 <= f.byte_len
+       |    AND ${du8("s.off")} = 255
+       |    AND ${du8("s.off + 1")} NOT IN ($sofSet)
+       |    AND ${du8("s.off + 1")} <> 218
+       |), sof AS (
+       |  SELECT s.file, min(s.off) AS sof
+       |  FROM seg s JOIN f ON f.file = s.file
+       |  WHERE s.off + 9 <= f.byte_len
+       |    AND ${du8("s.off")} = 255 AND ${du8("s.off + 1")} IN ($sofSet)
+       |  GROUP BY 1
+       |)
+       |SELECT f.file, f.format, f.byte_len,
+       |       CAST(CASE WHEN format = 'png' THEN ${du32("17")}
+       |                 WHEN sof IS NOT NULL THEN ${du16("sof + 7")} END AS INT) AS width,
+       |       CAST(CASE WHEN format = 'png' THEN ${du32("21")}
+       |                 WHEN sof IS NOT NULL THEN ${du16("sof + 5")} END AS INT) AS height,
+       |       CAST(CASE WHEN format = 'png' THEN ${du8("25")}
+       |                 WHEN sof IS NOT NULL THEN ${du8("sof + 4")} END AS INT) AS bit_depth,
+       |       CAST(CASE WHEN format = 'png' THEN
+       |              CASE ${du8("26")} WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+       |                                WHEN 4 THEN 2 WHEN 6 THEN 4 END
+       |            WHEN sof IS NOT NULL THEN ${du8("sof + 9")} END AS INT) AS n_components
+       |FROM f LEFT JOIN sof ON sof.file = f.file
+       |ORDER BY f.file""".stripMargin
+  }
+}
