@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, ParagraphDedup}
+
+/** Scratch measurement (round-8 verdict #4): the curation suite above
+  * gate volume. contamination_check and doc_novelty had only ever run at
+  * the sf0.1 gate; this drives them — plus both quality_select forms,
+  * both token_budget_pack forms, doc_ngram_repetition, tfidf under both
+  * df-join dial settings, and the round-8 paragraph_dedup — at 1× and
+  * 10× the sf0.1 corpus, so the PERF.md table shows measured scaling
+  * exponents instead of shape arguments.
+  *
+  * The 10× corpus is [[StressDf2]]'s generator (per-replica cyclic word
+  * rotation: replicas are genuine near-dups, vocabulary density grows
+  * the way a real corpus's does) — gram/window duplication therefore
+  * RISES with volume, which is the adversarial direction for novelty /
+  * contamination / paragraph dedup (their duplicate-handling joins get
+  * denser, not sparser). Single MIN-of-two-passes timing per config
+  * (StressDf2's convention; these are measurement runs, not gates).
+  */
+object StressCuration {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_stress_curation"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, baseDir)
+
+    val uniform10x = base
+      .withColumn("r", explode(expr("sequence(0, 9)")))
+      .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+      .withColumn("rot", expr("concat(slice(w, r + 1, size(w) - r), slice(w, 1, r))"))
+      .select((col("doc_id") * lit(10L) + col("r")).as("doc_id"),
+        array_join(col("rot"), " ").as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    def materialize(df: DataFrame, name: String): DataFrame = {
+      val path = s"$workDir/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    val x10 = materialize(uniform10x, "uniform10x")
+    println(s"STATS base=${base.count()} x10=${x10.count()}")
+
+    def time(name: String)(mk: => DataFrame): Unit = {
+      val passes = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIME config=$name sec=${passes.min}%.1f passes=${passes.map(p => f"$p%.1f").mkString("/")}")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    // warmup (JIT/codegen) on the small side
+    Curation.contaminationCheck(base).write.format("noop").mode("overwrite").save()
+
+    for ((tag, docs) <- Seq("1x" -> base, "10x" -> x10)) {
+      time(s"contamination_$tag") { Curation.contaminationCheck(docs) }
+      time(s"novelty_$tag") { Curation.docNovelty(docs) }
+      time(s"repetition_$tag") { Curation.ngramRepetition(docs) }
+      time(s"quality_select_2pass_$tag") { Curation.qualitySelect(docs) }
+      time(s"quality_select_window_$tag") { Curation.qualitySelectWindow(docs) }
+      time(s"pack_window_$tag") { Curation.tokenBudgetPack(docs) }
+      time(s"pack_range_$tag") { Curation.tokenBudgetPackRange(docs) }
+      time(s"tfidf_bcast_$tag") { Curation.tfidfTopTerms(docs) }
+      time(s"tfidf_shuffle_$tag") { Curation.tfidfTopTerms(docs, broadcastDf = false) }
+      time(s"paragraph_dedup_$tag") { ParagraphDedup.paragraphDedup(docs) }
+    }
+
+    spark.stop()
+  }
+}
