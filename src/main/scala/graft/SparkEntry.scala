@@ -77,8 +77,10 @@ object SparkEntry {
     "multimodal_meta" -> ((s, d) => Multimodal.multimodalMetaQ(Tables.documents(s, d))),
     "multimodal_decode" -> ((s, d) => Multimodal.multimodalDecodeQ(Tables.documents(s, d))),
     // round 8: REAL format-header decode — PNG IHDR + JPEG SOF segment
-    // walk as pure byte-arithmetic expressions over committed fixtures
+    // walk as pure byte-arithmetic expressions over committed fixtures,
+    // and the RIFF/WAVE chunk-walk sibling for audio
     "image_header_decode" -> ((s, _) => ImageHeaders.imageHeaderDecodeQ(s)),
+    "audio_header_decode" -> ((s, _) => AudioHeaders.audioHeaderDecodeQ(s)),
     // beyond the SURVEY §2 inventory: second scale paths for similarity
     "embedding_dedup_lsh" -> ((s, d) => Lsh.embeddingDedupLshQ(Tables.embeddings(s, d))),
     "knn_cosine_ivf" -> ((s, d) => Ivf.knnCosineIvfQ(Tables.embeddings(s, d))),
@@ -157,6 +159,7 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "image_header_decode" -> ImageHeaders.imageHeaderDecodeSql,
+    "audio_header_decode" -> AudioHeaders.audioHeaderDecodeSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
     "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
