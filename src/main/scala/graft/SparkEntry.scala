@@ -102,6 +102,9 @@ object SparkEntry {
     // round 8: sub-document dedup — fixed-token-window paragraphs,
     // per-window duplicate-of-earlier verdicts, per-doc dup-fraction gate
     "paragraph_dedup" -> ((s, d) => ParagraphDedup.paragraphDedupQ(Tables.documents(s, d))),
+    // …and its per-batch admission twin: batch windows probe the existing
+    // corpus's paragraph-fingerprint index (dedup_incremental economics)
+    "paragraph_dedup_incremental" -> ((s, d) => ParagraphDedup.paragraphIncrementalQ(Tables.documents(s, d))),
     // round 6 (second half): corpus CURATION — eval-set decontamination
     // (broadcast benchmark n-gram probe), Gopher-style intra-doc repetition
     // gates (pure map pass), stratified quantile quality selection, and
@@ -168,6 +171,7 @@ object SparkEntry {
     "dedup_incremental_lsh" -> Dedup.dedupIncrementalSql,
     "corpus_split" -> TextOps.corpusSplitSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,
+    "paragraph_dedup_incremental" -> ParagraphDedup.paragraphIncrementalSql,
     "contamination_check" -> Curation.contaminationCheckSql,
     "doc_novelty" -> Curation.docNoveltySql,
     "doc_ngram_repetition" -> Curation.ngramRepetitionSql,

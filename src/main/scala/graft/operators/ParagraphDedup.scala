@@ -118,6 +118,88 @@ object ParagraphDedup {
         col("dup_para_frac"), col("keep_paragraphs"))
   }
 
+  /** Incremental (per-batch) paragraph admission — the sub-document twin
+    * of [[Dedup.dedupIncremental]]: for each BATCH doc (the
+    * [[Dedup.IncrementalBatchMod]] doc_id % 5 == 0 stand-in), the fraction
+    * of its windows already present anywhere in the EXISTING corpus, and
+    * the admission verdict `is_new = hit_frac <= maxHitFrac`. This is the
+    * form a daily ingest actually runs: the corpus paragraph-fingerprint
+    * index is the asset (at 100 TB: persisted DISTINCT-fp table bucketed
+    * by fp — built once, amortized across every future batch, the
+    * InfraSpec persisted-index economics), and each batch pays only its
+    * own window stream: one fp-keyed probe join whose shuffled side is
+    * batch-sized, plus the per-batch-doc count aggregation. No
+    * batch-internal comparison (that is [[paragraphDedup]] run on the
+    * admitted batch afterwards) and no corpus×corpus work ever.
+    *
+    * Hits count window INSTANCES (a doc repeating a known window twice
+    * scores 2 hits of 2 windows), mirroring the rollup convention of
+    * [[paragraphDedup]]; degenerate batch docs (no windows) re-enter at
+    * the final left join as 0/0/0.0/is_new = true. */
+  def paragraphIncremental(documents: DataFrame,
+                           width: Int = ParaWindowTokens,
+                           batchMod: Long = Dedup.IncrementalBatchMod,
+                           maxHitFrac: Double = DupParaMax): DataFrame = {
+    val ex = paragraphExploded(documents, width)
+    val batch = ex.filter(col("doc_id") % batchMod === 0)
+      .select(col("doc_id"), col("fp"))
+    val corpusIdx = ex.filter(col("doc_id") % batchMod =!= 0)
+      .select(col("fp")).distinct()
+      .withColumn("hit", lit(1L))
+    val stats = batch.join(corpusIdx, Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("np"), sum(coalesce(col("hit"), lit(0L))).as("nh"))
+    documents.filter(col("doc_id") % batchMod === 0).select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .withColumn("n_paras", coalesce(col("np"), lit(0L)))
+      .withColumn("n_hit", coalesce(col("nh"), lit(0L)))
+      .withColumn("hit_frac", expr("CAST(n_hit AS DOUBLE) / greatest(n_paras, 1)"))
+      .withColumn("is_new", col("hit_frac") <= maxHitFrac)
+      .select(col("doc_id"), col("n_paras"), col("n_hit"),
+        col("hit_frac"), col("is_new"))
+  }
+
+  def paragraphIncrementalQ(documents: DataFrame): DataFrame =
+    paragraphIncremental(documents)
+      .select(col("doc_id"), col("n_paras"), col("n_hit"),
+        r("hit_frac", 4), col("is_new"))
+      .orderBy("doc_id")
+
+  /** DuckDB twin of [[paragraphIncremental]] — same window comprehension
+    * as [[paragraphDedupSql]], corpus side as a DISTINCT window set. */
+  val paragraphIncrementalSql: String = {
+    val wdt = ParaWindowTokens
+    val mod = Dedup.IncrementalBatchMod
+    s"""WITH toks AS (
+       |  SELECT doc_id, COALESCE(string_split_regex(lower(trim(text)), '\\s+'), []) AS w
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |         [array_to_string(w[s*$wdt+1 : s*$wdt+$wdt], ' ')
+       |          for s in range(0, CAST(ceil(len(w) / $wdt.0) AS BIGINT))] AS paras
+       |  FROM toks
+       |), ex AS (
+       |  SELECT doc_id, unnest(paras) AS para FROM g
+       |), corpus AS (
+       |  SELECT DISTINCT para FROM ex WHERE doc_id % $mod <> 0
+       |), stats AS (
+       |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS np,
+       |         CAST(sum(CASE WHEN c.para IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nh
+       |  FROM ex e LEFT JOIN corpus c ON c.para = e.para
+       |  WHERE e.doc_id % $mod = 0
+       |  GROUP BY 1
+       |), j AS (
+       |  SELECT d.doc_id, COALESCE(np, 0) AS n_paras, COALESCE(nh, 0) AS n_hit
+       |  FROM documents d LEFT JOIN stats ON stats.doc_id = d.doc_id
+       |  WHERE d.doc_id % $mod = 0
+       |)
+       |SELECT doc_id, n_paras, n_hit,
+       |       ${rsql("CAST(n_hit AS DOUBLE) / greatest(n_paras, 1)", 4, "hit_frac")},
+       |       CAST(n_hit AS DOUBLE) / greatest(n_paras, 1) <= $DupParaMax AS is_new
+       |FROM j
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def paragraphDedupQ(documents: DataFrame): DataFrame =
     paragraphDedup(documents)
       .select(col("doc_id"), col("n_paras"), col("n_dup_paras"),

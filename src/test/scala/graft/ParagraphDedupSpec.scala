@@ -79,6 +79,45 @@ class ParagraphDedupSpec extends AnyFunSuite {
       "gate corpus should split on the dup-fraction gate")
   }
 
+  test("incremental admission: batch windows probe only the corpus side; recount agrees") {
+    import spark.implicits._
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val c = "c1 c2 c3 c4 c5 c6 c7 c8"
+    // corpus = ids not % 5: 1 contributes A, 2 contributes B; batch = 0/5/10
+    val d = Seq(
+      (0L, s"$a $b"),   // both windows known in corpus → frac 1.0, rejected
+      (1L, a), (2L, b),
+      (5L, s"$a $c"),   // A known, C fresh → 0.5, rejected at 0.3
+      (10L, s"$c $c"),  // C appears ONLY in batch docs — batch-internal
+                        // repeats must NOT count as hits → frac 0, admitted
+      (11L, null)       // corpus NULL doc contributes nothing
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.paragraphIncremental(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out.keySet == Set(0L, 5L, 10L), "one row per batch doc only")
+    assert(out(0L) == ((2L, 2L, 1.0, false)))
+    assert(out(5L) == ((2L, 1L, 0.5, false)))
+    assert(out(10L) == ((2L, 0L, 0.0, true)), "batch-internal windows are not corpus hits")
+    // gate corpus: recount hits against the corpus-side window set in Scala
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val mod = graft.operators.Dedup.IncrementalBatchMod
+    val corpusSet = texts.filter(_._1 % mod != 0).flatMap(t => windowsOf(t._2)).toSet
+    val expected = texts.filter(_._1 % mod == 0).map { case (id, t) =>
+      val ws = windowsOf(t)
+      id -> (ws.length.toLong, ws.count(corpusSet.contains).toLong)
+    }.toMap
+    val got = ParagraphDedup.paragraphIncremental(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, "gate-corpus incremental hits must match the Scala recount")
+    val verdicts = ParagraphDedup.paragraphIncremental(docs)
+      .select("is_new").collect().map(_.getBoolean(0))
+    assert(verdicts.contains(true) && verdicts.contains(false),
+      "gate corpus should exercise both admission branches")
+  }
+
   test("plan shape: inline generator, materialized fp index feeds both consumers, hash join") {
     // the window expression must stay the Generate child — no inferred
     // filter recomputing the window array at the scan
