@@ -81,6 +81,7 @@ object SparkEntry {
     // and the RIFF/WAVE chunk-walk sibling for audio
     "image_header_decode" -> ((s, _) => ImageHeaders.imageHeaderDecodeQ(s)),
     "audio_header_decode" -> ((s, _) => AudioHeaders.audioHeaderDecodeQ(s)),
+    "video_header_decode" -> ((s, _) => VideoHeaders.videoHeaderDecodeQ(s)),
     // beyond the SURVEY §2 inventory: second scale paths for similarity
     "embedding_dedup_lsh" -> ((s, d) => Lsh.embeddingDedupLshQ(Tables.embeddings(s, d))),
     "knn_cosine_ivf" -> ((s, d) => Ivf.knnCosineIvfQ(Tables.embeddings(s, d))),
@@ -163,6 +164,7 @@ object SparkEntry {
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "image_header_decode" -> ImageHeaders.imageHeaderDecodeSql,
     "audio_header_decode" -> AudioHeaders.audioHeaderDecodeSql,
+    "video_header_decode" -> VideoHeaders.videoHeaderDecodeSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
     "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
