@@ -12,7 +12,12 @@ import Parity.{r, rsql}
   * the container ships no media libraries — the Spark-side plumbing
   * (binary column, metadata schema, partition-batched decode signature)
   * is the real, tested part; the pixel decode itself is a clearly-marked
-  * deterministic stand-in.
+  * deterministic stand-in. Since round 8 the FORMAT-HEADER level of
+  * decode is real, not stubbed: [[ImageHeaders]] (PNG IHDR + JPEG SOF
+  * segment walk), [[AudioHeaders]] (RIFF/WAVE chunk walk) and
+  * [[VideoHeaders]] (MP4 box walk) parse actual container bytes with
+  * pure expressions — only the pixel/PCM/codec payload decode remains
+  * behind the media-library boundary this stub marks.
   *
   * At 100 TB, `multimodal_meta` is a map-only projection over the binary
   * column (header peek + length arithmetic — no decode), which is exactly
