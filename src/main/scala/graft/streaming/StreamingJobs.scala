@@ -204,6 +204,59 @@ object StreamingJobs {
       .select("doc_id", "n_grams", "n_hit", "overlap_ratio", "contaminated")
   }
 
+  // --------------------------- stream-static paragraph admission
+
+  /** Stream-static SUB-document admission — the streaming half of
+    * [[graft.operators.ParagraphDedup.paragraphIncremental]]: documents
+    * arrive as an unbounded stream and each is scored against the STATIC
+    * corpus paragraph-fingerprint index at ingest time, verdict FINAL at
+    * arrival.
+    *
+    * Append-mode STATELESS end to end, same architecture as
+    * [[contaminationStream]]: the doc's window fingerprints are a pure
+    * per-row expression (the same filtered-index-transform window array,
+    * md5 per window), the corpus index rides as ONE static row (sorted
+    * distinct fps) joined on a constant key, and n_hit is a per-row
+    * filter-count over the window INSTANCES — a doc repeating a known
+    * window twice scores 2 hits, exactly the batch rollup convention
+    * (row-for-row parity spec-pinned). Arriving docs never count against
+    * each other — the batch contract.
+    *
+    * Scale notes: the gate corpus's distinct window set fits one row; a
+    * 100 TB corpus's does not, and there the probe becomes the batch
+    * operator's fp-keyed join against the persisted bucketed index — the
+    * dial moves, the contract doesn't (same sentence as the
+    * decontamination twin, and the same static-side refresh contract:
+    * snapshot at query (re)start, emitted verdicts final). */
+  def paragraphAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, ParagraphDedup}
+    val mod = Dedup.IncrementalBatchMod
+    val corpusSet = ParagraphDedup
+      .paragraphExploded(
+        spark.read.schema(documentsRawSchema).parquet(dir)
+          .filter(col("doc_id") % mod =!= 0))
+      .select(col("fp")).distinct()
+      .agg(sort_array(collect_set(col("fp"))).as("corpus_fps"))
+      .withColumn("k", lit(1))
+    spark.readStream
+      .schema(documentsRawSchema)
+      .parquet(dir)
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"),
+        expr("coalesce(split(lower(trim(text)), '\\\\s+'), array())").as("w"))
+      .select(col("doc_id"),
+        expr(s"transform(${ParagraphDedup.paraArrayExpr(ParagraphDedup.ParaWindowTokens)}, p -> md5(p))")
+          .as("fps"))
+      .withColumn("k", lit(1))
+      .join(corpusSet, Seq("k"), "left")
+      .withColumn("n_paras", expr("CAST(size(fps) AS BIGINT)"))
+      .withColumn("n_hit", expr(
+        "CAST(coalesce(size(filter(fps, p -> array_contains(corpus_fps, p))), 0) AS BIGINT)"))
+      .withColumn("hit_frac", expr("CAST(n_hit AS DOUBLE) / greatest(n_paras, 1)"))
+      .withColumn("is_new", col("hit_frac") <= ParagraphDedup.DupParaMax)
+      .select("doc_id", "n_paras", "n_hit", "hit_frac", "is_new")
+  }
+
   // ------------------------------------------------- stateful sessionize
 
   /** c is Option: a NULL value must not kill the stream — the batch twin

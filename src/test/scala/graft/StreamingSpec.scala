@@ -118,6 +118,33 @@ class StreamingSpec extends AnyFunSuite {
       "corpus exercises only one contamination verdict")
   }
 
+  test("stream-static paragraph admission matches the batch operator row-for-row") {
+    // append-mode stateless: per-row window fingerprints + one static
+    // corpus-index row on a constant key + per-row instance filter-count —
+    // verdict final at arrival, batch contract (arriving docs never count
+    // against each other), so parity is full row equality
+    val dir = Files.createTempDirectory("graft-stream-para")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingJobs.paragraphAdmissionStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("para_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    val streamed = spark.table("para_stream")
+      .select("doc_id", "n_paras", "n_hit", "hit_frac", "is_new")
+      .collect().map(key).sortBy(_._1)
+    val batch = graft.operators.ParagraphDedup.paragraphIncremental(Tables.documents(spark, sf))
+      .select("doc_id", "n_paras", "n_hit", "hit_frac", "is_new")
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"stream=${streamed.length} batch=${batch.length} " +
+        s"diff=${streamed.zip(batch).filter(p => p._1 != p._2).take(3).mkString(",")}")
+    assert(streamed.exists(_._5) && streamed.exists(!_._5),
+      "corpus exercises only one admission branch")
+  }
+
   test("streaming as-of join matches the batch LOCF window row-for-row") {
     val dir = stageEventsDir("asof")
     val q = StreamingJobs.asofJoinStream(spark, dir)
