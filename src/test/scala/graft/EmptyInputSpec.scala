@@ -71,6 +71,24 @@ class EmptyInputSpec extends AnyFunSuite {
     }
   }
 
+  test("header decoders are total on an empty binaries frame") {
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("file", StringType),
+        StructField("content", BinaryType),
+        StructField("byte_len", LongType))))
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "image_header_decode" -> ImageHeaders.decodeHeaders(empty),
+      "audio_header_decode" -> AudioHeaders.decodeAudioHeaders(empty),
+      "video_header_decode" -> VideoHeaders.decodeVideoHeaders(empty))
+    ops.foreach { case (name, df) =>
+      val n = try df.count() catch {
+        case e: Throwable => fail(s"$name threw on empty binaries: $e")
+      }
+      assert(n == 0, s"$name returned $n rows on empty binaries")
+    }
+  }
+
   test("embedding operators are total on an empty table") {
     val e = emptyEmb
     val ops: Seq[(String, DataFrame)] = Seq(
