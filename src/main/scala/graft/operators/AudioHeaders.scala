@@ -45,8 +45,12 @@ object AudioHeaders {
 
   private def u8(p: String) = s"CAST(conv(hex(substring(content, $p, 1)), 16, 10) AS INT)"
   private def u16le(p: String) = s"(${u8(p)} + ${u8(s"($p) + 1")} * 256)"
+  // BIGINT per byte: the top byte of a 32-bit LE size reaches 255·2²⁴,
+  // which overflows INT under ANSI — an RF64 0xFFFFFFFF data-size
+  // sentinel or any >2 GB chunk would throw instead of degrading
   private def u32le(p: String) =
-    s"(${u8(p)} + ${u8(s"($p) + 1")} * 256 + ${u8(s"($p) + 2")} * 65536 + ${u8(s"($p) + 3")} * 16777216)"
+    s"(CAST(${u8(p)} AS BIGINT) + CAST(${u8(s"($p) + 1")} AS BIGINT) * 256 + " +
+      s"CAST(${u8(s"($p) + 2")} AS BIGINT) * 65536 + CAST(${u8(s"($p) + 3")} AS BIGINT) * 16777216)"
 
   /** Fold result: struct(fmt = 1-based offset of the `fmt ` chunk header,
     * 0 if absent; dsz = first `data` chunk's payload size, -1 if absent). */
@@ -54,7 +58,8 @@ object AudioHeaders {
     val sz = u32le("acc.off + 4")
     s"""aggregate(
        |  sequence(1, $MaxChunks),
-       |  named_struct('off', 13, 'fmt', 0, 'dsz', -1),
+       |  named_struct('off', CAST(13 AS BIGINT), 'fmt', CAST(0 AS BIGINT),
+       |               'dsz', CAST(-1 AS BIGINT)),
        |  (acc, i) -> IF((acc.fmt > 0 AND acc.dsz >= 0)
        |                 OR acc.off + 8 > octet_length(content) + 1, acc,
        |    named_struct(
@@ -145,9 +150,9 @@ object AudioHeaders {
        |  SELECT f.file, f.format, f.byte_len,
        |         CAST(CASE WHEN d IS NOT NULL THEN ${du16le("d")} END AS INT) AS audio_format,
        |         CAST(CASE WHEN d IS NOT NULL THEN ${du16le("d + 2")} END AS INT) AS n_channels,
-       |         CAST(CASE WHEN d IS NOT NULL THEN ${du32le("d + 4")} END AS INT) AS sample_rate,
+       |         CAST(CASE WHEN d IS NOT NULL THEN ${du32le("d + 4")} END AS BIGINT) AS sample_rate,
        |         CAST(CASE WHEN d IS NOT NULL THEN ${du16le("d + 14")} END AS INT) AS bits_per_sample,
-       |         CAST(dsz AS INT) AS data_bytes
+       |         CAST(dsz AS BIGINT) AS data_bytes
        |  FROM f LEFT JOIN fmt ON fmt.file = f.file LEFT JOIN dat ON dat.file = f.file
        |)
        |SELECT file, format, byte_len, audio_format, n_channels, sample_rate,

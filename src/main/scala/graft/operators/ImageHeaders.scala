@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   *    pre-SOF segments) and freezes to a no-SOF verdict on any
   *    malformation (non-FF marker byte, truncated file) instead of
   *    throwing — one corrupt file costs one NULL row, not the job.
+  *  - GIF (87a/89a): width/height u16 LITTLE-endian in the logical screen
+  *    descriptor, bit depth from the packed color-resolution bits —
+  *    fixed offsets like PNG, opposite byte order.
+  *  - BMP: signed i32 LE dims in the BITMAPINFOHEADER (height negative
+  *    for top-down row order → reported as |height|, fixture-pinned),
+  *    bit count u16 LE, components from the bit count.
   *  - anything else: format 'unknown', NULL fields — same convention.
   *
   * Scale shape: map-only over the binary column (spec-pinned zero
@@ -48,7 +54,8 @@ object ImageHeaders {
   /** Committed fixture dir (tools/make_image_fixtures.py regenerates it
     * byte-identically): 4 PNGs spanning color types 0/2/3/6 and 8/16-bit
     * depth, 3 JPEGs (baseline, progressive, grayscale) each carrying the
-    * FF C0 trap in a DQT payload, and one non-image file. */
+    * FF C0 trap in a DQT payload, 2 GIFs (87a/89a), 2 BMPs (24-bit, and
+    * 32-bit top-down with negative height), and one non-image file. */
   val FixtureDir = "/root/repo/fixtures/images"
 
   /** Segment-walk bound: headers precede entropy data and real files
@@ -62,6 +69,18 @@ object ImageHeaders {
 
   private def u8(p: String) = s"CAST(conv(hex(substring(content, $p, 1)), 16, 10) AS INT)"
   private def u16(p: String) = s"CAST(conv(hex(substring(content, $p, 2)), 16, 10) AS INT)"
+  private def u16le(p: String) = s"(${u8(p)} + ${u8(s"($p) + 1")} * 256)"
+  // signed 32-bit little-endian as BIGINT (BMP height is negative for
+  // top-down row order; BIGINT per byte keeps the ANSI overflow away)
+  private def i32le(p: String) = {
+    val raw = s"(CAST(${u8(p)} AS BIGINT) + CAST(${u8(s"($p) + 1")} AS BIGINT) * 256 + " +
+      s"CAST(${u8(s"($p) + 2")} AS BIGINT) * 65536 + CAST(${u8(s"($p) + 3")} AS BIGINT) * 16777216)"
+    s"(CASE WHEN $raw > 2147483647 THEN $raw - 4294967296 ELSE $raw END)"
+  }
+  /** |signed dim| as a guarded INT: 0 and out-of-range collapse to NULL
+    * instead of an ANSI cast error on malformed bytes. */
+  private def bmpDim(p: String) =
+    s"(CASE WHEN abs(${i32le(p)}) BETWEEN 1 AND 2147483647 THEN CAST(abs(${i32le(p)}) AS INT) END)"
 
   /** 1-based byte offset of the SOF marker's FF, or 0 if none found. */
   private[graft] val SofOffExpr: String = {
@@ -83,22 +102,32 @@ object ImageHeaders {
     binaries
       .withColumn("format", expr(
         """CASE WHEN hex(substring(content, 1, 8)) = '89504E470D0A1A0A' THEN 'png'
+          |     WHEN hex(substring(content, 1, 6)) IN ('474946383761', '474946383961') THEN 'gif'
+          |     WHEN hex(substring(content, 1, 2)) = '424D' THEN 'bmp'
           |     WHEN hex(substring(content, 1, 2)) = 'FFD8' THEN 'jpeg'
           |     ELSE 'unknown' END""".stripMargin))
       .withColumn("sof", when(col("format") === "jpeg", expr(SofOffExpr)))
       .withColumn("width", expr(
         s"""CASE WHEN format = 'png' THEN CAST(conv(hex(substring(content, 17, 4)), 16, 10) AS INT)
+           |     WHEN format = 'gif' THEN ${u16le("7")}
+           |     WHEN format = 'bmp' THEN ${bmpDim("19")}
            |     WHEN format = 'jpeg' AND sof > 0 THEN ${u16("sof + 7")} END""".stripMargin))
       .withColumn("height", expr(
         s"""CASE WHEN format = 'png' THEN CAST(conv(hex(substring(content, 21, 4)), 16, 10) AS INT)
+           |     WHEN format = 'gif' THEN ${u16le("9")}
+           |     WHEN format = 'bmp' THEN ${bmpDim("23")}
            |     WHEN format = 'jpeg' AND sof > 0 THEN ${u16("sof + 5")} END""".stripMargin))
       .withColumn("bit_depth", expr(
         s"""CASE WHEN format = 'png' THEN ${u8("25")}
+           |     WHEN format = 'gif' THEN CAST((${u8("11")} div 16) % 8 + 1 AS INT)
+           |     WHEN format = 'bmp' THEN ${u16le("29")}
            |     WHEN format = 'jpeg' AND sof > 0 THEN ${u8("sof + 4")} END""".stripMargin))
       .withColumn("n_components", expr(
         s"""CASE WHEN format = 'png' THEN
            |       CASE ${u8("26")} WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
            |                        WHEN 4 THEN 2 WHEN 6 THEN 4 END
+           |     WHEN format = 'gif' THEN 1
+           |     WHEN format = 'bmp' THEN CAST(IF(${u16le("29")} >= 24, ${u16le("29")} div 8, 1) AS INT)
            |     WHEN format = 'jpeg' AND sof > 0 THEN ${u8("sof + 9")} END""".stripMargin))
       .select(col("file"), col("format"), col("byte_len"),
         col("width"), col("height"), col("bit_depth"), col("n_components"))
@@ -123,6 +152,13 @@ object ImageHeaders {
       s"((strpos('0123456789ABCDEF', substr(h, 2*($p)-1, 1))-1)*16 + strpos('0123456789ABCDEF', substr(h, 2*($p), 1))-1)"
     def du16(p: String) = s"(${du8(p)}*256 + ${du8(s"($p)+1")})"
     def du32(p: String) = s"(${du16(p)}*65536 + ${du16(s"($p)+2")})"
+    def du16le(p: String) = s"(${du8(p)} + ${du8(s"($p)+1")}*256)"
+    def di32le(p: String) = {
+      val raw = s"(${du8(p)} + ${du8(s"($p)+1")}*256 + CAST(${du8(s"($p)+2")} AS BIGINT)*65536 + CAST(${du8(s"($p)+3")} AS BIGINT)*16777216)"
+      s"(CASE WHEN $raw > 2147483647 THEN $raw - 4294967296 ELSE $raw END)"
+    }
+    def dBmpDim(p: String) =
+      s"(CASE WHEN abs(${di32le(p)}) BETWEEN 1 AND 2147483647 THEN CAST(abs(${di32le(p)}) AS INT) END)"
     val sofSet = SofMarkers.mkString(", ")
     s"""WITH RECURSIVE b AS (
        |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file, hex(content) AS h,
@@ -131,6 +167,8 @@ object ImageHeaders {
        |), f AS (
        |  SELECT file, h, byte_len,
        |         CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+       |              WHEN substr(h, 1, 12) IN ('474946383761', '474946383961') THEN 'gif'
+       |              WHEN substr(h, 1, 4) = '424D' THEN 'bmp'
        |              WHEN substr(h, 1, 4) = 'FFD8' THEN 'jpeg'
        |              ELSE 'unknown' END AS format
        |  FROM b
@@ -152,14 +190,23 @@ object ImageHeaders {
        |)
        |SELECT f.file, f.format, f.byte_len,
        |       CAST(CASE WHEN format = 'png' THEN ${du32("17")}
+       |                 WHEN format = 'gif' THEN ${du16le("7")}
+       |                 WHEN format = 'bmp' THEN ${dBmpDim("19")}
        |                 WHEN sof IS NOT NULL THEN ${du16("sof + 7")} END AS INT) AS width,
        |       CAST(CASE WHEN format = 'png' THEN ${du32("21")}
+       |                 WHEN format = 'gif' THEN ${du16le("9")}
+       |                 WHEN format = 'bmp' THEN ${dBmpDim("23")}
        |                 WHEN sof IS NOT NULL THEN ${du16("sof + 5")} END AS INT) AS height,
        |       CAST(CASE WHEN format = 'png' THEN ${du8("25")}
+       |                 WHEN format = 'gif' THEN (${du8("11")} // 16) % 8 + 1
+       |                 WHEN format = 'bmp' THEN ${du16le("29")}
        |                 WHEN sof IS NOT NULL THEN ${du8("sof + 4")} END AS INT) AS bit_depth,
        |       CAST(CASE WHEN format = 'png' THEN
        |              CASE ${du8("26")} WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
        |                                WHEN 4 THEN 2 WHEN 6 THEN 4 END
+       |            WHEN format = 'gif' THEN 1
+       |            WHEN format = 'bmp' THEN
+       |              CASE WHEN ${du16le("29")} >= 24 THEN ${du16le("29")} // 8 ELSE 1 END
        |            WHEN sof IS NOT NULL THEN ${du8("sof + 9")} END AS INT) AS n_components
        |FROM f LEFT JOIN sof ON sof.file = f.file
        |ORDER BY f.file""".stripMargin

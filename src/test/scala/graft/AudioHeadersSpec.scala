@@ -15,9 +15,9 @@ class AudioHeadersSpec extends AnyFunSuite {
     .map { r =>
       r.getString(0) -> (r.getString(1),
         Option(r.getAs[Integer]("n_channels")).map(_.toInt),
-        Option(r.getAs[Integer]("sample_rate")).map(_.toInt),
+        Option(r.getAs[java.lang.Long]("sample_rate")).map(_.toInt),
         Option(r.getAs[Integer]("bits_per_sample")).map(_.toInt),
-        Option(r.getAs[Integer]("data_bytes")).map(_.toInt),
+        Option(r.getAs[java.lang.Long]("data_bytes")).map(_.toInt),
         Option(r.getAs[java.lang.Double]("duration_sec")).map(_.toDouble))
     }.toMap
 

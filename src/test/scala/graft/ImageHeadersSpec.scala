@@ -37,9 +37,19 @@ class ImageHeadersSpec extends AnyFunSuite {
     assert(out("gray_1024x768.jpg") == (("jpeg", Some(1024), Some(768), Some(8), Some(1))))
   }
 
+  test("GIF logical screen descriptor: LE dims, packed color-resolution depth") {
+    assert(out("gif87_4x4.gif") == (("gif", Some(4), Some(4), Some(1), Some(1))))
+    assert(out("gif89_320x200.gif") == (("gif", Some(320), Some(200), Some(8), Some(1))))
+  }
+
+  test("BMP BITMAPINFOHEADER: signed LE dims, negative top-down height reported as |h|") {
+    assert(out("bmp24_100x50.bmp") == (("bmp", Some(100), Some(50), Some(24), Some(3))))
+    assert(out("bmp32_topdown_64x64.bmp") == (("bmp", Some(64), Some(64), Some(32), Some(4))))
+  }
+
   test("non-image bytes: format unknown, NULL fields, no throw") {
-    assert(out("notimage.gif") == (("unknown", None, None, None, None)))
-    assert(out.size == 8, "every fixture file must emit exactly one row")
+    assert(out("notimage.bin") == (("unknown", None, None, None, None)))
+    assert(out.size == 12, "every fixture file must emit exactly one row")
   }
 
   test("truncated/corrupt payloads freeze to NULL verdicts, never throw") {

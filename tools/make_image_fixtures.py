@@ -68,6 +68,25 @@ def make_jpeg(w: int, h: int, ncomp: int, precision: int = 8,
     return out
 
 
+def make_gif(w: int, h: int, color_res: int, version: bytes = b"89a") -> bytes:
+    # logical screen descriptor: dims LE, packed (GCT flag + color
+    # resolution bits 6-4 + GCT size), background, aspect; minimal GCT
+    packed = 0x80 | ((color_res - 1) << 4) | 1
+    gct = bytes(range(12))  # 2^(1+1)=4 entries x 3 -- sized for size bits 1
+    return (b"GIF" + version + struct.pack("<HH", w, h)
+            + bytes([packed, 0, 0]) + gct + b"\x3b")
+
+
+def make_bmp(w: int, h: int, bit_count: int) -> bytes:
+    # BITMAPINFOHEADER; h may be negative (top-down rows)
+    row = (abs(w) * bit_count // 8 + 3) // 4 * 4
+    data = bytes(row * abs(h))
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bit_count, 0,
+                      len(data), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return hdr + dib + data
+
+
 def main() -> None:
     OUT.mkdir(parents=True, exist_ok=True)
     files = {
@@ -78,7 +97,11 @@ def main() -> None:
         "baseline_800x600.jpg": make_jpeg(800, 600, 3),
         "progressive_320x200.jpg": make_jpeg(320, 200, 3, progressive=True),
         "gray_1024x768.jpg": make_jpeg(1024, 768, 1),
-        "notimage.gif": b"GIF87a" + struct.pack("<HH", 4, 4) + bytes(7),
+        "gif87_4x4.gif": make_gif(4, 4, 1, version=b"87a"),
+        "gif89_320x200.gif": make_gif(320, 200, 8),
+        "bmp24_100x50.bmp": make_bmp(100, 50, 24),
+        "bmp32_topdown_64x64.bmp": make_bmp(64, -64, 32),
+        "notimage.bin": bytes([0x00, 0x01, 0x02, 0x03] * 4),
     }
     for name, data in files.items():
         (OUT / name).write_bytes(data)
