@@ -9,11 +9,14 @@ import Parity.{r, rsql}
   * SUB-document dedup pass: a doc that is mostly stitched from content
   * other docs already contributed should be gated even when no whole-doc
   * fingerprint or shingle-Jaccard pair fires (boilerplate headers, quoted
-  * replies, template pages). Granularity is the FIXED TOKEN WINDOW form
-  * (this corpus carries no blank-line paragraph breaks — docs are flat
-  * token streams — and fixed windows are the form that still works on
-  * such corpora; a blank-line split would be the same pipeline with a
-  * different generator expression).
+  * replies, template pages).
+  *
+  * Both granularities ship behind one dial: fixed token windows (the
+  * registered query — works on any corpus) and blank-line paragraphs
+  * (`blankLine = true`, the standard web-corpus form: split on 2+
+  * newlines, per-paragraph whitespace/case normalization so re-wrapped
+  * copies fingerprint identically — spec-pinned). Everything downstream
+  * of the generator is granularity-agnostic.
   *
   * Semantics: tokenize (same split as every text operator), cut into
   * consecutive [[ParaWindowTokens]]-token windows (last window short),
@@ -69,27 +72,47 @@ object ParagraphDedup {
     s"transform(filter(transform(w, (x, i) -> i), i -> i % $width = 0), " +
       s"s -> array_join(slice(w, s + 1, $width), ' '))"
 
-  /** Exploded (doc_id, para_idx, fp) window stream; the window expression
-    * stays INLINE at the generator (the Generate-child discipline every
-    * production explode site follows — a named column would get an
-    * inferred filter recomputing the window array at the scan). */
+  /** Blank-line paragraph array over raw `text`: split on 2+ newlines,
+    * whitespace-normalize each paragraph (lower + collapse + trim — the
+    * [[TextOps.docFingerprint]] normalization applied per paragraph, so
+    * re-wrapped copies of the same paragraph fingerprint identically),
+    * drop empties. The standard web-corpus granularity; the fixed-window
+    * form is the fallback for flat token streams like this corpus. */
+  private[graft] val BlankLineParaExpr: String =
+    """filter(
+      |  transform(split(text, '\\n{2,}'),
+      |            p -> trim(lower(regexp_replace(p, '\\s+', ' ')))),
+      |  p -> p != '')""".stripMargin
+
+  /** Exploded (doc_id, para_idx, fp) paragraph stream; the paragraph
+    * expression stays INLINE at the generator (the Generate-child
+    * discipline every production explode site follows — a named column
+    * would get an inferred filter recomputing the array at the scan).
+    * `blankLine = true` switches the generator from fixed token windows
+    * to blank-line paragraphs — everything downstream (first-occurrence,
+    * verdicts, rollup, incremental probe) is granularity-agnostic. */
   private[graft] def paragraphExploded(documents: DataFrame,
-                                       width: Int = ParaWindowTokens): DataFrame =
-    documents
-      .select(col("doc_id"),
-        expr("coalesce(split(lower(trim(text)), '\\\\s+'), array())").as("w"))
-      .select(col("doc_id"),
-        posexplode(expr(paraArrayExpr(width))))
-      .select(col("doc_id"), col("pos").cast("int").as("para_idx"),
-        expr("md5(col)").as("fp"))
+                                       width: Int = ParaWindowTokens,
+                                       blankLine: Boolean = false): DataFrame = {
+    val base =
+      if (blankLine) documents.select(col("doc_id"), col("text"))
+        .select(col("doc_id"), posexplode(expr(BlankLineParaExpr)))
+      else documents
+        .select(col("doc_id"),
+          expr("coalesce(split(lower(trim(text)), '\\\\s+'), array())").as("w"))
+        .select(col("doc_id"), posexplode(expr(paraArrayExpr(width))))
+    base.select(col("doc_id"), col("pos").cast("int").as("para_idx"),
+      expr("md5(col)").as("fp"))
+  }
 
   /** Per-window duplicate-of-earlier verdicts — the sub-document analog of
     * [[TextOps.dedupExact]]'s canonical marking. Exposed for the rollup
     * and for specs; `first_doc`/`first_idx` attribute each duplicate to
     * the window it copies. */
   def paragraphVerdicts(documents: DataFrame,
-                        width: Int = ParaWindowTokens): DataFrame = {
-    val ex = paragraphExploded(documents, width).localCheckpoint()
+                        width: Int = ParaWindowTokens,
+                        blankLine: Boolean = false): DataFrame = {
+    val ex = paragraphExploded(documents, width, blankLine).localCheckpoint()
     val firsts = ex.groupBy("fp")
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("first"))
       .select(col("fp"), col("first.doc_id").as("first_doc"),
@@ -102,8 +125,9 @@ object ParagraphDedup {
   /** Per-doc rollup + admission gate. */
   def paragraphDedup(documents: DataFrame,
                      width: Int = ParaWindowTokens,
-                     maxDupFrac: Double = DupParaMax): DataFrame = {
-    val agg = paragraphVerdicts(documents, width)
+                     maxDupFrac: Double = DupParaMax,
+                     blankLine: Boolean = false): DataFrame = {
+    val agg = paragraphVerdicts(documents, width, blankLine)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("np"),
         sum(when(col("is_dup"), 1L).otherwise(0L)).as("nd"))

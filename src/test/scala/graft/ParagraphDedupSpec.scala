@@ -79,6 +79,34 @@ class ParagraphDedupSpec extends AnyFunSuite {
       "gate corpus should split on the dup-fraction gate")
   }
 
+  test("blank-line mode: real paragraph breaks, rewrap/case-invariant fingerprints") {
+    import spark.implicits._
+    val p1 = "The quick brown fox jumps over the lazy dog"
+    val p2 = "Pack my box with five dozen liquor jugs"
+    // doc 2's first paragraph is p1 CASE-SHIFTED and re-wrapped with a
+    // single interior newline — per-paragraph normalization must make it
+    // fingerprint identically to doc 1's (the quoted-boilerplate case)
+    val rewrapped = p1.toUpperCase.replace("fox ", "fox \n").replace("JUMPS ", "JUMPS\n   ")
+    val d = Seq(
+      (1L, s"$p1\n\n$p2"),
+      (2L, s"$rewrapped\n\n\nNovel content entirely here"),
+      (3L, "Only fresh material in this single paragraph"),
+      (4L, null)
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.paragraphDedup(d, blankLine = true).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(out(1L) == ((2L, 0L, 0.0, true)))
+    assert(out(2L) == ((2L, 1L, 0.5, false)), "rewrapped copy must dup against doc 1")
+    assert(out(3L) == ((1L, 0L, 0.0, true)))
+    assert(out(4L) == ((0L, 0L, 0.0, true)), "NULL text: degenerate convention")
+    // the blank-line generator also keeps the inline-Generate discipline
+    val pEx = ParagraphDedup.paragraphExploded(d, blankLine = true)
+      .queryExecution.executedPlan.toString
+    assert(!pEx.linesIterator.filter(_.contains("Filter ")).exists(_.contains("regexp_replace")),
+      s"blank-line explode re-grew an inferred filter recomputing the paragraph array:\n$pEx")
+  }
+
   test("incremental admission: batch windows probe only the corpus side; recount agrees") {
     import spark.implicits._
     val a = "a1 a2 a3 a4 a5 a6 a7 a8"
