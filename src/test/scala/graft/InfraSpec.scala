@@ -103,6 +103,45 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph index persists bucketed by fp; admission probe shuffles ONLY the batch side") {
+    // paragraph_dedup_incremental's economics claim made executable (the
+    // round-8 sub-document analog of the LSH index test above): the corpus
+    // paragraph-fingerprint index is precomputed once, stored bucketed by
+    // fp, and each batch's window stream probes it without re-shuffling
+    // (or re-fingerprinting) the corpus — only the batch moves.
+    import graft.operators.{Dedup, ParagraphDedup}
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      val mod = Dedup.IncrementalBatchMod
+      ParagraphDedup.paragraphExploded(docs.filter(col("doc_id") % mod =!= 0))
+        .select("fp").distinct()
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "fp").sortBy("fp")
+        .saveAsTable("graft_para_idx")
+      val batch = ParagraphDedup.paragraphExploded(docs.filter(col("doc_id") % mod === 0))
+      val probe = batch.join(spark.table("graft_para_idx"), Seq("fp"))
+        .select("doc_id", "para_idx")
+      val plan = probe.queryExecution.executedPlan.toString
+      val joinShuffles = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && l.contains("fp"))
+      assert(joinShuffles == 1,
+        s"probe must shuffle exactly the batch side on fp (corpus reads bucketed):\n$plan")
+      // hit parity with the inline (non-persisted) operator
+      val persistedHits = probe.groupBy("doc_id").agg(count(lit(1)).as("nh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val inline = ParagraphDedup.paragraphIncremental(docs)
+        .filter(col("n_hit") > 0).select("doc_id", "n_hit")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(persistedHits == inline && persistedHits.nonEmpty,
+        s"persisted-index hits diverge: ${persistedHits.size} vs ${inline.size}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_para_idx")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("temp-view spark.sql runs the oracle SQL dialect for shared queries") {
     // these oracle strings are ANSI enough to run unmodified on Spark —
     // same text, DataFrame plan vs spark.sql plan, identical results
