@@ -82,6 +82,9 @@ object SparkEntry {
     "image_header_decode" -> ((s, _) => ImageHeaders.imageHeaderDecodeQ(s)),
     "audio_header_decode" -> ((s, _) => AudioHeaders.audioHeaderDecodeQ(s)),
     "video_header_decode" -> ((s, _) => VideoHeaders.videoHeaderDecodeQ(s)),
+    // round 8: PII detect + redact (emails / IPv4 / phones) — the
+    // pre-release scrub pass, over a committed PII-planting fixture
+    "pii_redact" -> ((s, _) => PiiRedact.piiRedactQ(s)),
     // beyond the SURVEY §2 inventory: second scale paths for similarity
     "embedding_dedup_lsh" -> ((s, d) => Lsh.embeddingDedupLshQ(Tables.embeddings(s, d))),
     "knn_cosine_ivf" -> ((s, d) => Ivf.knnCosineIvfQ(Tables.embeddings(s, d))),
@@ -165,6 +168,7 @@ object SparkEntry {
     "image_header_decode" -> ImageHeaders.imageHeaderDecodeSql,
     "audio_header_decode" -> AudioHeaders.audioHeaderDecodeSql,
     "video_header_decode" -> VideoHeaders.videoHeaderDecodeSql,
+    "pii_redact" -> PiiRedact.piiRedactSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
     "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
