@@ -106,6 +106,10 @@ object SparkEntry {
     // round 8: sub-document dedup — fixed-token-window paragraphs,
     // per-window duplicate-of-earlier verdicts, per-doc dup-fraction gate
     "paragraph_dedup" -> ((s, d) => ParagraphDedup.paragraphDedupQ(Tables.documents(s, d))),
+    // round 8: deterministic stratified downsampling (mixture reweighting)
+    // and quality-aware canonical choice for near-dup clusters
+    "corpus_sample" -> ((s, d) => Sampling.corpusSampleQ(Tables.documents(s, d))),
+    "dedup_cluster_keep_best" -> ((s, d) => Dedup.dedupClusterKeepBestQ(Tables.documents(s, d))),
     // …and its per-batch admission twin: batch windows probe the existing
     // corpus's paragraph-fingerprint index (dedup_incremental economics)
     "paragraph_dedup_incremental" -> ((s, d) => ParagraphDedup.paragraphIncrementalQ(Tables.documents(s, d))),
@@ -177,6 +181,8 @@ object SparkEntry {
     "dedup_incremental_lsh" -> Dedup.dedupIncrementalSql,
     "corpus_split" -> TextOps.corpusSplitSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,
+    "corpus_sample" -> Sampling.corpusSampleSql,
+    "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBestSql,
     "paragraph_dedup_incremental" -> ParagraphDedup.paragraphIncrementalSql,
     "contamination_check" -> Curation.contaminationCheckSql,
     "doc_novelty" -> Curation.docNoveltySql,

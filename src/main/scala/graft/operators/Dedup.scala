@@ -283,6 +283,71 @@ object Dedup {
     clustersFromPairs(documents, Lsh.minhashLshPairs(documents, threshold), maxIters,
       saltNeighborMin)
 
+  /** Near-dup clustering with QUALITY-AWARE canonical choice (round 8):
+    * the member a pipeline actually keeps from a near-dup cluster is the
+    * BEST copy, not the lowest id — near-dup members genuinely differ
+    * (truncations, boilerplate-injected variants), so "which copy
+    * survives" changes the shipped corpus. Canonical per cluster =
+    * highest ROUNDED quality score ([[TextOps.textQuality]], the §6
+    * integer-domain key so the rank is cross-engine stable), doc_id
+    * tie-break. Note this is only meaningful ABOVE exact-dup
+    * granularity: byte-identical-after-normalization copies share their
+    * token stream and therefore their score, which is why
+    * [[TextOps.dedupExact]]'s min-id canonical needs no quality variant.
+    *
+    * Shape: [[dedupClusters]]' labels (checkpointed, ≤|docs| rows) join
+    * the quality map pass doc_id-keyed, then one FIRST_VALUE window per
+    * cluster — clusters are tiny (pair-graph components), so the window
+    * partition is never a hot reducer. */
+  def dedupClusterKeepBest(documents: DataFrame,
+                           threshold: Double = JaccardThreshold): DataFrame = {
+    val labels = dedupClusters(documents, threshold).select("doc_id", "cluster_id")
+    val scored = TextOps.textQuality(documents)
+      .withColumn("qs4", expr("CAST(round(quality_score * 10000.0) AS BIGINT)"))
+      .select(col("doc_id"), col("qs4"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("qs4").desc, col("doc_id"))
+    labels.join(scored, Seq("doc_id"))
+      .withColumn("best_id", org.apache.spark.sql.functions.first("doc_id").over(w))
+      .withColumn("keep", col("doc_id") === col("best_id"))
+      .select(col("doc_id"), col("cluster_id"), col("best_id"), col("keep"),
+        Parity.r("quality_score", 4))
+  }
+
+  def dedupClusterKeepBestQ(documents: DataFrame): DataFrame =
+    dedupClusterKeepBest(documents).orderBy("doc_id")
+
+  /** DuckDB twin: the [[dedupClustersSql]] closure + the shared quality
+    * CTEs + the same FIRST_VALUE window text. */
+  val dedupClusterKeepBestSql: String = {
+    val pairsCte = ngramJaccardSqlBody
+    s"""WITH RECURSIVE $pairsCte, edges AS (
+       |  SELECT id1 AS u, id2 AS v FROM jpairs
+       |  UNION ALL
+       |  SELECT id2 AS u, id1 AS v FROM jpairs
+       |), reach AS (
+       |  SELECT doc_id AS doc, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.u AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.v
+       |), cc AS (
+       |  SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc
+       |), ${TextOps.qualityScoreCtes(Seq.empty)}, scored AS (
+       |  SELECT doc_id, CAST(round(quality_score * 10000.0) AS BIGINT) AS qs4,
+       |         quality_score
+       |  FROM q3
+       |)
+       |SELECT d.doc_id, cc.cluster_id,
+       |       FIRST_VALUE(d.doc_id) OVER (PARTITION BY cc.cluster_id
+       |         ORDER BY s.qs4 DESC, d.doc_id) AS best_id,
+       |       d.doc_id = FIRST_VALUE(d.doc_id) OVER (PARTITION BY cc.cluster_id
+       |         ORDER BY s.qs4 DESC, d.doc_id) AS keep,
+       |       ${Parity.rsql("s.quality_score", 4, "quality_score")}
+       |FROM documents d
+       |JOIN cc ON cc.doc = d.doc_id
+       |JOIN scored s ON s.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Stand-in for "today's ingest partition" in [[dedupIncremental]]:
     * doc_id % this == 0 is the new batch, the rest is the existing corpus. */
   val IncrementalBatchMod = 5L

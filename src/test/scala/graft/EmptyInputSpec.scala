@@ -46,6 +46,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "ngram_jaccard" -> Dedup.ngramJaccardPairs(d),
       "ngram_jaccard_salted" -> Dedup.ngramJaccardPairs(d, saltCandidates = Some(4)),
       "dedup_clusters" -> Dedup.dedupClusters(d),
+      "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBest(d),
+      "corpus_sample" -> Sampling.corpusSample(d),
       "dedup_clusters_lsh" -> Dedup.dedupClustersLsh(d),
       "dedup_incremental" -> Dedup.dedupIncremental(d),
       "dedup_incremental_noBcast" -> Dedup.dedupIncremental(d, broadcastBatch = false),
