@@ -132,6 +132,11 @@ object SparkEntry {
     // round 6 (second half, cont.): term salience + per-source health rollup
     "tfidf_topterms" -> ((s, d) => Curation.tfidfTopTermsQ(Tables.documents(s, d))),
     "corpus_report" -> ((s, d) => Curation.corpusReportQ(Tables.documents(s, d))),
+    // round 8 (second half): tokenizer-prep vocabulary (unigram+bigram
+    // tf/df/rank) and the deterministic training-order shuffle + shard
+    // assignment (content-keyed, like corpus_split/corpus_sample)
+    "vocab_build" -> ((s, d) => Vocab.vocabBuildQ(Tables.documents(s, d))),
+    "corpus_shuffle" -> ((s, d) => CorpusShuffle.corpusShuffleQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -192,5 +197,7 @@ object SparkEntry {
     "token_budget_pack_range" -> Curation.tokenBudgetPackSql,
     "tfidf_topterms" -> Curation.tfidfTopTermsSql,
     "corpus_report" -> Curation.corpusReportSql,
+    "vocab_build" -> Vocab.vocabBuildSql,
+    "corpus_shuffle" -> CorpusShuffle.corpusShuffleSql,
   )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusShuffle, Vocab}
+
+/** vocab_build + corpus_shuffle: exact Scala-side recomputation of the
+  * vocabulary counts and the shard/position assignment, the no-global-sort
+  * top-K plan shape, and content-stability of the shuffle order.
+  */
+class VocabShuffleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def tokens(text: String): Seq[String] =
+    Option(text).getOrElse("").trim.toLowerCase.split("\\s+").toSeq
+
+  test("vocab_build: tf/df/rank recompute exactly; top-K avoids a global sort") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // reference counts: unigrams + adjacent bigrams, occurrences for tf,
+    // per-doc presence for df
+    val tf = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val df = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    texts.foreach { case (_, text) =>
+      val w = tokens(text)
+      val terms = w ++ w.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+      terms.foreach(t => tf(t) += 1)
+      terms.distinct.foreach(t => df(t) += 1)
+    }
+    val expected = tf.keys.toSeq
+      .filter(t => df(t) >= Vocab.MinDf)
+      .sortBy(t => (-tf(t), t))
+      .take(Vocab.VocabSize)
+      .zipWithIndex
+      .map { case (t, i) => (i, t, t.contains(" "), tf(t), df(t)) }
+    val got = Vocab.vocabBuild(docs).orderBy("vocab_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == expected.length, s"${got.length} vs ${expected.length}")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+    // both granularities genuinely present
+    assert(got.exists(_._3) && got.exists(!_._3), "expected unigrams AND bigrams")
+    // the top-K is TakeOrderedAndProject (per-partition partial top-K),
+    // never a full-corpus global Sort
+    val plan = Vocab.vocabBuild(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must plan as TakeOrderedAndProject:\n$plan")
+  }
+
+  test("corpus_shuffle: shard/key/position recompute exactly; content-keyed order") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keyed = texts.map { case (id, text) =>
+      val fp = md5hex(Option(text).getOrElse("").trim.toLowerCase
+        .replaceAll("\\s+", " "))
+      val key = md5hex(s"graft-shuffle:$fp")
+      (id, key, Integer.parseInt(key.take(CorpusShuffle.ShardDigits), 16))
+    }
+    val expected = keyed.groupBy(_._3).toSeq.flatMap { case (shard, members) =>
+      members.sortBy(m => (m._2, m._1)).zipWithIndex
+        .map { case ((id, key, _), i) => (id, key, shard, i + 1) }
+    }.toSet
+    val got = CorpusShuffle.corpusShuffle(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == expected)
+    // every shard of the 16 is populated at 500 docs (md5 uniformity) and
+    // positions are dense from 1
+    val byShard = got.groupBy(_._3)
+    assert(byShard.size == 16, s"expected all 16 shards populated, got ${byShard.size}")
+    byShard.foreach { case (shard, members) =>
+      assert(members.map(_._4).toSeq.sorted == (1 to members.size),
+        s"shard $shard positions not dense")
+    }
+    // content-keyed: re-ingest with shifted ids yields the same
+    // (key, shard, pos) stream — ids only tie-break exact duplicates, of
+    // which this corpus has none
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 100000L)
+    val re = CorpusShuffle.corpusShuffle(shifted).collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    assert(re == got.map(g => (g._2, g._3, g._4)),
+      "same content must shuffle to the same order regardless of ids")
+  }
+}
