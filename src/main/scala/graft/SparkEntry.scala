@@ -137,6 +137,10 @@ object SparkEntry {
     // assignment (content-keyed, like corpus_split/corpus_sample)
     "vocab_build" -> ((s, d) => Vocab.vocabBuildQ(Tables.documents(s, d))),
     "corpus_shuffle" -> ((s, d) => CorpusShuffle.corpusShuffleQ(Tables.documents(s, d))),
+    // round 8 (second half): C4-style line-level cleaning — per-line
+    // structural gates + cleaned-text reassembly, over a committed
+    // multi-line fixture (corpus tables have no line structure)
+    "line_filter" -> ((s, _) => LineFilter.lineFilterQ(s)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -199,5 +203,6 @@ object SparkEntry {
     "corpus_report" -> Curation.corpusReportSql,
     "vocab_build" -> Vocab.vocabBuildSql,
     "corpus_shuffle" -> CorpusShuffle.corpusShuffleSql,
+    "line_filter" -> LineFilter.lineFilterSql,
   )
 }
