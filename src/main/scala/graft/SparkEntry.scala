@@ -141,6 +141,9 @@ object SparkEntry {
     // structural gates + cleaned-text reassembly, over a committed
     // multi-line fixture (corpus tables have no line structure)
     "line_filter" -> ((s, _) => LineFilter.lineFilterQ(s)),
+    // …and the URL/domain provenance gate (blocklist + link density),
+    // over a committed URL-planting fixture
+    "url_domain_filter" -> ((s, _) => UrlFilter.urlDomainFilterQ(s)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -204,5 +207,6 @@ object SparkEntry {
     "vocab_build" -> Vocab.vocabBuildSql,
     "corpus_shuffle" -> CorpusShuffle.corpusShuffleSql,
     "line_filter" -> LineFilter.lineFilterSql,
+    "url_domain_filter" -> UrlFilter.urlDomainFilterSql,
   )
 }
