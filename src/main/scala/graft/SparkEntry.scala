@@ -144,6 +144,9 @@ object SparkEntry {
     // …and the URL/domain provenance gate (blocklist + link density),
     // over a committed URL-planting fixture
     "url_domain_filter" -> ((s, _) => UrlFilter.urlDomainFilterQ(s)),
+    // …and the per-source token-length histogram (sequence-length
+    // planning signal; integer-exact power-of-two buckets)
+    "token_histogram" -> ((s, d) => TokenHistogram.tokenHistogramQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -208,5 +211,6 @@ object SparkEntry {
     "corpus_shuffle" -> CorpusShuffle.corpusShuffleSql,
     "line_filter" -> LineFilter.lineFilterSql,
     "url_domain_filter" -> UrlFilter.urlDomainFilterSql,
+    "token_histogram" -> TokenHistogram.tokenHistogramSql,
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, ParagraphDedup}
+import graft.operators.{CorpusShuffle, Curation, ParagraphDedup, Vocab}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -77,6 +77,10 @@ object StressCuration {
       time(s"tfidf_bcast_$tag") { Curation.tfidfTopTerms(docs) }
       time(s"tfidf_shuffle_$tag") { Curation.tfidfTopTerms(docs, broadcastDf = false) }
       time(s"paragraph_dedup_$tag") { ParagraphDedup.paragraphDedup(docs) }
+      // round-8 second half: the two corpus-wide additions (the fixture
+      // ops line_filter/url_domain_filter have no corpus-scale path)
+      time(s"vocab_build_$tag") { Vocab.vocabBuild(docs) }
+      time(s"corpus_shuffle_$tag") { CorpusShuffle.corpusShuffle(docs) }
     }
 
     spark.stop()
