@@ -147,6 +147,10 @@ object SparkEntry {
     // …and the per-source token-length histogram (sequence-length
     // planning signal; integer-exact power-of-two buckets)
     "token_histogram" -> ((s, d) => TokenHistogram.tokenHistogramQ(Tables.documents(s, d))),
+    // …and training-window formation/provenance: global token offsets
+    // over the shuffled order, each doc mapped to the fixed-size context
+    // windows it feeds (tokenBudgetPackRange's offset algebra per shard)
+    "context_pack" -> ((s, d) => ContextPack.contextPackQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -212,5 +216,6 @@ object SparkEntry {
     "line_filter" -> LineFilter.lineFilterSql,
     "url_domain_filter" -> UrlFilter.urlDomainFilterSql,
     "token_histogram" -> TokenHistogram.tokenHistogramSql,
+    "context_pack" -> ContextPack.contextPackSql,
   )
 }

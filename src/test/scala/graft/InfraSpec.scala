@@ -142,6 +142,32 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("small-file compaction: rewrite to target-sized files, content preserved") {
+    // 100 TB ingest reality: streaming / incremental writers leave
+    // directories of tiny files, and scan cost is per-file (open + footer
+    // + seek each). The compaction pass rewrites a directory to
+    // ceil(rows / target) files; content is untouched. (Row-count stands
+    // in for bytes here — same arithmetic with a bytes-per-row estimate.)
+    val docs = Tables.documents(spark, sf)
+    val small = Files.createTempDirectory("graft-small").toString
+    docs.repartition(64).write.mode("overwrite").parquet(small)
+    val nSmall = new java.io.File(small).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nSmall >= 32, s"precondition: many small files, got $nSmall")
+    val rows = spark.read.parquet(small).count()
+    val target = 200L
+    val nFiles = math.ceil(rows.toDouble / target).toInt
+    val compact = Files.createTempDirectory("graft-compact").toString
+    spark.read.parquet(small).repartition(nFiles)
+      .write.mode("overwrite").parquet(compact)
+    val written = new java.io.File(compact).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(written == nFiles, s"expected $nFiles compacted files, got $written")
+    val a = spark.read.parquet(small).collect().map(_.toString).sorted
+    val b = spark.read.parquet(compact).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "compaction must not change content")
+  }
+
   test("temp-view spark.sql runs the oracle SQL dialect for shared queries") {
     // these oracle strings are ANSI enough to run unmodified on Spark —
     // same text, DataFrame plan vs spark.sql plan, identical results

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CorpusShuffle, Vocab}
+import graft.operators.{ContextPack, CorpusShuffle, TextOps, Vocab}
 
 /** vocab_build + corpus_shuffle: exact Scala-side recomputation of the
   * vocabulary counts and the shard/position assignment, the no-global-sort
@@ -87,5 +87,45 @@ class VocabShuffleSpec extends AnyFunSuite {
       .map(r => (r.getString(1), r.getInt(2), r.getInt(3))).toSet
     assert(re == got.map(g => (g._2, g._3, g._4)),
       "same content must shuffle to the same order regardless of ids")
+  }
+
+  test("context_pack: global offsets and window ranges recompute exactly; stream covers every token") {
+    val re = TextOps.BpePattern.r
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    // reference stream: shards in order, (key, id) within shard, running
+    // global offset
+    val keyed = texts.map { case (id, text) =>
+      val fp = md5hex(text.trim.toLowerCase.replaceAll("\\s+", " "))
+      val key = md5hex(s"graft-shuffle:$fp")
+      val shard = Integer.parseInt(key.take(CorpusShuffle.ShardDigits), 16)
+      (shard, key, id, re.findAllIn(text).length.toLong)
+    }.sortBy(k => (k._1, k._2, k._3))
+    val w = ContextPack.ContextWindowTokens
+    var offset = 0L
+    val expected = keyed.map { case (shard, _, id, n) =>
+      val start = offset
+      offset += n
+      val first = start / w
+      val last = (start + math.max(n, 1) - 1) / w
+      (id, (shard, n, start, first, last, last - first + 1, last > first))
+    }.toMap
+    val got = ContextPack.contextPackQ(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))
+      .toMap
+    assert(got == expected)
+    // coverage: consecutive docs in stream order tile the token stream
+    // with no gaps or overlaps, and the boundary flags are consistent
+    val inOrder = got.values.toSeq.sortBy(_._3)
+    inOrder.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 + a._2 == b._3, "stream has a gap or overlap")
+      case _ =>
+    }
+    assert(inOrder.exists(_._7), "expected at least one boundary-crossing doc")
+    // determinism across runs
+    val again = ContextPack.contextPackQ(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == got.view.mapValues(_._3).toMap)
   }
 }
