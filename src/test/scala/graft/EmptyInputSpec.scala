@@ -64,7 +64,14 @@ class EmptyInputSpec extends AnyFunSuite {
       "token_budget_pack" -> Curation.tokenBudgetPack(d),
       "token_budget_pack_range" -> Curation.tokenBudgetPackRange(d),
       "tfidf_topterms" -> Curation.tfidfTopTerms(d),
-      "corpus_report" -> Curation.corpusReport(d))
+      "corpus_report" -> Curation.corpusReport(d),
+      // round-8 second half: the training-handoff family + per-doc gates
+      "vocab_build" -> Vocab.vocabBuild(d),
+      "corpus_shuffle" -> CorpusShuffle.corpusShuffle(d),
+      "context_pack" -> ContextPack.contextPack(d),
+      "token_histogram" -> TokenHistogram.tokenHistogram(d),
+      "line_filter" -> LineFilter.lineFilter(d),
+      "url_domain_filter" -> UrlFilter.urlDomainFilter(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")

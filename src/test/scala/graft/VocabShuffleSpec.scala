@@ -89,6 +89,25 @@ class VocabShuffleSpec extends AnyFunSuite {
       "same content must shuffle to the same order regardless of ids")
   }
 
+  test("corpus_shuffle: the 2-digit shard dial matches integer hex parsing (256 shards)") {
+    val got = CorpusShuffle.corpusShuffle(docs, digits = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    got.foreach { case (id, key, shard) =>
+      assert(shard == Integer.parseInt(key.take(2), 16), s"doc $id shard from '$key'")
+    }
+    // ~219 of 256 shards expected populated at 500 docs (md5 uniformity)
+    assert(got.map(_._3).distinct.length > 150, "2-digit dial should spread widely")
+  }
+
+  test("context_pack: both branches consume the checkpointed base — no corpus re-scan") {
+    val plan = ContextPack.contextPack(docs).queryExecution.executedPlan.toString
+    val ckptScans = plan.split("Scan ExistingRDD").length - 1
+    assert(ckptScans == 2,
+      s"expected the cumsum and totals branches to read the checkpoint ($ckptScans):\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"corpus must be read only through the checkpointed base:\n$plan")
+  }
+
   test("context_pack: global offsets and window ranges recompute exactly; stream covers every token") {
     val re = TextOps.BpePattern.r
     val texts = docs.select("doc_id", "text").collect()
