@@ -151,6 +151,9 @@ object SparkEntry {
     // over the shuffled order, each doc mapped to the fixed-size context
     // windows it feeds (tokenBudgetPackRange's offset algebra per shard)
     "context_pack" -> ((s, d) => ContextPack.contextPackQ(Tables.documents(s, d))),
+    // …and its reverse index: per context window, the contributing docs
+    // (the provenance table attribution/memorization audits join against)
+    "context_window_docs" -> ((s, d) => ContextPack.contextWindowDocsQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -217,5 +220,6 @@ object SparkEntry {
     "url_domain_filter" -> UrlFilter.urlDomainFilterSql,
     "token_histogram" -> TokenHistogram.tokenHistogramSql,
     "context_pack" -> ContextPack.contextPackSql,
+    "context_window_docs" -> ContextPack.contextWindowDocsSql,
   )
 }

@@ -75,9 +75,38 @@ object ContextPack {
   def contextPackQ(documents: DataFrame): DataFrame =
     contextPack(documents).orderBy("doc_id")
 
-  val contextPackSql: String = {
-    val w = ContextWindowTokens
-    s"""WITH k AS (
+  /** The REVERSE index of [[contextPack]] — per context window, the
+    * documents that feed it: window id → n_docs, doc id range, and the
+    * full sorted contributor list (one comma-joined string, hash-stable).
+    * This is the provenance table an attribution or memorization audit
+    * actually joins against ("training example k came from THESE docs"),
+    * and the check that window formation is sane (every window has ≥1
+    * contributor; neighbors overlap only through boundary-crossing docs).
+    *
+    * Scale shape: [[contextPack]]'s plan + one INLINE-generator explode of
+    * `sequence(window_first, window_last)` (bounded per doc by
+    * n_tokens/W + 1; first ≤ last always, so the sequence is never
+    * descending) + one map-side-combinable aggregation on window_id.
+    * |windows| ≈ total_tokens / W rows out. */
+  def contextWindowDocs(documents: DataFrame): DataFrame =
+    contextPack(documents)
+      .select(col("doc_id"),
+        explode(expr("sequence(window_first, window_last)")).as("window_id"))
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"),
+        expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+          .as("doc_ids_csv"))
+      .select(col("window_id"), col("n_docs"), col("first_doc"),
+        col("last_doc"), col("doc_ids_csv"))
+
+  def contextWindowDocsQ(documents: DataFrame): DataFrame =
+    contextWindowDocs(documents).orderBy("window_id")
+
+  /** Shared CTE chain (k → … → g: per-doc global_start) interpolated into
+    * BOTH oracles so the stream definition cannot drift between them. */
+  private def packCtes: String =
+    s"""k AS (
        |  SELECT doc_id,
        |         md5('graft-shuffle:' ||
        |           md5(lower(trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))))) AS shuffle_key,
@@ -104,7 +133,11 @@ object ContextPack {
        |  SELECT c.doc_id, c.shard, c.n_tokens,
        |         CAST(o.shard_offset + c.within_start AS BIGINT) AS global_start
        |  FROM c JOIN o ON c.shard = o.shard
-       |)
+       |)"""
+
+  val contextPackSql: String = {
+    val w = ContextWindowTokens
+    s"""WITH $packCtes
        |SELECT doc_id, shard, n_tokens, global_start,
        |       global_start // $w AS window_first,
        |       (global_start + greatest(n_tokens, 1) - 1) // $w AS window_last,
@@ -112,5 +145,23 @@ object ContextPack {
        |       ((global_start + greatest(n_tokens, 1) - 1) // $w) > (global_start // $w) AS crosses_boundary
        |FROM g
        |ORDER BY doc_id""".stripMargin
+  }
+
+  val contextWindowDocsSql: String = {
+    val w = ContextWindowTokens
+    s"""WITH $packCtes, e AS (
+       |  SELECT doc_id,
+       |         unnest(range(global_start // $w,
+       |                      (global_start + greatest(n_tokens, 1) - 1) // $w + 1)) AS window_id
+       |  FROM g
+       |)
+       |SELECT window_id,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       min(doc_id) AS first_doc,
+       |       max(doc_id) AS last_doc,
+       |       array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
+       |FROM e
+       |GROUP BY window_id
+       |ORDER BY window_id""".stripMargin
   }
 }

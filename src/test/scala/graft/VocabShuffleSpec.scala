@@ -147,4 +147,26 @@ class VocabShuffleSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(again == got.view.mapValues(_._3).toMap)
   }
+
+  test("context_window_docs: reverse index is the exact transpose of context_pack") {
+    val pack = ContextPack.contextPackQ(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    val expected = pack.flatMap { case (id, first, last) =>
+      (first to last).map(w => w -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val got = ContextPack.contextWindowDocsQ(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got.keySet == expected.keySet, "window id sets differ")
+    got.foreach { case (w, (nDocs, firstDoc, lastDoc, csv)) =>
+      val docsIn = expected(w)
+      assert(nDocs == docsIn.length, s"window $w n_docs")
+      assert(firstDoc == docsIn.min && lastDoc == docsIn.max, s"window $w doc range")
+      assert(csv == docsIn.mkString(","), s"window $w contributor list")
+    }
+    // windows tile the stream: ids are dense from 0, every window has ≥1
+    // contributor, and neighbors share only boundary-crossing docs
+    val ids = got.keys.toSeq.sorted
+    assert(ids.head == 0L && ids == (0L until ids.length.toLong), "window ids not dense")
+  }
 }
