@@ -69,6 +69,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "vocab_build" -> Vocab.vocabBuild(d),
       "corpus_shuffle" -> CorpusShuffle.corpusShuffle(d),
       "context_pack" -> ContextPack.contextPack(d),
+      "context_window_docs" -> ContextPack.contextWindowDocs(d),
       "token_histogram" -> TokenHistogram.tokenHistogram(d),
       "line_filter" -> LineFilter.lineFilter(d),
       "url_domain_filter" -> UrlFilter.urlDomainFilter(d))
