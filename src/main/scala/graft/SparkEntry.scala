@@ -154,6 +154,10 @@ object SparkEntry {
     // …and its reverse index: per context window, the contributing docs
     // (the provenance table attribution/memorization audits join against)
     "context_window_docs" -> ((s, d) => ContextPack.contextWindowDocsQ(Tables.documents(s, d))),
+    // round 8 (second half): corpus version diff — added/removed/changed/
+    // unchanged by content fingerprint, the reprocess-only-the-delta
+    // primitive (deterministic synthetic old/new snapshots)
+    "corpus_diff" -> ((s, d) => CorpusDiff.corpusDiffQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -221,5 +225,6 @@ object SparkEntry {
     "token_histogram" -> TokenHistogram.tokenHistogramSql,
     "context_pack" -> ContextPack.contextPackSql,
     "context_window_docs" -> ContextPack.contextWindowDocsSql,
+    "corpus_diff" -> CorpusDiff.corpusDiffSql,
   )
 }
