@@ -158,6 +158,10 @@ object SparkEntry {
     // unchanged by content fingerprint, the reprocess-only-the-delta
     // primitive (deterministic synthetic old/new snapshots)
     "corpus_diff" -> ((s, d) => CorpusDiff.corpusDiffQ(Tables.documents(s, d))),
+    // …and mixture compilation: target per-mille weights + global token
+    // budget → per-doc replication plan (full epochs + deterministic
+    // partial-pass admission), all-integer
+    "mixture_plan" -> ((s, d) => MixturePlan.mixturePlanQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -226,5 +230,6 @@ object SparkEntry {
     "context_pack" -> ContextPack.contextPackSql,
     "context_window_docs" -> ContextPack.contextWindowDocsSql,
     "corpus_diff" -> CorpusDiff.corpusDiffSql,
+    "mixture_plan" -> MixturePlan.mixturePlanSql,
   )
 }
