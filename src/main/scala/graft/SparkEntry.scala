@@ -162,6 +162,9 @@ object SparkEntry {
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
     "mixture_plan" -> ((s, d) => MixturePlan.mixturePlanQ(Tables.documents(s, d))),
+    // …and retrieval-side chunking: overlapping fixed-token windows per
+    // doc (stride < window), map + inline generator, zero exchanges
+    "doc_chunk" -> ((s, d) => DocChunk.docChunkQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -231,5 +234,6 @@ object SparkEntry {
     "context_window_docs" -> ContextPack.contextWindowDocsSql,
     "corpus_diff" -> CorpusDiff.corpusDiffSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
+    "doc_chunk" -> DocChunk.docChunkSql,
   )
 }

@@ -72,6 +72,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "context_window_docs" -> ContextPack.contextWindowDocs(d),
       "corpus_diff" -> CorpusDiff.corpusDiff(d, d),
       "mixture_plan" -> MixturePlan.mixturePlan(d),
+      "doc_chunk" -> DocChunk.docChunk(d),
       "token_histogram" -> TokenHistogram.tokenHistogram(d),
       "line_filter" -> LineFilter.lineFilter(d),
       "url_domain_filter" -> UrlFilter.urlDomainFilter(d))
