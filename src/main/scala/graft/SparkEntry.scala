@@ -165,6 +165,9 @@ object SparkEntry {
     // …and retrieval-side chunking: overlapping fixed-token windows per
     // doc (stride < window), map + inline generator, zero exchanges
     "doc_chunk" -> ((s, d) => DocChunk.docChunkQ(Tables.documents(s, d))),
+    // …and the dataset-granularity dedup-pressure matrix: exact pairwise
+    // cross-source shingle Jaccard over distinct (source, shingle)
+    "source_overlap" -> ((s, d) => SourceOverlap.sourceOverlapQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -235,5 +238,6 @@ object SparkEntry {
     "corpus_diff" -> CorpusDiff.corpusDiffSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
+    "source_overlap" -> SourceOverlap.sourceOverlapSql,
   )
 }

@@ -29,7 +29,7 @@ object Dedup {
   /** The distinct word-bigram shingle-set expression over `w` (the split
     * token array). Shared text between the array form and the exploded
     * form below. */
-  private val ShingleArrayExpr =
+  private[operators] val ShingleArrayExpr =
     "array_distinct(transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1])))"
 
   /** doc_id → distinct word-bigram shingles + shingle count. */

@@ -73,6 +73,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "corpus_diff" -> CorpusDiff.corpusDiff(d, d),
       "mixture_plan" -> MixturePlan.mixturePlan(d),
       "doc_chunk" -> DocChunk.docChunk(d),
+      "source_overlap" -> SourceOverlap.sourceOverlap(d),
       "token_histogram" -> TokenHistogram.tokenHistogram(d),
       "line_filter" -> LineFilter.lineFilter(d),
       "url_domain_filter" -> UrlFilter.urlDomainFilter(d))
