@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusShuffle, Curation, ParagraphDedup, Vocab}
+import graft.operators.{CorpusDiff, CorpusShuffle, Curation, DocChunk, MixturePlan, ParagraphDedup, SourceOverlap, Vocab}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -81,6 +81,17 @@ object StressCuration {
       // ops line_filter/url_domain_filter have no corpus-scale path)
       time(s"vocab_build_$tag") { Vocab.vocabBuild(docs) }
       time(s"corpus_shuffle_$tag") { CorpusShuffle.corpusShuffle(docs) }
+      // round-8 closing: version diff (two map sides + full-outer join),
+      // mixture compile (two token passes + stratum window), overlapping
+      // chunker (map + generator, output-amplified), and the cross-source
+      // overlap matrix (distinct + shingle self-join — the Σ k² candidate
+      // join is the one with a nonlinear term, k bounded by |sources|)
+      time(s"corpus_diff_$tag") {
+        CorpusDiff.corpusDiff(CorpusDiff.oldSnapshot(docs), CorpusDiff.newSnapshot(docs))
+      }
+      time(s"mixture_plan_$tag") { MixturePlan.mixturePlan(docs) }
+      time(s"doc_chunk_$tag") { DocChunk.docChunk(docs) }
+      time(s"source_overlap_$tag") { SourceOverlap.sourceOverlap(docs) }
     }
 
     spark.stop()
