@@ -409,4 +409,43 @@ object StreamingJobs {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(asofFn)
   }
+
+  // ------------------------------- stream-static corpus version diff
+
+  /** Stream-static VERSION CLASSIFICATION — the streaming half of
+    * [[graft.operators.CorpusDiff.corpusDiff]]: new-snapshot documents
+    * arrive as a stream and are classified against the STATIC previous
+    * snapshot at ingest time — `added` (no prior row), `changed`
+    * (fingerprint differs), `unchanged`. `removed` is structurally
+    * undetectable in a stream (a doc that never arrives produces no row);
+    * removal detection is the batch reconciliation the batch operator
+    * exists for, so the parity contract is row-for-row equality with the
+    * batch diff MINUS its `removed` rows (spec-pinned).
+    *
+    * Append-mode stateless: per-row fingerprint expression + ONE
+    * stream-static LEFT join on doc_id — no watermark, no state store;
+    * verdict FINAL at arrival. Static-side refresh follows
+    * [[incrementalAdmissionStream]]'s contract: old-snapshot file listing
+    * captured at query (re)start. Scale notes: the static side carries
+    * (doc_id, 32-hex) only — the same never-ship-text rule as the batch
+    * join — and at corpus scale the static probe is the bucketed doc_id
+    * index the batch form would use. */
+  def corpusDiffStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CorpusDiff
+    val fpExpr =
+      "md5(lower(trim(regexp_replace(coalesce(text, ''), '\\\\s+', ' '))))"
+    val old = CorpusDiff.oldSnapshot(
+      spark.read.schema(documentsRawSchema).parquet(dir))
+      .select(col("doc_id"), expr(fpExpr).as("old_fp"))
+    val stream = CorpusDiff.newSnapshot(
+      spark.readStream.schema(documentsRawSchema).parquet(dir))
+      .select(col("doc_id"), expr(fpExpr).as("new_fp"), col("source"))
+    stream.join(old, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"),
+        col("source"))
+  }
 }

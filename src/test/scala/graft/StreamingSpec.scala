@@ -118,6 +118,34 @@ class StreamingSpec extends AnyFunSuite {
       "corpus exercises only one contamination verdict")
   }
 
+  test("stream-static corpus diff matches the batch operator minus its removed rows") {
+    // append-mode stateless: per-row fingerprint + one stream-static LEFT
+    // join on doc_id — verdict final at arrival. `removed` is structurally
+    // undetectable in a stream (no arriving row), so the contract is the
+    // batch diff with status <> 'removed', row-for-row
+    val dir = Files.createTempDirectory("graft-stream-diff")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingJobs.corpusDiffStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("diff_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) "" else r.getString(2),
+        if (r.isNullAt(3)) "" else r.getString(3), r.getString(4))
+    val streamed = spark.table("diff_stream").collect().map(key).sortBy(_._1)
+    val batch = graft.operators.CorpusDiff
+      .corpusDiffQ(Tables.documents(spark, sf))
+      .filter(org.apache.spark.sql.functions.col("status") =!= "removed")
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"stream=${streamed.length} batch=${batch.length} " +
+        s"diff=${streamed.zip(batch).filter(p => p._1 != p._2).take(3).mkString(",")}")
+    assert(Set("added", "changed", "unchanged").subsetOf(streamed.map(_._2).toSet),
+      "corpus must exercise all stream-detectable statuses")
+  }
+
   test("stream-static paragraph admission matches the batch operator row-for-row") {
     // append-mode stateless: per-row window fingerprints + one static
     // corpus-index row on a constant key + per-row instance filter-count —
