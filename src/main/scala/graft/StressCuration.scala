@@ -89,6 +89,13 @@ object StressCuration {
       time(s"corpus_diff_$tag") {
         CorpusDiff.corpusDiff(CorpusDiff.oldSnapshot(docs), CorpusDiff.newSnapshot(docs))
       }
+      // bloom semi-join dial, honest both-settings timing: at this batch
+      // fraction (20% of corpus) the sketch build is a real fixed cost —
+      // the dial's regime is steady-state small batches vs a huge index
+      time(s"paragraph_incr_plain_$tag") { ParagraphDedup.paragraphIncremental(docs) }
+      time(s"paragraph_incr_bloom_$tag") {
+        ParagraphDedup.paragraphIncremental(docs, bloomFpp = Some(0.01))
+      }
       time(s"mixture_plan_$tag") { MixturePlan.mixturePlan(docs) }
       time(s"doc_chunk_$tag") { DocChunk.docChunk(docs) }
       time(s"source_overlap_$tag") { SourceOverlap.sourceOverlap(docs) }

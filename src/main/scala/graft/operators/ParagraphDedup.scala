@@ -159,18 +159,52 @@ object ParagraphDedup {
     * Hits count window INSTANCES (a doc repeating a known window twice
     * scores 2 hits of 2 windows), mirroring the rollup convention of
     * [[paragraphDedup]]; degenerate batch docs (no windows) re-enter at
-    * the final left join as 0/0/0.0/is_new = true. */
+    * the final left join as 0/0/0.0/is_new = true.
+    *
+    * `bloomFpp` (round 8) is the SEMI-JOIN REDUCTION dial: with a steady
+    * corpus, the overwhelming share of a daily batch's windows are brand
+    * new — rows that pay the fp-keyed probe shuffle only to LEFT-join
+    * onto nothing. With `bloomFpp = Some(p)`, a Bloom filter over the
+    * corpus index fps (built distributed via `stat.bloomFilter`'s
+    * aggregate, held ~1.2 GB/10⁹ fps at p=.01, broadcast once per index
+    * rebuild like the LSH bucket index) pre-classifies each batch window:
+    * `mightContain = false` proves fp ∉ corpus — the row takes hit 0
+    * directly and SKIPS the join; only the `true` slice (true dups + a
+    * p-bounded false-positive sliver) pays the shuffle. Bloom false
+    * negatives are impossible, false positives are resolved by the join
+    * they are sent to — output is row-identical to the plain path
+    * (spec-pinned), making this a pure economics dial: per-row O(k)
+    * hashes against a broadcast bitmap instead of a shuffle, on the slice
+    * that dominates at scale. The filter is a closure over the broadcast
+    * sketch (not codegen); it runs on the batch side only, before the
+    * exchange it exists to shrink. */
   def paragraphIncremental(documents: DataFrame,
                            width: Int = ParaWindowTokens,
                            batchMod: Long = Dedup.IncrementalBatchMod,
-                           maxHitFrac: Double = DupParaMax): DataFrame = {
+                           maxHitFrac: Double = DupParaMax,
+                           bloomFpp: Option[Double] = None): DataFrame = {
     val ex = paragraphExploded(documents, width)
     val batch = ex.filter(col("doc_id") % batchMod === 0)
       .select(col("doc_id"), col("fp"))
     val corpusIdx = ex.filter(col("doc_id") % batchMod =!= 0)
       .select(col("fp")).distinct()
       .withColumn("hit", lit(1L))
-    val stats = batch.join(corpusIdx, Seq("fp"), "left")
+    val probed = bloomFpp match {
+      case None => batch.join(corpusIdx, Seq("fp"), "left")
+      case Some(fpp) =>
+        // two corpus-index consumers (count + sketch build) before the
+        // join — checkpoint so the explode+distinct runs once (§invariants)
+        val idx = corpusIdx.localCheckpoint()
+        val spark = documents.sparkSession
+        val bloom = idx.stat.bloomFilter("fp", math.max(idx.count(), 1L), fpp)
+        val bc = spark.sparkContext.broadcast(bloom)
+        val might = udf((s: String) => bc.value.mightContainString(s))
+        val definitelyNew = batch.filter(!might(col("fp")))
+          .withColumn("hit", expr("CAST(NULL AS BIGINT)"))
+        batch.filter(might(col("fp"))).join(idx, Seq("fp"), "left")
+          .unionByName(definitelyNew)
+    }
+    val stats = probed
       .groupBy("doc_id")
       .agg(count(lit(1)).as("np"), sum(coalesce(col("hit"), lit(0L))).as("nh"))
     documents.filter(col("doc_id") % batchMod === 0).select(col("doc_id"))

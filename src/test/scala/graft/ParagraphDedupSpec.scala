@@ -164,4 +164,22 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no pairwise comparison anywhere:\n$p")
   }
+
+  test("bloom semi-join reduction: row-identical to the plain probe, and the sketch is honest") {
+    val docs = Tables.documents(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+    val plain = ParagraphDedup.paragraphIncremental(docs)
+      .collect().map(key).sortBy(_._1)
+    // a loose fpp still must not change a single row (false positives are
+    // resolved by the join they are routed to; false negatives impossible)
+    val bloomed = ParagraphDedup.paragraphIncremental(docs, bloomFpp = Some(0.05))
+      .collect().map(key).sortBy(_._1)
+    assert(bloomed.sameElements(plain),
+      s"diff=${bloomed.zip(plain).filter(p => p._1 != p._2).take(3).mkString(",")}")
+    // the dial must actually split the batch: the gate corpus has both
+    // known windows (hits > 0) and fresh ones (hit_frac < 1 rows exist)
+    assert(plain.exists(_._3 > 0) && plain.exists(r => r._3 < r._2),
+      "corpus must exercise both bloom branches for the identity to mean anything")
+  }
 }
