@@ -168,6 +168,11 @@ object SparkEntry {
     // …and the dataset-granularity dedup-pressure matrix: exact pairwise
     // cross-source shingle Jaccard over distinct (source, shingle)
     "source_overlap" -> ((s, d) => SourceOverlap.sourceOverlapQ(Tables.documents(s, d))),
+    // …and the boilerplate audit (top-K cross-doc duplicated windows,
+    // TakeOrderedAndProject — no global sort) + the per-shard training
+    // manifest (counts, token mass, key range, ordered-id checksum)
+    "dup_passages" -> ((s, d) => DupPassages.dupPassagesQ(Tables.documents(s, d))),
+    "shard_manifest" -> ((s, d) => ShardManifest.shardManifestQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -239,5 +244,7 @@ object SparkEntry {
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "source_overlap" -> SourceOverlap.sourceOverlapSql,
+    "dup_passages" -> DupPassages.dupPassagesSql,
+    "shard_manifest" -> ShardManifest.shardManifestSql,
   )
 }

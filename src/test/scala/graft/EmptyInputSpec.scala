@@ -74,6 +74,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "mixture_plan" -> MixturePlan.mixturePlan(d),
       "doc_chunk" -> DocChunk.docChunk(d),
       "source_overlap" -> SourceOverlap.sourceOverlap(d),
+      "dup_passages" -> DupPassages.dupPassages(d),
+      "shard_manifest" -> ShardManifest.shardManifest(d),
       "token_histogram" -> TokenHistogram.tokenHistogram(d),
       "line_filter" -> LineFilter.lineFilter(d),
       "url_domain_filter" -> UrlFilter.urlDomainFilter(d))
