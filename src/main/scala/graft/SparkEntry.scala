@@ -173,6 +173,9 @@ object SparkEntry {
     // manifest (counts, token mass, key range, ordered-id checksum)
     "dup_passages" -> ((s, d) => DupPassages.dupPassagesQ(Tables.documents(s, d))),
     "shard_manifest" -> ((s, d) => ShardManifest.shardManifestQ(Tables.documents(s, d))),
+    // …and vocabulary APPLICATION: every token position mapped to its
+    // learned vocab id (UNK=-1) via one broadcast join of the K-row vocab
+    "tokenize_ids" -> ((s, d) => TokenizeIds.tokenizeIdsQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -246,5 +249,6 @@ object SparkEntry {
     "source_overlap" -> SourceOverlap.sourceOverlapSql,
     "dup_passages" -> DupPassages.dupPassagesSql,
     "shard_manifest" -> ShardManifest.shardManifestSql,
+    "tokenize_ids" -> TokenizeIds.tokenizeIdsSql,
   )
 }

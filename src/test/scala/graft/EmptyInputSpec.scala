@@ -76,6 +76,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "source_overlap" -> SourceOverlap.sourceOverlap(d),
       "dup_passages" -> DupPassages.dupPassages(d),
       "shard_manifest" -> ShardManifest.shardManifest(d),
+      "tokenize_ids" -> TokenizeIds.tokenizeIds(d),
       "token_histogram" -> TokenHistogram.tokenHistogram(d),
       "line_filter" -> LineFilter.lineFilter(d),
       "url_domain_filter" -> UrlFilter.urlDomainFilter(d))
