@@ -62,6 +62,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedupQ(Tables.embeddings(s, d))),
+    // round 8 (closing): the embedding-side incremental admission — batch
+    // vectors vs the existing corpus only, the text family's economics
+    "embedding_dedup_incremental" -> ((s, d) =>
+      Similarity.embeddingDedupIncrementalQ(Tables.embeddings(s, d))),
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
@@ -209,6 +213,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,
+    "embedding_dedup_incremental" -> Similarity.embeddingDedupIncrementalSql,
     "sessionize" -> Sessionize.sessionizeSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,

@@ -130,4 +130,72 @@ object Similarity {
        |FROM pairs
        |WHERE cos >= $DedupCosThreshold
        |ORDER BY id1, id2""".stripMargin
+
+  // ---------------------------------------- embedding_dedup_incremental
+
+  /** Per-batch SEMANTIC admission (round 8) — the embedding-side member of
+    * the incremental family ([[Dedup.dedupIncremental]] for documents,
+    * [[ParagraphDedup.paragraphIncremental]] for windows): each BATCH
+    * vector ([[Dedup.IncrementalBatchMod]] stand-in) is admitted iff no
+    * CORPUS vector sits within cosine ≥ τ; `dup_of` is the min-id match
+    * (the family's deterministic representative), `best_cos` the closest
+    * match. Batch×batch is never compared and corpus×corpus never runs —
+    * the incremental economics.
+    *
+    * Shape: |batch| × |corpus| dot products via one broadcast nested loop
+    * (a documented exact-contract product, the [[knnCosineBrute]] class);
+    * at 100 TB the probe side becomes the hyperplane-LSH bucket index
+    * ([[Lsh]]) exactly as text admission's `_lsh` twin probes its bucket
+    * index, with this exact form as its recall oracle. Map-side cos +
+    * one batch-keyed agg; the no-match batch rows re-enter at a final
+    * left join (the family's 0-hit convention). */
+  def embeddingDedupIncremental(embeddings: DataFrame,
+                                threshold: Double = DedupCosThreshold,
+                                batchMod: Long = Dedup.IncrementalBatchMod): DataFrame = {
+    val e = withNorm(embeddings)
+    val batch = e.filter(col("vec_id") % batchMod === 0)
+      .select(col("vec_id").as("bid"), col("vd").as("qv"), col("norm").as("qn"))
+    val corpus = e.filter(col("vec_id") % batchMod =!= 0)
+      .select(col("vec_id"), col("vd"), col("norm"))
+    val stats = corpus.crossJoin(broadcast(batch))
+      .withColumn("cos", expr(s"$DotF / (norm * qn)"))
+      .filter(col("cos") >= threshold)
+      .groupBy("bid")
+      .agg(count(lit(1)).as("nm"), min("vec_id").as("dup_of"),
+        max("cos").as("best_cos"))
+    e.filter(col("vec_id") % batchMod === 0).select(col("vec_id"))
+      .join(stats, col("vec_id") === col("bid"), "left")
+      .withColumn("n_matches", coalesce(col("nm"), lit(0L)))
+      .withColumn("is_new", col("dup_of").isNull)
+      .select(col("vec_id"), col("n_matches"), col("dup_of"),
+        col("best_cos"), col("is_new"))
+  }
+
+  def embeddingDedupIncrementalQ(embeddings: DataFrame): DataFrame =
+    embeddingDedupIncremental(embeddings)
+      .select(col("vec_id"), col("n_matches"), col("dup_of"),
+        r("best_cos", 4), col("is_new"))
+      .orderBy("vec_id")
+
+  val embeddingDedupIncrementalSql: String = {
+    val mod = Dedup.IncrementalBatchMod
+    s"""$VecCte, pairs AS (
+       |  SELECT * FROM (
+       |    SELECT q.vec_id AS bid, a.vec_id AS cid,
+       |           $DotSqlF / (a.norm * q.norm) AS cos
+       |    FROM n a JOIN n q
+       |      ON q.vec_id % $mod = 0 AND a.vec_id % $mod <> 0
+       |  ) WHERE cos >= $DedupCosThreshold
+       |), stats AS (
+       |  SELECT bid, CAST(count(*) AS BIGINT) AS nm,
+       |         min(cid) AS dup_of, max(cos) AS best_cos
+       |  FROM pairs GROUP BY bid
+       |)
+       |SELECT b.vec_id, COALESCE(nm, 0) AS n_matches, dup_of,
+       |       ${rsql("best_cos", 4, "best_cos")},
+       |       dup_of IS NULL AS is_new
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % $mod = 0) b
+       |LEFT JOIN stats ON stats.bid = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
+  }
 }

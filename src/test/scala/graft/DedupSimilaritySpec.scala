@@ -200,4 +200,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(4L).contains(300000L))
     assert(out(5L).isEmpty) // click before any purchase
   }
+
+  test("embedding incremental admission agrees with the exact pair set on cross-split pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val mod = graft.operators.Dedup.IncrementalBatchMod
+    // ground truth: the full exact threshold pairs, restricted to batch×corpus
+    val pairs = graft.operators.Similarity.embeddingDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val perBatch = (pairs.flatMap { case (a, b, c) =>
+      Seq((a, b, c), (b, a, c))
+    }).filter { case (b, cid, _) => b % mod == 0 && cid % mod != 0 }
+      .groupBy(_._1)
+    val got = graft.operators.Similarity.embeddingDedupIncremental(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getBoolean(4))).toMap
+    val batchIds = emb.select("vec_id").collect().map(_.getLong(0)).filter(_ % mod == 0)
+    assert(got.keySet == batchIds.toSet, "one verdict per batch vector")
+    batchIds.foreach { id =>
+      val (nm, dupOf, bestCos, isNew) = got(id)
+      perBatch.get(id) match {
+        case None =>
+          assert(nm == 0 && dupOf == -1L && isNew, s"vec $id must be new")
+        case Some(ms) =>
+          assert(nm == ms.length && dupOf == ms.map(_._2).min && !isNew, s"vec $id")
+          assert(math.abs(bestCos - ms.map(_._3).max) < 1e-12, s"vec $id best_cos")
+      }
+    }
+    assert(batchIds.exists(id => got(id)._4) , "corpus should have new batch vectors")
+  }
 }
