@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, MixturePlan, ParagraphDedup, ShardManifest, SourceOverlap, Vocab}
+import graft.operators.{CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, MixturePlan, ParagraphDedup, ShardManifest, SourceOverlap, TokenizeIds, Vocab}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -99,6 +99,7 @@ object StressCuration {
       time(s"mixture_plan_$tag") { MixturePlan.mixturePlan(docs) }
       time(s"dup_passages_$tag") { DupPassages.dupPassages(docs) }
       time(s"shard_manifest_$tag") { ShardManifest.shardManifest(docs) }
+      time(s"tokenize_ids_$tag") { TokenizeIds.tokenizeIds(docs) }
       time(s"doc_chunk_$tag") { DocChunk.docChunk(docs) }
       time(s"source_overlap_$tag") { SourceOverlap.sourceOverlap(docs) }
     }
