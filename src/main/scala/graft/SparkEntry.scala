@@ -180,6 +180,12 @@ object SparkEntry {
     // …and vocabulary APPLICATION: every token position mapped to its
     // learned vocab id (UNK=-1) via one broadcast join of the K-row vocab
     "tokenize_ids" -> ((s, d) => TokenizeIds.tokenizeIdsQ(Tables.documents(s, d))),
+    // round 8 (continuation): maximal duplicate-span merge — adjacent
+    // duplicated windows fused into surgical-removal extents (islands)
+    "dup_span_merge" -> ((s, d) => DupSpans.dupSpanMergeQ(Tables.documents(s, d))),
+    // …and window-granularity language composition: the mixed-document
+    // detector the whole-doc lang_id label needs as a trust gate
+    "lang_mix" -> ((s, d) => LangMix.langMixQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -255,5 +261,7 @@ object SparkEntry {
     "dup_passages" -> DupPassages.dupPassagesSql,
     "shard_manifest" -> ShardManifest.shardManifestSql,
     "tokenize_ids" -> TokenizeIds.tokenizeIdsSql,
+    "dup_span_merge" -> DupSpans.dupSpanMergeSql,
+    "lang_mix" -> LangMix.langMixSql,
   )
 }
