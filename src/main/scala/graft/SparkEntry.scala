@@ -186,6 +186,10 @@ object SparkEntry {
     // …and window-granularity language composition: the mixed-document
     // detector the whole-doc lang_id label needs as a trust gate
     "lang_mix" -> ((s, d) => LangMix.langMixQ(Tables.documents(s, d))),
+    // …and the removal pass itself: duplicated windows excised, survivors
+    // rejoined — verdict side shuffles integer indices only, text is
+    // re-windowed map-side on the doc spine
+    "paragraph_clean" -> ((s, d) => ParagraphClean.paragraphCleanQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -263,5 +267,6 @@ object SparkEntry {
     "tokenize_ids" -> TokenizeIds.tokenizeIdsSql,
     "dup_span_merge" -> DupSpans.dupSpanMergeSql,
     "lang_mix" -> LangMix.langMixSql,
+    "paragraph_clean" -> ParagraphClean.paragraphCleanSql,
   )
 }
