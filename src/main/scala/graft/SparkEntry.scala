@@ -190,6 +190,9 @@ object SparkEntry {
     // rejoined — verdict side shuffles integer indices only, text is
     // re-windowed map-side on the doc spine
     "paragraph_clean" -> ((s, d) => ParagraphClean.paragraphCleanQ(Tables.documents(s, d))),
+    // …and collocation mining: top-K adjacent pairs by PMI, ranked via the
+    // monotone lift ratio so both engines stay in exact integer products
+    "bigram_pmi" -> ((s, d) => Collocations.bigramPmiQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -268,5 +271,6 @@ object SparkEntry {
     "dup_span_merge" -> DupSpans.dupSpanMergeSql,
     "lang_mix" -> LangMix.langMixSql,
     "paragraph_clean" -> ParagraphClean.paragraphCleanSql,
+    "bigram_pmi" -> Collocations.bigramPmiSql,
   )
 }
