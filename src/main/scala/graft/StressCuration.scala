@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, MixturePlan, ParagraphDedup, ShardManifest, SourceOverlap, TokenizeIds, Vocab}
+import graft.operators.{Collocations, CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, DupSpans, LangMix, MixturePlan, ParagraphClean, ParagraphDedup, ShardManifest, SourceOverlap, TokenizeIds, Vocab}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -25,6 +25,9 @@ object StressCuration {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_stress_curation"
+    // optional comma-joined substring filter: run only matching configs
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSeq) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,6 +57,7 @@ object StressCuration {
     println(s"STATS base=${base.count()} x10=${x10.count()}")
 
     def time(name: String)(mk: => DataFrame): Unit = {
+      if (only.exists(fs => !fs.exists(name.contains))) return
       val passes = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
@@ -102,6 +106,12 @@ object StressCuration {
       time(s"tokenize_ids_$tag") { TokenizeIds.tokenizeIds(docs) }
       time(s"doc_chunk_$tag") { DocChunk.docChunk(docs) }
       time(s"source_overlap_$tag") { SourceOverlap.sourceOverlap(docs) }
+      // round-8 continuation: span merge + clean (both ride the verdict
+      // machinery), per-window language rollup, and collocation mining
+      time(s"dup_span_merge_$tag") { DupSpans.dupSpanMerge(docs) }
+      time(s"paragraph_clean_$tag") { ParagraphClean.paragraphClean(docs) }
+      time(s"lang_mix_$tag") { LangMix.langMix(docs) }
+      time(s"bigram_pmi_$tag") { Collocations.bigramPmi(docs) }
     }
 
     spark.stop()
