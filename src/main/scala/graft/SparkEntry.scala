@@ -193,6 +193,10 @@ object SparkEntry {
     // …and collocation mining: top-K adjacent pairs by PMI, ranked via the
     // monotone lift ratio so both engines stay in exact integer products
     "bigram_pmi" -> ((s, d) => Collocations.bigramPmiQ(Tables.documents(s, d))),
+    // …and the ingestion-side HTML extraction pass (committed fixture —
+    // the corpus tables are bare word streams): block removal, tag strip,
+    // entity decode, text-mass gate
+    "html_clean" -> ((s, _) => HtmlClean.htmlCleanQ(s)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -272,5 +276,6 @@ object SparkEntry {
     "lang_mix" -> LangMix.langMixSql,
     "paragraph_clean" -> ParagraphClean.paragraphCleanSql,
     "bigram_pmi" -> Collocations.bigramPmiSql,
+    "html_clean" -> HtmlClean.htmlCleanSql,
   )
 }
