@@ -79,7 +79,13 @@ class EmptyInputSpec extends AnyFunSuite {
       "tokenize_ids" -> TokenizeIds.tokenizeIds(d),
       "token_histogram" -> TokenHistogram.tokenHistogram(d),
       "line_filter" -> LineFilter.lineFilter(d),
-      "url_domain_filter" -> UrlFilter.urlDomainFilter(d))
+      "url_domain_filter" -> UrlFilter.urlDomainFilter(d),
+      // round-8 continuation
+      "dup_span_merge" -> DupSpans.dupSpanMerge(d),
+      "paragraph_clean" -> ParagraphClean.paragraphClean(d),
+      "lang_mix" -> LangMix.langMix(d),
+      "bigram_pmi" -> Collocations.bigramPmi(d),
+      "html_clean" -> HtmlClean.htmlClean(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
