@@ -197,6 +197,10 @@ object SparkEntry {
     // the corpus tables are bare word streams): block removal, tag strip,
     // entity decode, text-mass gate
     "html_clean" -> ((s, _) => HtmlClean.htmlCleanQ(s)),
+    // …and the composed end-to-end recipe: admission gates → window
+    // surgery over the admitted set → per-source delivery report, every
+    // stage an already-oracled operator (compositional correctness pin)
+    "curation_pipeline" -> ((s, d) => Pipeline.curationPipelineQ(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -277,5 +281,6 @@ object SparkEntry {
     "paragraph_clean" -> ParagraphClean.paragraphCleanSql,
     "bigram_pmi" -> Collocations.bigramPmiSql,
     "html_clean" -> HtmlClean.htmlCleanSql,
+    "curation_pipeline" -> Pipeline.curationPipelineSql,
   )
 }

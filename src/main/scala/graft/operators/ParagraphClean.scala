@@ -72,11 +72,15 @@ object ParagraphClean {
     * listed per doc, and the same keep-filter + rejoin as an indexed list
     * comprehension. DuckDB `array_to_string([], ' ')` is NULL (the
     * [[LineFilter]] pin) — COALESCE'd to '' to match Spark's empty join. */
-  val paragraphCleanSql: String = {
+  /** The verdict + keep-filter CTE chain over any source table carrying
+    * (doc_id, text) — shared verbatim by [[paragraphCleanSql]] and the
+    * composed [[Pipeline.curationPipelineSql]] so the two oracles cannot
+    * drift. Ends at `k` (doc_id, paras, dup_idx, clean_arr). */
+  private[graft] def cleanChainCtes(src: String): String = {
     val wdt = ParagraphDedup.ParaWindowTokens
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, COALESCE(string_split_regex(lower(trim(text)), '\\s+'), []) AS w
-       |  FROM documents
+       |  FROM $src
        |), g AS (
        |  SELECT doc_id,
        |         [array_to_string(w[s*$wdt+1 : s*$wdt+$wdt], ' ')
@@ -104,7 +108,11 @@ object ParagraphClean {
        |         [paras[CAST(i AS INT) + 1] for i in range(len(paras))
        |          if NOT list_contains(COALESCE(dup_idx, []), CAST(i AS INT))] AS clean_arr
        |  FROM g LEFT JOIN di ON di.doc_id = g.doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  val paragraphCleanSql: String =
+    s"""WITH ${cleanChainCtes("documents")}
        |SELECT doc_id, COALESCE(array_to_string(clean_arr, ' '), '') AS clean_text,
        |       CAST(len(paras) AS BIGINT) AS n_paras,
        |       CAST(len(dup_idx) AS BIGINT) AS n_removed,
@@ -112,5 +120,4 @@ object ParagraphClean {
        |         AS n_tokens_clean
        |FROM k
        |ORDER BY doc_id""".stripMargin
-  }
 }
