@@ -66,6 +66,9 @@ object SparkEntry {
     // vectors vs the existing corpus only, the text family's economics
     "embedding_dedup_incremental" -> ((s, d) =>
       Similarity.embeddingDedupIncrementalQ(Tables.embeddings(s, d))),
+    // round 8: semantic CC — the embedding-side twin of dedup_cluster
+    "embedding_cluster" -> ((s, d) =>
+      Similarity.embeddingClustersQ(Tables.embeddings(s, d))),
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
@@ -235,6 +238,7 @@ object SparkEntry {
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,
     "embedding_dedup_incremental" -> Similarity.embeddingDedupIncrementalSql,
+    "embedding_cluster" -> Similarity.embeddingClustersSql,
     "sessionize" -> Sessionize.sessionizeSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,

@@ -90,9 +90,11 @@ object Similarity {
   // ------------------------------------------------------------ oracle SQL
 
   /** Shared DuckDB vector CTE: double list + left-assoc norm fold (matches
-    * Spark aggregate's 0.0 + x1 + x2 + … order; 0.0 + x1 == x1 exactly). */
-  private val VecCte =
-    """WITH e AS (
+    * Spark aggregate's 0.0 + x1 + x2 + … order; 0.0 + x1 == x1 exactly).
+    * Split body/prefix so [[embeddingClustersSql]] can open the same chain
+    * with `WITH RECURSIVE`. */
+  private val VecCteBody =
+    """e AS (
       |  SELECT vec_id, label,
       |         [CAST(x AS DOUBLE) for x in embedding] AS vd
       |  FROM embeddings
@@ -101,6 +103,8 @@ object Similarity {
       |         sqrt(list_reduce(list_transform(vd, x -> x * x), (a, b) -> a + b)) AS norm
       |  FROM e
       |)""".stripMargin
+
+  private val VecCte = "WITH " + VecCteBody
 
   private val DotSqlF =
     "list_reduce([a.vd[i] * q.vd[i] for i in range(1, len(a.vd) + 1)], (x, y) -> x + y)"
@@ -198,4 +202,64 @@ object Similarity {
        |LEFT JOIN stats ON stats.bid = b.vec_id
        |ORDER BY b.vec_id""".stripMargin
   }
+
+  // ------------------------------------------------------- embedding_cluster
+
+  /** Semantic near-dup CLUSTERS (round 8) — connected components over the
+    * [[embeddingDedup]] cos ≥ τ pair graph, every vector labeled with its
+    * component's min vec_id: the embedding-side member of the cluster
+    * family, completing the symmetry [[Dedup.dedupClusters]] (shingle
+    * pairs → clusters) established for text. SemDeDup-style pipelines
+    * consume exactly this: pairwise semantic duplicates are not actionable
+    * until they are grouped and one representative per group survives.
+    *
+    * Shape: the pair stage is the documented exact-contract |n|² product
+    * (embedding_dedup's class — at 100 TB the hyperplane-LSH bucket join
+    * [[Lsh.embeddingDedupLsh]] generates the same candidates at Σ bucket²
+    * cost, mirroring dedupClusters → dedupClustersLsh); the CC stage is
+    * [[Dedup.propagateMinLabels]] verbatim — min-label propagation with
+    * pointer jumping, O(log d) rounds, each round's frame localCheckpoint'd
+    * per the multi-consumer invariant. Cluster count and sizes are bounded
+    * by the pair graph, never materialized driver-side. */
+  def embeddingClusters(embeddings: DataFrame,
+                        threshold: Double = DedupCosThreshold,
+                        maxIters: Int = 20): DataFrame = {
+    val pairs = embeddingDedup(embeddings, threshold)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val edges = pairs
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val vertices = embeddings.select(col("vec_id").as("doc_id"))
+    val (labels, _) = Dedup.propagateMinLabels(vertices, edges, maxIters)
+    labels
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+  }
+
+  def embeddingClustersQ(embeddings: DataFrame): DataFrame =
+    embeddingClusters(embeddings).orderBy("vec_id")
+
+  /** DuckDB twin: the [[embeddingDedupSql]] pair CTEs + the recursive-CTE
+    * transitive closure of [[Dedup.dedupClustersSql]] — min reachable id
+    * per vector. */
+  val embeddingClustersSql: String =
+    s"""WITH RECURSIVE $VecCteBody, pairs AS (
+       |  SELECT * FROM (
+       |    SELECT a.vec_id AS id1, q.vec_id AS id2,
+       |           $DotSqlF / (a.norm * q.norm) AS cos
+       |    FROM n a JOIN n q ON a.vec_id < q.vec_id
+       |  ) WHERE cos >= $DedupCosThreshold
+       |), edges AS (
+       |  SELECT id1 AS u, id2 AS v FROM pairs
+       |  UNION ALL
+       |  SELECT id2 AS u, id1 AS v FROM pairs
+       |), reach AS (
+       |  SELECT vec_id AS doc, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT e.u AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.v
+       |), cc AS (
+       |  SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc
+       |)
+       |SELECT doc AS vec_id, cluster_id, doc = cluster_id AS is_canonical
+       |FROM cc
+       |ORDER BY vec_id""".stripMargin
 }

@@ -229,4 +229,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(batchIds.exists(id => got(id)._4) , "corpus should have new batch vectors")
   }
+
+  test("embedding clusters are the transitive closure of the exact pair set") {
+    // cross-derive: union-find over embeddingDedup's pairs with min-root
+    // linking gives every vector's component-min label; embeddingClusters
+    // must reproduce it exactly (same convention as dedup_cluster)
+    val emb2 = Tables.embeddings(spark, sf)
+    val ids = emb2.select("vec_id").collect().map(_.getLong(0))
+    val pairs = graft.operators.Similarity.embeddingDedup(emb2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = graft.operators.Similarity.embeddingClusters(emb2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == ids.length, "one label per vector")
+    got.foreach { case (v, c, canon) =>
+      assert(c == expected(v), s"vec $v cluster mismatch: $c vs ${expected(v)}")
+      assert(canon == (v == c), s"vec $v is_canonical mismatch")
+    }
+    // only interesting if the gate corpus has a real multi-member cluster
+    assert(got.exists { case (v, c, _) => v != c },
+      "gate corpus yields no multi-member semantic cluster")
+  }
 }

@@ -118,6 +118,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "knn_cosine_brute" -> Similarity.knnCosineBrute(e),
       "embedding_dedup" -> Similarity.embeddingDedup(e),
       "embedding_dedup_incremental" -> Similarity.embeddingDedupIncremental(e),
+      "embedding_cluster" -> Similarity.embeddingClusters(e),
       "knn_cosine_lsh" -> Lsh.knnCosineLsh(e),
       "embedding_dedup_lsh" -> Lsh.embeddingDedupLsh(e),
       // the driver-side quantizer yields zero centroids on an empty corpus
