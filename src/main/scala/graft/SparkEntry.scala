@@ -143,6 +143,9 @@ object SparkEntry {
     // tf/df/rank) and the deterministic training-order shuffle + shard
     // assignment (content-keyed, like corpus_split/corpus_sample)
     "vocab_build" -> ((s, d) => Vocab.vocabBuildQ(Tables.documents(s, d))),
+    // round 8: coverage curve over the unigram inventory — the OOV-rate
+    // signal that sizes the vocabulary before tokenize_ids commits
+    "vocab_coverage" -> ((s, d) => VocabCoverage.vocabCoverageQ(Tables.documents(s, d))),
     "corpus_shuffle" -> ((s, d) => CorpusShuffle.corpusShuffleQ(Tables.documents(s, d))),
     // round 8 (second half): C4-style line-level cleaning — per-line
     // structural gates + cleaned-text reassembly, over a committed
@@ -172,6 +175,8 @@ object SparkEntry {
     // …and retrieval-side chunking: overlapping fixed-token windows per
     // doc (stride < window), map + inline generator, zero exchanges
     "doc_chunk" -> ((s, d) => DocChunk.docChunkQ(Tables.documents(s, d))),
+    // round 8: MOSS winnowing — position-localized overlap fingerprints
+    "winnow_fingerprint" -> ((s, d) => Winnow.winnowFingerprintQ(Tables.documents(s, d))),
     // …and the dataset-granularity dedup-pressure matrix: exact pairwise
     // cross-source shingle Jaccard over distinct (source, shingle)
     "source_overlap" -> ((s, d) => SourceOverlap.sourceOverlapQ(Tables.documents(s, d))),
@@ -267,6 +272,7 @@ object SparkEntry {
     "tfidf_topterms" -> Curation.tfidfTopTermsSql,
     "corpus_report" -> Curation.corpusReportSql,
     "vocab_build" -> Vocab.vocabBuildSql,
+    "vocab_coverage" -> VocabCoverage.vocabCoverageSql,
     "corpus_shuffle" -> CorpusShuffle.corpusShuffleSql,
     "line_filter" -> LineFilter.lineFilterSql,
     "url_domain_filter" -> UrlFilter.urlDomainFilterSql,
@@ -276,6 +282,7 @@ object SparkEntry {
     "corpus_diff" -> CorpusDiff.corpusDiffSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
+    "winnow_fingerprint" -> Winnow.winnowFingerprintSql,
     "source_overlap" -> SourceOverlap.sourceOverlapSql,
     "dup_passages" -> DupPassages.dupPassagesSql,
     "shard_manifest" -> ShardManifest.shardManifestSql,

@@ -53,6 +53,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "dedup_incremental_noBcast" -> Dedup.dedupIncremental(d, broadcastBatch = false),
       "dedup_incremental_lsh" -> Dedup.dedupIncrementalLsh(d),
       "paragraph_dedup" -> ParagraphDedup.paragraphDedup(d),
+      "winnow_fingerprint" -> Winnow.winnowFingerprint(d),
+      "vocab_coverage" -> VocabCoverage.vocabCoverage(d),
       "paragraph_dedup_incremental" -> ParagraphDedup.paragraphIncremental(d),
       "minhash_lsh" -> Lsh.minhashLshPairs(d),
       "simhash" -> Lsh.simhashPairs(d),
