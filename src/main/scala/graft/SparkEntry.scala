@@ -177,6 +177,8 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) => DocChunk.docChunkQ(Tables.documents(s, d))),
     // round 8: MOSS winnowing — position-localized overlap fingerprints
     "winnow_fingerprint" -> ((s, d) => Winnow.winnowFingerprintQ(Tables.documents(s, d))),
+    // round 8: containment pairs over the winnow index — the clone report
+    "winnow_overlap" -> ((s, d) => Winnow.winnowOverlapQ(Tables.documents(s, d))),
     // …and the dataset-granularity dedup-pressure matrix: exact pairwise
     // cross-source shingle Jaccard over distinct (source, shingle)
     "source_overlap" -> ((s, d) => SourceOverlap.sourceOverlapQ(Tables.documents(s, d))),
@@ -283,6 +285,7 @@ object SparkEntry {
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,
+    "winnow_overlap" -> Winnow.winnowOverlapSql,
     "source_overlap" -> SourceOverlap.sourceOverlapSql,
     "dup_passages" -> DupPassages.dupPassagesSql,
     "shard_manifest" -> ShardManifest.shardManifestSql,

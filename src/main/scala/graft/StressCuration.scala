@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Collocations, CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, DupSpans, LangMix, MixturePlan, ParagraphClean, ParagraphDedup, ShardManifest, SourceOverlap, TokenizeIds, Vocab}
+import graft.operators.{Collocations, CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, DupSpans, LangMix, MixturePlan, ParagraphClean, ParagraphDedup, ShardManifest, SourceOverlap, TokenizeIds, Vocab, VocabCoverage, Winnow}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -112,6 +112,12 @@ object StressCuration {
       time(s"paragraph_clean_$tag") { ParagraphClean.paragraphClean(docs) }
       time(s"lang_mix_$tag") { LangMix.langMix(docs) }
       time(s"bigram_pmi_$tag") { Collocations.bigramPmi(docs) }
+      // round-8 continuation: winnowing (map-only index build), its
+      // Σ df² containment join (the near-dup replicas make the fp index
+      // denser at 10× — the adversarial direction), and the coverage curve
+      time(s"winnow_fingerprint_$tag") { Winnow.winnowFingerprint(docs) }
+      time(s"winnow_overlap_$tag") { Winnow.winnowOverlap(docs) }
+      time(s"vocab_coverage_$tag") { VocabCoverage.vocabCoverage(docs) }
     }
 
     spark.stop()

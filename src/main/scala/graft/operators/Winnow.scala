@@ -88,10 +88,13 @@ object Winnow {
 
   /** DuckDB twin: same gram hashes, same filtered-index window starts,
     * same rightmost-min fold (list_reduce seeds from the first element —
-    * identical result because the Spark sentinel always loses to it). */
-  val winnowFingerprintSql: String = {
+    * identical result because the Spark sentinel always loses to it).
+    * The CTE chain is shared verbatim with [[winnowOverlapSql]] (the
+    * tokenize_ids nesting rule: one text, the index definition can't
+    * drift between the producer and its consumer). */
+  private val winnowCtes: String = {
     val (k, w) = (GramTokens, WindowGrams)
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id,
        |         COALESCE(string_split_regex(lower(trim(text)), '\\s+'), []) AS w
        |  FROM documents
@@ -111,9 +114,87 @@ object Winnow {
        |                        THEN x ELSE acc END)
        |          for s in [i for i in range(0, len(hp)) if i <= greatest(len(hp) - $w, 0)]] AS picks
        |  FROM hpt
-       |)
-       |SELECT DISTINCT doc_id, CAST(s.p AS BIGINT) AS pos, s.h AS fp
-       |FROM (SELECT doc_id, unnest(picks) AS s FROM sel)
-       |ORDER BY doc_id, pos""".stripMargin
+       |), fps AS (
+       |  SELECT DISTINCT doc_id, CAST(s.p AS BIGINT) AS pos, s.h AS fp
+       |  FROM (SELECT doc_id, unnest(picks) AS s FROM sel)
+       |)""".stripMargin
   }
+
+  val winnowFingerprintSql: String =
+    s"""WITH $winnowCtes
+       |SELECT doc_id, pos, fp FROM fps
+       |ORDER BY doc_id, pos""".stripMargin
+
+  // ---------------------------------------------------------- winnow_overlap
+
+  /** Pairs sharing fewer fingerprints than this never surface (kills the
+    * single-collision noise floor; with w + k − 1 = 7-token guaranteed
+    * coverage, two genuine shared passages produce ≥ 2 picks). */
+  val MinSharedFps = 2
+
+  /** Pairwise document OVERLAP via the winnow index — the consumer that
+    * makes [[winnowFingerprint]] actionable: for every document pair
+    * sharing ≥ [[MinSharedFps]] distinct fingerprints, the shared count,
+    * each side's index size, and the CONTAINMENT score
+    * `n_shared / min(n1, n2)` — the asymmetric measure that catches a
+    * short doc wholly embedded in a long one, which whole-doc Jaccard
+    * ([[Dedup.ngramJaccardPairs]]) structurally under-scores (the
+    * min-side normalizer, not the union). This is the clone/attribution
+    * report winnowing exists to feed; Jaccard dedup answers "are these
+    * docs mostly the same", containment-over-winnow answers "does one
+    * contain a substantial run of the other".
+    *
+    * Scale shape: [[Dedup.ngramJaccardPairs]]' inverted-index economics
+    * with the winnow density advantage — the self-join costs Σ df(fp)²
+    * over an index that keeps only ~2/(w+1) of all grams, so the
+    * candidate stage is ~(2/(w+1))² ≈ 0.16× the raw-gram equivalent at
+    * identical guarantee width. The distinct (doc, fp) frame feeds THREE
+    * consumers (sizes + both join sides) → localCheckpoint per the
+    * invariant. Size join-backs ride AFTER the pair aggregation and are
+    * UNHINTED (the round-8 no-corpus-proportional-broadcast rule — AQE
+    * broadcasts at gate scale, shuffles on a giant corpus). Hot
+    * boilerplate fps inherit Dedup's dials at need (df cap / hot-key
+    * salting); the gate corpus has no fp hot enough to qualify. */
+  def winnowOverlap(documents: DataFrame,
+                    minShared: Int = MinSharedFps): DataFrame = {
+    val fps = winnowFingerprint(documents)
+      .select(col("doc_id"), col("fp")).distinct().localCheckpoint()
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val a = fps.select(col("doc_id").as("id1"), col("fp"))
+    val b = fps.select(col("doc_id").as("id2"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("id1"), col("nfp").as("n1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("nfp").as("n2")), Seq("id2"))
+      .withColumn("containment",
+        expr("CAST(n_shared AS DOUBLE) / CAST(least(n1, n2) AS DOUBLE)"))
+      .select(col("id1"), col("id2"), col("n_shared"), col("n1"), col("n2"),
+        col("containment"))
+  }
+
+  def winnowOverlapQ(documents: DataFrame): DataFrame =
+    winnowOverlap(documents)
+      .select(col("id1"), col("id2"), col("n_shared"), col("n1"), col("n2"),
+        Parity.r("containment", 4))
+      .orderBy("id1", "id2")
+
+  val winnowOverlapSql: String =
+    s"""WITH $winnowCtes, dfp AS (
+       |  SELECT DISTINCT doc_id, fp FROM fps
+       |), sizes AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM dfp GROUP BY doc_id
+       |), prs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id1, id2, n_shared, s1.nfp AS n1, s2.nfp AS n2,
+       |       ${Parity.rsql("CAST(n_shared AS DOUBLE) / CAST(least(s1.nfp, s2.nfp) AS DOUBLE)", 4, "containment")}
+       |FROM prs
+       |JOIN sizes s1 ON s1.doc_id = id1
+       |JOIN sizes s2 ON s2.doc_id = id2
+       |WHERE n_shared >= $MinSharedFps
+       |ORDER BY id1, id2""".stripMargin
 }

@@ -55,6 +55,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "paragraph_dedup" -> ParagraphDedup.paragraphDedup(d),
       "winnow_fingerprint" -> Winnow.winnowFingerprint(d),
       "vocab_coverage" -> VocabCoverage.vocabCoverage(d),
+      "winnow_overlap" -> Winnow.winnowOverlap(d),
       "paragraph_dedup_incremental" -> ParagraphDedup.paragraphIncremental(d),
       "minhash_lsh" -> Lsh.minhashLshPairs(d),
       "simhash" -> Lsh.simhashPairs(d),

@@ -94,6 +94,64 @@ class WinnowSpec extends AnyFunSuite {
     assert(winnowRef("a b c d e", 4, 4) == d4.map(r => (r._2, r._3)).toSet)
   }
 
+  test("overlap pairs cross-derive from the fingerprint index") {
+    // ground truth: per-doc distinct fp sets from the fingerprint operator,
+    // pairwise intersections >= MinSharedFps recomputed driver-side
+    val byDoc = Winnow.winnowFingerprint(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+    val ids = byDoc.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      shared = (byDoc(a) & byDoc(b)).size
+      if shared >= Winnow.MinSharedFps
+    } yield (a, b) -> (shared.toLong, byDoc(a).size.toLong, byDoc(b).size.toLong)).toMap
+    val got = Winnow.winnowOverlap(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == expected.keySet,
+      s"pair set mismatch: extra ${(got.keySet -- expected.keySet).take(3)}, " +
+        s"missing ${(expected.keySet -- got.keySet).take(3)}")
+    got.foreach { case (pair, (shared, n1, n2, cont)) =>
+      val (es, en1, en2) = expected(pair)
+      assert((shared, n1, n2) == ((es, en1, en2)), s"pair $pair counts")
+      assert(math.abs(cont - shared.toDouble / math.min(n1, n2)) < 1e-12)
+    }
+    assert(got.nonEmpty, "gate corpus yields no overlap pairs")
+  }
+
+  test("containment catches a short doc embedded in a long one") {
+    // B's first 16 tokens are a verbatim run from inside A, padded with
+    // unrelated tail tokens: containment(B in A) must be high while the
+    // pair's shingle Jaccard stays low (the asymmetric-copy case the
+    // min-side normalizer exists for)
+    import spark.implicits._
+    val aToks = (1 to 40).map(i => s"w$i")
+    val run = aToks.slice(10, 26) // 16 tokens, >= 2(w+k-1)
+    val bToks = run ++ (1 to 30).map(i => s"z$i")
+    val two = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = Winnow.winnowOverlap(two).collect()
+    assert(rows.length == 1, s"expected the embedded pair, got ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) >= 2, "at least two guaranteed shared picks")
+    // Jaccard on distinct word bigrams for contrast: |inter|/|union| small
+    val shA = aToks.sliding(2).map(_.mkString(" ")).toSet
+    val shB = bToks.sliding(2).map(_.mkString(" ")).toSet
+    val jac = (shA & shB).size.toDouble / (shA | shB).size
+    assert(jac < 0.3, s"planted pair should be Jaccard-low, got $jac")
+    assert(r.getDouble(5) >= 0.15,
+      s"containment should clear the noise floor, got ${r.getDouble(5)}")
+  }
+
+  test("overlap plan: hash join on fp, no cartesian product") {
+    val plan = Winnow.winnowOverlap(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan)
+  }
+
   test("plan: pure map + inline generator, zero exchanges before the sort") {
     val plan = Winnow.winnowFingerprint(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
