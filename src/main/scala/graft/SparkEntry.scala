@@ -179,6 +179,8 @@ object SparkEntry {
     "winnow_fingerprint" -> ((s, d) => Winnow.winnowFingerprintQ(Tables.documents(s, d))),
     // round 8: containment pairs over the winnow index — the clone report
     "winnow_overlap" -> ((s, d) => Winnow.winnowOverlapQ(Tables.documents(s, d))),
+    // round 8: aligned match spans — WHERE the shared runs sit (MOSS report)
+    "winnow_align" -> ((s, d) => Winnow.winnowAlignQ(Tables.documents(s, d))),
     // …and the dataset-granularity dedup-pressure matrix: exact pairwise
     // cross-source shingle Jaccard over distinct (source, shingle)
     "source_overlap" -> ((s, d) => SourceOverlap.sourceOverlapQ(Tables.documents(s, d))),
@@ -286,6 +288,7 @@ object SparkEntry {
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,
     "winnow_overlap" -> Winnow.winnowOverlapSql,
+    "winnow_align" -> Winnow.winnowAlignSql,
     "source_overlap" -> SourceOverlap.sourceOverlapSql,
     "dup_passages" -> DupPassages.dupPassagesSql,
     "shard_manifest" -> ShardManifest.shardManifestSql,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (round 8) — the MOSS local fingerprint
@@ -197,4 +198,106 @@ object Winnow {
        |JOIN sizes s2 ON s2.doc_id = id2
        |WHERE n_shared >= $MinSharedFps
        |ORDER BY id1, id2""".stripMargin
+
+  // ------------------------------------------------------------ winnow_align
+
+  /** Spans sharing fewer matched fingerprints than this are dropped — the
+    * single-collision noise floor, [[MinSharedFps]]'s per-span analog. */
+  val MinAlignFps = 2
+
+  /** ALIGNED MATCH SPANS — the actual MOSS report: [[winnowOverlap]] says
+    * two docs share material, this says WHERE — maximal aligned extents
+    * `[start1, end1) ↔ [start2, end2)` (token bounds, end exclusive) with
+    * the matched-fingerprint count per span. The output an attribution /
+    * plagiarism / quotation-mining pass consumes, and the winnow-index
+    * sibling of [[DupSpans]] (which merges fixed-window verdicts within ONE
+    * doc; this aligns runs BETWEEN doc pairs).
+    *
+    * Semantics: matched picks join per-position ((doc, pos, fp) — NOT the
+    * (doc, fp)-distinct overlap frame: a fp repeated in both docs matches
+    * at every position pair); a true shared run puts all its matches on one
+    * DIAGONAL `pos1 − pos2`, and within a (id1, id2, diag) group the
+    * winnowing density guarantee bounds the gap between consecutive picks
+    * of a contiguous shared run by w grams — so spans are gaps-and-islands
+    * over pos1 with gap tolerance w (lag-flag + running sum, all-integer;
+    * the [[DupSpans]] family shape with a tolerance instead of adjacency).
+    * Same-diagonal coincidental matches farther apart than w start new
+    * islands and die at the [[MinAlignFps]] floor. Window edge effects
+    * (picks near run boundaries depend on context outside the run) shorten
+    * a reported span by at most w grams per side — the winnowing trade, not
+    * a bug; the guarantee direction is: any shared run of ≥ w + k − 1
+    * tokens yields ≥ 1 matched pick, and interior picks of long runs match
+    * exactly.
+    *
+    * Token bounds: a pick at gram position p covers tokens [p, p + k);
+    * span side 2 derives from the diagonal (start2 = start1 − diag), so
+    * `text1.tokens[start1, end1) == text2.tokens[start2, end2)` holds
+    * exactly for interior extents (spec-pinned slice-equality on every
+    * emitted span at gap width w; md5-collision-free on any real corpus).
+    *
+    * Scale shape: the per-position index has two join consumers →
+    * localCheckpoint ([[winnowOverlap]]'s rule); the fp-keyed self-join is
+    * the same Σ df(fp)² candidate stage at winnow density; the island
+    * window and the (id1, id2, diag, grp) aggregation share ONE exchange
+    * (hash(id1, id2, diag) satisfies the grouping — the [[DupSpans]]
+    * argument). Span rows ≤ matches/2; size frames never materialize. */
+  def winnowAlign(documents: DataFrame,
+                  k: Int = GramTokens, w: Int = WindowGrams,
+                  minFps: Int = MinAlignFps): DataFrame = {
+    val fps = winnowFingerprint(documents, k, w).localCheckpoint()
+    val m = fps.select(col("doc_id").as("id1"), col("pos").as("pos1"), col("fp"))
+      .join(fps.select(col("doc_id").as("id2"), col("pos").as("pos2"), col("fp")),
+        Seq("fp"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("diag", col("pos1") - col("pos2"))
+    val wD = Window.partitionBy("id1", "id2", "diag").orderBy("pos1")
+    m.withColumn("prev", lag("pos1", 1).over(wD))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos1") - col("prev") > w, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(
+        wD.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("id1", "id2", "diag", "grp")
+      .agg(count(lit(1)).as("n_fps"),
+        min("pos1").as("start1"), max("pos1").as("maxp1"))
+      .filter(col("n_fps") >= minFps)
+      .select(col("id1"), col("id2"),
+        col("start1"), (col("maxp1") + k).as("end1"),
+        (col("start1") - col("diag")).as("start2"),
+        (col("maxp1") + k - col("diag")).as("end2"),
+        col("n_fps"))
+  }
+
+  def winnowAlignQ(documents: DataFrame): DataFrame =
+    winnowAlign(documents).orderBy("id1", "id2", "start1", "start2")
+
+  /** DuckDB twin: the shared [[winnowCtes]] index (per-position `fps`, NOT
+    * the distinct frame), then the same diagonal islands — lag flag +
+    * running sum spelled ROWS, all-integer. */
+  val winnowAlignSql: String = {
+    val (k, w) = (GramTokens, WindowGrams)
+    s"""WITH $winnowCtes, m AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |         a.pos AS pos1, b.pos AS pos2, a.pos - b.pos AS diag
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |), l AS (
+       |  SELECT m.*,
+       |         lag(pos1) OVER (PARTITION BY id1, id2, diag ORDER BY pos1) AS prev
+       |  FROM m
+       |), isl AS (
+       |  SELECT l.*,
+       |         CAST(sum(CASE WHEN prev IS NULL OR pos1 - prev > $w THEN 1 ELSE 0 END)
+       |              OVER (PARTITION BY id1, id2, diag ORDER BY pos1
+       |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+       |  FROM l
+       |), sp AS (
+       |  SELECT id1, id2, diag, grp, CAST(count(*) AS BIGINT) AS n_fps,
+       |         min(pos1) AS start1, max(pos1) AS maxp1
+       |  FROM isl GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT id1, id2, start1, maxp1 + $k AS end1,
+       |       start1 - diag AS start2, maxp1 + $k - diag AS end2, n_fps
+       |FROM sp
+       |WHERE n_fps >= $MinAlignFps
+       |ORDER BY id1, id2, start1, start2""".stripMargin
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -26,27 +26,44 @@ import graft.operators.Sessionize
   */
 object StreamingJobs {
 
-  /** Raw schema of events.parquet as read with nanosAsLong (ts is int64
-    * nanos before the micros truncation). */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** Raw schema of events.parquet for the given physical `ts` form — a
+    * stream needs its schema up front, so the one-file batch probe in
+    * [[windowAggStream]] decides between the legacy int64-nanos form
+    * (nanosAsLong session) and the current timestamp[us] form (read as
+    * TIMESTAMP_NTZ); [[graft.Tables.events]] documents the dual contract. */
+  def eventsRawSchema(tsIsLong: Boolean): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", if (tsIsLong) LongType else TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** One-file batch probe + the integer-µs event-time expression for the
+    * probed form: `ts div 1000` on int64 nanos, `unix_micros` (UTC session)
+    * on the µs timestamp — identical integers either way. */
+  private def eventsTsProbe(spark: SparkSession, dir: String): (Boolean, Column) = {
+    val tsIsLong = spark.read.parquet(dir).schema("ts").dataType == LongType
+    (tsIsLong,
+      if (tsIsLong) expr("ts div 1000")
+      else expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+  }
+
   /** Streaming tumbling-window counts with a 2 h watermark. */
-  def windowAggStream(spark: SparkSession, dir: String): DataFrame =
+  def windowAggStream(spark: SparkSession, dir: String): DataFrame = {
+    val (tsIsLong, _) = eventsTsProbe(spark, dir)
     spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(tsIsLong))
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts",
+        if (tsIsLong) expr("timestamp_micros(ts div 1000)")
+        else col("ts").cast("timestamp"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+  }
 
   // ------------------------------------------------- streaming exact dedup
 
@@ -314,11 +331,12 @@ object StreamingJobs {
   def sessionizeStream(spark: SparkSession, dir: String,
                        gapUs: Long = Sessionize.GapUs): Dataset[ClosedSession] = {
     import spark.implicits._
+    val (tsIsLong, tUs) = eventsTsProbe(spark, dir)
     spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(tsIsLong))
       .parquet(dir)
       .select(col("user_id"),
-        expr("ts div 1000").as("t_us"),
+        tUs.as("t_us"),
         expr("CAST(round(value * 100.0) AS BIGINT)").as("c"))
       .as[SessEvent]
       .groupByKey(_.user_id)
@@ -397,12 +415,13 @@ object StreamingJobs {
     * UNBOUNDED PRECEDING frame cannot. */
   def asofJoinStream(spark: SparkSession, dir: String): Dataset[AsofMatch] = {
     import spark.implicits._
+    val (tsIsLong, tUs) = eventsTsProbe(spark, dir)
     spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsRawSchema(tsIsLong))
       .parquet(dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000").as("t_us"),
+        tUs.as("t_us"),
         col("value"),
         when(col("event_type") === "purchase", 0).otherwise(1).as("side"))
       .as[AsofEvent]
