@@ -209,6 +209,9 @@ object SparkEntry {
     // the corpus tables are bare word streams): block removal, tag strip,
     // entity decode, text-mass gate
     "html_clean" -> ((s, _) => HtmlClean.htmlCleanQ(s)),
+    // round 8 (continuation 2): ranked document RETRIEVAL — fixed
+    // multi-term query scored by quantized-integer tf·idf, top-K cut
+    "keyword_search" -> ((s, d) => KeywordSearch.keywordSearchQ(Tables.documents(s, d))),
     // …and the composed end-to-end recipe: admission gates → window
     // surgery over the admitted set → per-source delivery report, every
     // stage an already-oracled operator (compositional correctness pin)
@@ -298,6 +301,7 @@ object SparkEntry {
     "paragraph_clean" -> ParagraphClean.paragraphCleanSql,
     "bigram_pmi" -> Collocations.bigramPmiSql,
     "html_clean" -> HtmlClean.htmlCleanSql,
+    "keyword_search" -> KeywordSearch.keywordSearchSql,
     "curation_pipeline" -> Pipeline.curationPipelineSql,
   )
 }

@@ -300,7 +300,7 @@ class StreamingSpec extends AnyFunSuite {
       val rdd = spark.sparkContext.parallelize(rows.map { case (id, tUs, u, typ, v) =>
         Row(id, tUs * 1000L, u, typ, v: java.lang.Double, """{}""")
       }, 1)
-      spark.createDataFrame(rdd, StreamingJobs.eventsRawSchema)
+      spark.createDataFrame(rdd, StreamingJobs.eventsRawSchema(tsIsLong = true))
         .write.mode("append").parquet(src)
     }
     def runOnce(): Unit = {
