@@ -212,6 +212,9 @@ object SparkEntry {
     // round 8 (continuation 2): ranked document RETRIEVAL — fixed
     // multi-term query scored by quantized-integer tf·idf, top-K cut
     "keyword_search" -> ((s, d) => KeywordSearch.keywordSearchQ(Tables.documents(s, d))),
+    // …and canonical-URL resolution: the same-resource-many-spellings
+    // rollup (case/utm/fragment/trailing-slash variants, fixture-planted)
+    "url_canonicalize" -> ((s, _) => UrlCanon.urlCanonicalizeQ(s)),
     // …and the composed end-to-end recipe: admission gates → window
     // surgery over the admitted set → per-source delivery report, every
     // stage an already-oracled operator (compositional correctness pin)
@@ -302,6 +305,7 @@ object SparkEntry {
     "bigram_pmi" -> Collocations.bigramPmiSql,
     "html_clean" -> HtmlClean.htmlCleanSql,
     "keyword_search" -> KeywordSearch.keywordSearchSql,
+    "url_canonicalize" -> UrlCanon.urlCanonicalizeSql,
     "curation_pipeline" -> Pipeline.curationPipelineSql,
   )
 }
