@@ -215,6 +215,9 @@ object SparkEntry {
     // …and canonical-URL resolution: the same-resource-many-spellings
     // rollup (case/utm/fragment/trailing-slash variants, fixture-planted)
     "url_canonicalize" -> ((s, _) => UrlCanon.urlCanonicalizeQ(s)),
+    // …and the third dedup-verification metric: character-level
+    // Levenshtein similarity over rare-4-gram candidates
+    "dedup_editdistance" -> ((s, d) => EditDistance.editDistanceQ(Tables.documents(s, d))),
     // …and the composed end-to-end recipe: admission gates → window
     // surgery over the admitted set → per-source delivery report, every
     // stage an already-oracled operator (compositional correctness pin)
@@ -306,6 +309,7 @@ object SparkEntry {
     "html_clean" -> HtmlClean.htmlCleanSql,
     "keyword_search" -> KeywordSearch.keywordSearchSql,
     "url_canonicalize" -> UrlCanon.urlCanonicalizeSql,
+    "dedup_editdistance" -> EditDistance.editDistanceSql,
     "curation_pipeline" -> Pipeline.curationPipelineSql,
   )
 }
