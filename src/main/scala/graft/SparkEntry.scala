@@ -218,6 +218,9 @@ object SparkEntry {
     // …and the third dedup-verification metric: character-level
     // Levenshtein similarity over rare-4-gram candidates
     "dedup_editdistance" -> ((s, d) => EditDistance.editDistanceQ(Tables.documents(s, d))),
+    // …and semantic outlier scoring: per-label quantized-integer centroid,
+    // bottom-K cosine flag (the off-distribution tail, not the dup tail)
+    "embedding_outlier" -> ((s, d) => EmbeddingOutlier.embeddingOutliersQ(Tables.embeddings(s, d))),
     // …and the composed end-to-end recipe: admission gates → window
     // surgery over the admitted set → per-source delivery report, every
     // stage an already-oracled operator (compositional correctness pin)
@@ -310,6 +313,7 @@ object SparkEntry {
     "keyword_search" -> KeywordSearch.keywordSearchSql,
     "url_canonicalize" -> UrlCanon.urlCanonicalizeSql,
     "dedup_editdistance" -> EditDistance.editDistanceSql,
+    "embedding_outlier" -> EmbeddingOutlier.embeddingOutliersSql,
     "curation_pipeline" -> Pipeline.curationPipelineSql,
   )
 }
