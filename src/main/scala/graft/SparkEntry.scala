@@ -221,6 +221,13 @@ object SparkEntry {
     // …and semantic outlier scoring: per-label quantized-integer centroid,
     // bottom-K cosine flag (the off-distribution tail, not the dup tail)
     "embedding_outlier" -> ((s, d) => EmbeddingOutlier.embeddingOutliersQ(Tables.embeddings(s, d))),
+    // …and subword tokenizer TRAINING: the BPE merge table learned on the
+    // vocabulary-sized word-frequency frame (rows-only — iterative argmax
+    // has no SQL twin; BpeTrainSpec pins an independent Scala BPE)
+    "bpe_train" -> ((s, d) => BpeTrain.bpeTrainQ(s, Tables.documents(s, d))),
+    // …and its deploy side: the committed merge table applied as chained
+    // replace() over wrapped symbol strings — per-doc subword fertility
+    "bpe_encode" -> ((s, d) => BpeEncode.bpeEncodeQ(Tables.documents(s, d))),
     // …and the composed end-to-end recipe: admission gates → window
     // surgery over the admitted set → per-source delivery report, every
     // stage an already-oracled operator (compositional correctness pin)
@@ -314,6 +321,7 @@ object SparkEntry {
     "url_canonicalize" -> UrlCanon.urlCanonicalizeSql,
     "dedup_editdistance" -> EditDistance.editDistanceSql,
     "embedding_outlier" -> EmbeddingOutlier.embeddingOutliersSql,
+    "bpe_encode" -> BpeEncode.bpeEncodeSql,
     "curation_pipeline" -> Pipeline.curationPipelineSql,
   )
 }
