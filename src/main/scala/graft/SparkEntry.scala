@@ -228,6 +228,9 @@ object SparkEntry {
     // …and its deploy side: the committed merge table applied as chained
     // replace() over wrapped symbol strings — per-doc subword fertility
     "bpe_encode" -> ((s, d) => BpeEncode.bpeEncodeQ(Tables.documents(s, d))),
+    // …and the per-source distinct inventory (vocabulary richness +
+    // duplication factor); exact contract here, HLL twin spec-measured
+    "cardinality_report" -> ((s, d) => CardinalityReport.cardinalityReportQ(Tables.documents(s, d))),
     // …and the composed end-to-end recipe: admission gates → window
     // surgery over the admitted set → per-source delivery report, every
     // stage an already-oracled operator (compositional correctness pin)
@@ -322,6 +325,7 @@ object SparkEntry {
     "dedup_editdistance" -> EditDistance.editDistanceSql,
     "embedding_outlier" -> EmbeddingOutlier.embeddingOutliersSql,
     "bpe_encode" -> BpeEncode.bpeEncodeSql,
+    "cardinality_report" -> CardinalityReport.cardinalityReportSql,
     "curation_pipeline" -> Pipeline.curationPipelineSql,
   )
 }

@@ -53,7 +53,12 @@ object KeywordSearch {
         explode(expr(
           s"filter(coalesce(split(lower(trim(text)), '\\\\s+'), array()), t -> t IN ($termsIn))"))
           .as("term"))
+    // tf feeds TWO consumers (the df/weights derivation and the scoring
+    // join) — checkpoint per the multi-consumer invariant or Catalyst
+    // re-runs the corpus explode+aggregate once per consumer; the frame
+    // is ≤ |Q|·|docs| rows, orders smaller than the corpus it summarizes
     val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val nDocs = documents.agg(count(lit(1)).as("n_docs"))
     val weights = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(nDocs)
