@@ -110,6 +110,12 @@ object SparkEntry {
     // round 6: leakage-safe train/val/test assignment, keyed on the dedup
     // fingerprint so exact duplicates can never straddle splits
     "corpus_split" -> ((s, d) => TextOps.corpusSplitQ(Tables.documents(s, d))),
+    // round 8 cont.: cross-split near-dup leakage audit — Jaccard ≥ τ
+    // pairs straddling the split assignment (exact dups can't, near-dups can)
+    "split_leakage" -> ((s, d) => SplitLeakage.splitLeakageQ(Tables.documents(s, d))),
+    // round 8 cont.: corpus-trained bigram-LM likelihood score (CCNet-style
+    // model-based quality signal, integer ppm weights)
+    "lm_score" -> ((s, d) => LmScore.lmScoreQ(Tables.documents(s, d))),
     // round 8: sub-document dedup — fixed-token-window paragraphs,
     // per-window duplicate-of-earlier verdicts, per-doc dup-fraction gate
     "paragraph_dedup" -> ((s, d) => ParagraphDedup.paragraphDedupQ(Tables.documents(s, d))),
@@ -285,6 +291,8 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dedup_incremental_lsh" -> Dedup.dedupIncrementalSql,
     "corpus_split" -> TextOps.corpusSplitSql,
+    "split_leakage" -> SplitLeakage.splitLeakageSql,
+    "lm_score" -> LmScore.lmScoreSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBestSql,

@@ -504,8 +504,9 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  /** Shared CTE body producing `jpairs(id1, id2)` — the exact pair set. */
-  private lazy val ngramJaccardSqlBody: String =
+  /** Shared CTE body producing `jpairs(id1, id2)` — the exact pair set
+    * (rawpairs carries n1/n2/inter for consumers that need the scores). */
+  private[operators] lazy val ngramJaccardSqlBody: String =
     s"""toks AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
        |), sh2 AS (

@@ -366,20 +366,30 @@ object TextOps {
   def corpusSplitQ(documents: DataFrame): DataFrame =
     corpusSplit(documents).orderBy("doc_id")
 
-  val corpusSplitSql: String =
-    s"""WITH fp AS (
+  /** Shared CTE body producing `sp(doc_id, fingerprint, split)` — the
+    * split assignment. One text for [[corpusSplitSql]] and every oracle
+    * that composes on the assignment (split_leakage), so the split rule
+    * cannot drift between consumers. */
+  private[operators] val corpusSplitBodySql: String =
+    s"""spfp AS (
        |  SELECT doc_id,
        |         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
        |  FROM documents
-       |), b AS (
+       |), spb AS (
        |  SELECT doc_id, fingerprint,
        |         substring(md5('graft-split:' || fingerprint), 1, 4) AS bucket
-       |  FROM fp
-       |)
-       |SELECT doc_id, fingerprint,
-       |       CASE WHEN bucket < 'cccc' THEN 'train'
-       |            WHEN bucket < 'e666' THEN 'val'
-       |            ELSE 'test' END AS split
-       |FROM b
+       |  FROM spfp
+       |), sp AS (
+       |  SELECT doc_id, fingerprint,
+       |         CASE WHEN bucket < 'cccc' THEN 'train'
+       |              WHEN bucket < 'e666' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM spb
+       |)""".stripMargin
+
+  val corpusSplitSql: String =
+    s"""WITH $corpusSplitBodySql
+       |SELECT doc_id, fingerprint, split
+       |FROM sp
        |ORDER BY doc_id""".stripMargin
 }
