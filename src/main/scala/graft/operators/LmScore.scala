@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import Parity.{r, rsql}
+
+/** Language-model likelihood scoring (round 8, continuation) — the
+  * MODEL-BASED quality signal (CCNet/Wenzek 2020 class) the heuristic
+  * gates ([[TextOps.textQuality]], [[Curation.ngramRepetition]]) don't
+  * provide: score each document by the average smoothed bigram likelihood
+  * of its token stream under a model TRAINED ON THE CORPUS ITSELF.
+  * Natural, well-attested text scores high; gibberish and vocabulary
+  * salad score low; heavily templated/duplicated text scores anomalously
+  * high — both tails are what a perplexity-style filter cuts.
+  *
+  * The §6 move that makes a "language model" oracle-able: the per-bigram
+  * add-one-smoothed conditional probability is QUANTIZED to integer parts
+  * per million — `w(x,y) = ((c_xy + 1) · 10⁶) div (c_x + V)` with
+  * `c_x = Σ_y c_xy` (pair-left mass, so unsmoothed conditionals sum to 1
+  * per context) and V the unigram vocabulary size — integer floor
+  * division in both engines (Spark `div`, DuckDB `//`), so per-doc
+  * sum/count are exact BIGINTs and the reported score is ONE cast-divide.
+  * A true log-perplexity would rank identically per bigram (log is
+  * monotone) but its SUM across a doc is a float fold no two engines
+  * agree on; the ppm-likelihood average is the engine-stable surrogate
+  * that preserves the filter's separating power (planted-case spec).
+  *
+  * Scale shape: THE n-gram-LM scale property (the [[BpeTrain]] argument):
+  * the model is the bigram COUNT table — vocabulary²-bounded, built by
+  * one map-side-combinable agg over the pair stream; c_x and V derive
+  * from it / the unigram inventory (the count frame feeds the lookup
+  * join AND the c_x agg → localCheckpoint per the multi-consumer
+  * invariant). Scoring re-runs the pair explode and probes the count
+  * table with an UNHINTED vocab-sized join (AQE broadcasts at gate
+  * scale, shuffles on an open vocabulary — the round-8 rule); the
+  * token-volume pair stream itself is never materialized — it is
+  * recomputed by the train and score passes BY DESIGN (the qualitySelect
+  * trade: two map passes over 100 TB beat checkpointing a corpus-sized
+  * stream). Degenerate docs (< 2 tokens, NULL text): 0/0/0.0 via the
+  * left-join + coalesce 0-hit convention.
+  *
+  * Reference relation: extends §2's curation family; the reference has no
+  * text analytics (scoring shape analog: train_model.py's score column).
+  */
+object LmScore {
+
+  /** ppm quantization of the smoothed conditional probability. */
+  val Scale = 1000000L
+
+  private val pairArrayExpr: String =
+    "transform(slice(w, 1, greatest(size(w) - 1, 0)), (t, i) -> struct(t AS x, w[i + 1] AS y))"
+
+  def lmScore(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"),
+        expr("coalesce(split(lower(trim(text)), '\\\\s+'), array())").as("w"))
+    // model: bigram count table (vocab²-bounded); two consumers below
+    val bc = toks
+      .select(explode(expr(pairArrayExpr)).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
+    val cx = bc.groupBy("x").agg(sum("c_xy").as("c_x"))
+    val v = toks.select(explode(col("w")).as("term"))
+      .agg(countDistinct("term").as("v"))
+    // scoring pass: re-explode the pair stream, probe the model
+    val scored = toks
+      .select(col("doc_id"), explode(expr(pairArrayExpr)).as("p"))
+      .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
+      .join(bc, Seq("x", "y"), "left")
+      .join(cx, Seq("x"), "left")
+      .crossJoin(v)
+      .withColumn("wgt",
+        expr(s"((coalesce(c_xy, 0L) + 1L) * $Scale) div (coalesce(c_x, 0L) + v)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("wgt").as("sum_w"))
+    documents.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("sum_w", coalesce(col("sum_w"), lit(0L)))
+      .withColumn("lm_ppm",
+        expr("CAST(sum_w AS DOUBLE) / greatest(n_bigrams, 1)"))
+  }
+
+  def lmScoreQ(documents: DataFrame): DataFrame =
+    lmScore(documents)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_w"), r("lm_ppm", 4))
+      .orderBy("doc_id")
+
+  /** DuckDB twin: zipped double-unnest pair stream, same integer floor
+    * division, same left-join 0-hit convention. */
+  val lmScoreSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, COALESCE(string_split_regex(lower(trim(text)), '\\s+'), []) AS w
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+       |  FROM (SELECT unnest(w) AS term FROM toks)
+       |), prs AS (
+       |  SELECT doc_id, unnest(w[1 : len(w) - 1]) AS x, unnest(w[2 : len(w)]) AS y
+       |  FROM toks
+       |), bc AS (
+       |  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM prs GROUP BY 1, 2
+       |), cx AS (
+       |  SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bc GROUP BY 1
+       |), sc AS (
+       |  SELECT p.doc_id,
+       |         ((COALESCE(bc.c_xy, 0) + 1) * $Scale) // (COALESCE(cx.c_x, 0) + v.v) AS wgt
+       |  FROM prs p
+       |  LEFT JOIN bc ON bc.x = p.x AND bc.y = p.y
+       |  LEFT JOIN cx ON cx.x = p.x
+       |  CROSS JOIN vocab v
+       |), agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(wgt) AS BIGINT) AS sum_w
+       |  FROM sc GROUP BY 1
+       |)
+       |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       |       COALESCE(a.sum_w, 0) AS sum_w,
+       |       ${rsql("CAST(COALESCE(a.sum_w, 0) AS DOUBLE) / greatest(COALESCE(a.n_bigrams, 0), 1)", 4, "lm_ppm")}
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+}
