@@ -71,6 +71,9 @@ object SparkEntry {
       Similarity.embeddingClustersQ(Tables.embeddings(s, d))),
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
+    // round 8 cont.: strict-sequence conversion funnel (view→click→purchase),
+    // chained conditional-min windows over one user_id exchange
+    "event_funnel" -> ((s, d) => Funnel.eventFunnelQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // rows-only operators (engine-specific hashes/models — spec-gated)
     "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
@@ -277,6 +280,7 @@ object SparkEntry {
     "embedding_dedup_incremental" -> Similarity.embeddingDedupIncrementalSql,
     "embedding_cluster" -> Similarity.embeddingClustersSql,
     "sessionize" -> Sessionize.sessionizeSql,
+    "event_funnel" -> Funnel.eventFunnelSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
