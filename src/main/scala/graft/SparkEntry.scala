@@ -74,6 +74,9 @@ object SparkEntry {
     // round 8 cont.: strict-sequence conversion funnel (view→click→purchase),
     // chained conditional-min windows over one user_id exchange
     "event_funnel" -> ((s, d) => Funnel.eventFunnelQ(Tables.events(s, d))),
+    // round 8 cont.: robust median/MAD outlier screen (integer half/quarter-
+    // cent domain, pure-integer gate), the breakdown-resistant silver twin
+    "event_outlier_mad" -> ((s, d) => RobustOutlier.eventOutlierMadQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // rows-only operators (engine-specific hashes/models — spec-gated)
     "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
@@ -281,6 +284,7 @@ object SparkEntry {
     "embedding_cluster" -> Similarity.embeddingClustersSql,
     "sessionize" -> Sessionize.sessionizeSql,
     "event_funnel" -> Funnel.eventFunnelSql,
+    "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
