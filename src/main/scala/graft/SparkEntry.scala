@@ -122,6 +122,9 @@ object SparkEntry {
     // round 8 cont.: corpus-trained bigram-LM likelihood score (CCNet-style
     // model-based quality signal, integer ppm weights)
     "lm_score" -> ((s, d) => LmScore.lmScoreQ(Tables.documents(s, d))),
+    // round 8 cont.: char-level Simpson collision index (gibberish gate,
+    // zero-exchange run-length fold, all-integer)
+    "char_diversity" -> ((s, d) => CharDiversity.charDiversityQ(Tables.documents(s, d))),
     // round 8: sub-document dedup — fixed-token-window paragraphs,
     // per-window duplicate-of-earlier verdicts, per-doc dup-fraction gate
     "paragraph_dedup" -> ((s, d) => ParagraphDedup.paragraphDedupQ(Tables.documents(s, d))),
@@ -301,6 +304,7 @@ object SparkEntry {
     "corpus_split" -> TextOps.corpusSplitSql,
     "split_leakage" -> SplitLeakage.splitLeakageSql,
     "lm_score" -> LmScore.lmScoreSql,
+    "char_diversity" -> CharDiversity.charDiversitySql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBestSql,
