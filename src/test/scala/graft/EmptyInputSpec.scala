@@ -88,7 +88,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "paragraph_clean" -> ParagraphClean.paragraphClean(d),
       "lang_mix" -> LangMix.langMix(d),
       "bigram_pmi" -> Collocations.bigramPmi(d),
-      "html_clean" -> HtmlClean.htmlClean(d))
+      "html_clean" -> HtmlClean.htmlClean(d),
+      "split_leakage" -> SplitLeakage.splitLeakage(d),
+      "lm_score" -> LmScore.lmScore(d),
+      "char_diversity" -> CharDiversity.charDiversity(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
@@ -112,6 +115,26 @@ class EmptyInputSpec extends AnyFunSuite {
         case e: Throwable => fail(s"$name threw on empty binaries: $e")
       }
       assert(n == 0, s"$name returned $n rows on empty binaries")
+    }
+  }
+
+  test("event-stream operators are total on an empty events frame") {
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "event_funnel" -> Funnel.eventFunnel(empty),
+      "event_outlier_mad" -> RobustOutlier.eventOutlierMad(empty))
+    ops.foreach { case (name, df) =>
+      val n = try df.count() catch {
+        case e: Throwable => fail(s"$name threw on empty events: $e")
+      }
+      assert(n == 0, s"$name returned $n rows on empty events")
     }
   }
 
