@@ -125,6 +125,8 @@ object SparkEntry {
     // round 8 cont.: char-level Simpson collision index (gibberish gate,
     // zero-exchange run-length fold, all-integer)
     "char_diversity" -> ((s, d) => CharDiversity.charDiversityQ(Tables.documents(s, d))),
+    // round 8 cont.: exact rank-selected per-source token-length quantiles
+    "length_quantiles" -> ((s, d) => LengthQuantiles.lengthQuantilesQ(Tables.documents(s, d))),
     // round 8: sub-document dedup — fixed-token-window paragraphs,
     // per-window duplicate-of-earlier verdicts, per-doc dup-fraction gate
     "paragraph_dedup" -> ((s, d) => ParagraphDedup.paragraphDedupQ(Tables.documents(s, d))),
@@ -305,6 +307,7 @@ object SparkEntry {
     "split_leakage" -> SplitLeakage.splitLeakageSql,
     "lm_score" -> LmScore.lmScoreSql,
     "char_diversity" -> CharDiversity.charDiversitySql,
+    "length_quantiles" -> LengthQuantiles.lengthQuantilesSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBestSql,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Collocations, CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, DupSpans, LangMix, MixturePlan, ParagraphClean, ParagraphDedup, ShardManifest, SourceOverlap, TokenizeIds, Vocab, VocabCoverage, Winnow}
+import graft.operators.{CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, ShardManifest, SourceOverlap, SplitLeakage, TokenizeIds, Vocab, VocabCoverage, Winnow}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -118,6 +118,14 @@ object StressCuration {
       time(s"winnow_fingerprint_$tag") { Winnow.winnowFingerprint(docs) }
       time(s"winnow_overlap_$tag") { Winnow.winnowOverlap(docs) }
       time(s"vocab_coverage_$tag") { VocabCoverage.vocabCoverage(docs) }
+      // round-8 continuation (2nd session): bigram-LM scoring (the pair
+      // stream runs twice by design — train agg + scoring probe; replicas
+      // densify the count table, the adversarial direction), the char
+      // run-length fold (pure map), and the cross-split near-dup audit
+      // (the exact pair miner's Σ df² + two split join-backs)
+      time(s"lm_score_$tag") { LmScore.lmScore(docs) }
+      time(s"char_diversity_$tag") { CharDiversity.charDiversity(docs) }
+      time(s"split_leakage_$tag") { SplitLeakage.splitLeakage(docs) }
     }
 
     spark.stop()

@@ -91,7 +91,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "html_clean" -> HtmlClean.htmlClean(d),
       "split_leakage" -> SplitLeakage.splitLeakage(d),
       "lm_score" -> LmScore.lmScore(d),
-      "char_diversity" -> CharDiversity.charDiversity(d))
+      "char_diversity" -> CharDiversity.charDiversity(d),
+      "length_quantiles" -> LengthQuantiles.lengthQuantiles(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
