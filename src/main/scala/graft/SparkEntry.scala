@@ -77,6 +77,9 @@ object SparkEntry {
     // round 8 cont.: robust median/MAD outlier screen (integer half/quarter-
     // cent domain, pure-integer gate), the breakdown-resistant silver twin
     "event_outlier_mad" -> ((s, d) => RobustOutlier.eventOutlierMadQ(Tables.events(s, d))),
+    // round 8 cont.: signup-day cohort retention matrix (integer day algebra,
+    // distinct-before-join, conditional-sum rollup)
+    "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // rows-only operators (engine-specific hashes/models — spec-gated)
     "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
@@ -290,6 +293,7 @@ object SparkEntry {
     "sessionize" -> Sessionize.sessionizeSql,
     "event_funnel" -> Funnel.eventFunnelSql,
     "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
+    "event_retention" -> Retention.eventRetentionSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,

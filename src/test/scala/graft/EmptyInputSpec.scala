@@ -130,7 +130,8 @@ class EmptyInputSpec extends AnyFunSuite {
         StructField("props", StringType))))
     val ops: Seq[(String, DataFrame)] = Seq(
       "event_funnel" -> Funnel.eventFunnel(empty),
-      "event_outlier_mad" -> RobustOutlier.eventOutlierMad(empty))
+      "event_outlier_mad" -> RobustOutlier.eventOutlierMad(empty),
+      "event_retention" -> Retention.eventRetention(empty))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty events: $e")
