@@ -125,6 +125,9 @@ object SparkEntry {
     // round 8 cont.: corpus-trained bigram-LM likelihood score (CCNet-style
     // model-based quality signal, integer ppm weights)
     "lm_score" -> ((s, d) => LmScore.lmScoreQ(Tables.documents(s, d))),
+    // round 8 cont.: the deployment form — model trained on the corpus
+    // partition, scoring the arriving batch (no self-inflation)
+    "lm_score_incremental" -> ((s, d) => LmScore.lmScoreIncrementalQ(Tables.documents(s, d))),
     // round 8 cont.: char-level Simpson collision index (gibberish gate,
     // zero-exchange run-length fold, all-integer)
     "char_diversity" -> ((s, d) => CharDiversity.charDiversityQ(Tables.documents(s, d))),
@@ -310,6 +313,7 @@ object SparkEntry {
     "corpus_split" -> TextOps.corpusSplitSql,
     "split_leakage" -> SplitLeakage.splitLeakageSql,
     "lm_score" -> LmScore.lmScoreSql,
+    "lm_score_incremental" -> LmScore.lmScoreIncrementalSql,
     "char_diversity" -> CharDiversity.charDiversitySql,
     "length_quantiles" -> LengthQuantiles.lengthQuantilesSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,

@@ -51,21 +51,30 @@ object LmScore {
   private val pairArrayExpr: String =
     "transform(slice(w, 1, greatest(size(w) - 1, 0)), (t, i) -> struct(t AS x, w[i + 1] AS y))"
 
-  def lmScore(documents: DataFrame): DataFrame = {
-    val toks = documents
-      .select(col("doc_id"),
-        expr("coalesce(split(lower(trim(text)), '\\\\s+'), array())").as("w"))
-    // model: bigram count table (vocab²-bounded); two consumers below
-    val bc = toks
+  private def toks(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      expr("coalesce(split(lower(trim(text)), '\\\\s+'), array())").as("w"))
+
+  /** The model: bigram counts (checkpointed — two consumers), pair-left
+    * context mass, and the unigram vocabulary size, trained on `corpus`. */
+  private[graft] def model(corpus: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val t = toks(corpus)
+    val bc = t
       .select(explode(expr(pairArrayExpr)).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
       .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
       .localCheckpoint()
     val cx = bc.groupBy("x").agg(sum("c_xy").as("c_x"))
-    val v = toks.select(explode(col("w")).as("term"))
+    val v = t.select(explode(col("w")).as("term"))
       .agg(countDistinct("term").as("v"))
-    // scoring pass: re-explode the pair stream, probe the model
-    val scored = toks
+    (bc, cx, v)
+  }
+
+  /** Score `toScore`'s pair stream against a trained model; total on
+    * unseen pairs/contexts (add-one smoothing over left joins). */
+  private def scoreAgainst(toScore: DataFrame,
+                           bc: DataFrame, cx: DataFrame, v: DataFrame): DataFrame = {
+    val scored = toks(toScore)
       .select(col("doc_id"), explode(expr(pairArrayExpr)).as("p"))
       .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))
       .join(bc, Seq("x", "y"), "left")
@@ -75,11 +84,32 @@ object LmScore {
         expr(s"((coalesce(c_xy, 0L) + 1L) * $Scale) div (coalesce(c_x, 0L) + v)"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("wgt").as("sum_w"))
-    documents.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+    toScore.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
       .withColumn("sum_w", coalesce(col("sum_w"), lit(0L)))
       .withColumn("lm_ppm",
         expr("CAST(sum_w AS DOUBLE) / greatest(n_bigrams, 1)"))
+  }
+
+  def lmScore(documents: DataFrame): DataFrame = {
+    val (bc, cx, v) = model(documents)
+    scoreAgainst(documents, bc, cx, v)
+  }
+
+  /** The DEPLOYMENT form (the [[BpeEncode]] argument — models train once
+    * and ship, then score every arriving batch): model trained on the
+    * EXISTING corpus (doc_id % 5 ≠ 0, the incremental family's stand-in
+    * partition), scoring the arriving batch (doc_id % 5 = 0). Batch docs
+    * never influence their own scores (no self-inflation from a
+    * duplicated batch), and novel batch bigrams/contexts take the
+    * smoothed unseen weight — the real CCNet filter geometry. Cost is
+    * batch-proportional on the scoring side; the model is the same
+    * vocab²-bounded count table, amortized across batches at 100 TB
+    * (the persisted-index economics of [[Dedup.dedupIncrementalLsh]]). */
+  def lmScoreIncremental(documents: DataFrame,
+                         batchMod: Long = Dedup.IncrementalBatchMod): DataFrame = {
+    val (bc, cx, v) = model(documents.filter(col("doc_id") % batchMod =!= 0))
+    scoreAgainst(documents.filter(col("doc_id") % batchMod === 0), bc, cx, v)
   }
 
   def lmScoreQ(documents: DataFrame): DataFrame =
@@ -87,22 +117,33 @@ object LmScore {
       .select(col("doc_id"), col("n_bigrams"), col("sum_w"), r("lm_ppm", 4))
       .orderBy("doc_id")
 
-  /** DuckDB twin: zipped double-unnest pair stream, same integer floor
-    * division, same left-join 0-hit convention. */
-  val lmScoreSql: String =
+  def lmScoreIncrementalQ(documents: DataFrame): DataFrame =
+    lmScoreIncremental(documents)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_w"), r("lm_ppm", 4))
+      .orderBy("doc_id")
+
+  /** One CTE text for both oracles (the one-text rule): `trainWhere`
+    * restricts the model corpus, `scoreWhere` the scored docs. */
+  private def lmScoreSqlFor(trainWhere: String, scoreWhere: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, COALESCE(string_split_regex(lower(trim(text)), '\\s+'), []) AS w
-       |  FROM documents
+       |  FROM documents WHERE $trainWhere
        |), vocab AS (
        |  SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
        |  FROM (SELECT unnest(w) AS term FROM toks)
-       |), prs AS (
-       |  SELECT doc_id, unnest(w[1 : len(w) - 1]) AS x, unnest(w[2 : len(w)]) AS y
+       |), tprs AS (
+       |  SELECT unnest(w[1 : len(w) - 1]) AS x, unnest(w[2 : len(w)]) AS y
        |  FROM toks
        |), bc AS (
-       |  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM prs GROUP BY 1, 2
+       |  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM tprs GROUP BY 1, 2
        |), cx AS (
        |  SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bc GROUP BY 1
+       |), stoks AS (
+       |  SELECT doc_id, COALESCE(string_split_regex(lower(trim(text)), '\\s+'), []) AS w
+       |  FROM documents WHERE $scoreWhere
+       |), prs AS (
+       |  SELECT doc_id, unnest(w[1 : len(w) - 1]) AS x, unnest(w[2 : len(w)]) AS y
+       |  FROM stoks
        |), sc AS (
        |  SELECT p.doc_id,
        |         ((COALESCE(bc.c_xy, 0) + 1) * $Scale) // (COALESCE(cx.c_x, 0) + v.v) AS wgt
@@ -118,6 +159,13 @@ object LmScore {
        |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
        |       COALESCE(a.sum_w, 0) AS sum_w,
        |       ${rsql("CAST(COALESCE(a.sum_w, 0) AS DOUBLE) / greatest(COALESCE(a.n_bigrams, 0), 1)", 4, "lm_ppm")}
-       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |FROM (SELECT doc_id FROM documents WHERE $scoreWhere) d
+       |LEFT JOIN agg a ON a.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  val lmScoreSql: String = lmScoreSqlFor("TRUE", "TRUE")
+
+  val lmScoreIncrementalSql: String = lmScoreSqlFor(
+    s"doc_id % ${Dedup.IncrementalBatchMod} <> 0",
+    s"doc_id % ${Dedup.IncrementalBatchMod} = 0")
 }

@@ -274,6 +274,64 @@ object StreamingJobs {
       .select("doc_id", "n_paras", "n_hit", "hit_frac", "is_new")
   }
 
+  // --------------------------- stream-static LM-score admission
+
+  /** Stream-static LM SCORING — the streaming half of
+    * [[graft.operators.LmScore.lmScoreIncremental]]: documents arrive as
+    * an unbounded stream and each is scored at ingest time against the
+    * STATIC bigram model trained on the existing corpus partition,
+    * verdict FINAL at arrival.
+    *
+    * Append-mode STATELESS end to end, the [[contaminationStream]]
+    * architecture: the model rides as ONE static row — a bigram→count
+    * map, a context→mass map, and the vocabulary size — joined in on a
+    * constant key, and the doc's score is a pure per-row `aggregate`
+    * fold over its pair array (same integer ppm algebra: add-one
+    * smoothing, floor division; `element_at` misses are the unseen-pair
+    * path). No aggregation, no watermark, no state store — row-for-row
+    * parity with the batch operator is spec-pinned.
+    *
+    * Scale notes: the maps are the model — vocab²-bounded, NOT
+    * corpus-bounded (the n-gram-LM scale property), the same thing the
+    * batch form's unhinted join probes; if the vocabulary outgrew one
+    * row the probe becomes the batch operator's hash join keyed on
+    * (x, y) — the dial moves, the contract doesn't. Same static-side
+    * refresh contract: model snapshot at query (re)start, verdicts
+    * final. */
+  def lmScoreStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, LmScore}
+    val mod = Dedup.IncrementalBatchMod
+    val (bc, cx, v) = LmScore.model(
+      spark.read.schema(documentsRawSchema).parquet(dir)
+        .filter(col("doc_id") % mod =!= 0))
+    val bgRow = bc.agg(map_from_entries(collect_list(
+      struct(concat_ws(" ", col("x"), col("y")), col("c_xy")))).as("bg_map"))
+      .withColumn("k", lit(1))
+    val cxRow = cx.agg(map_from_entries(collect_list(
+      struct(col("x"), col("c_x")))).as("cx_map"))
+      .withColumn("k", lit(1))
+    val vRow = v.withColumn("k", lit(1))
+    val staticModel = bgRow.join(cxRow, Seq("k")).join(vRow, Seq("k"))
+    spark.readStream
+      .schema(documentsRawSchema)
+      .parquet(dir)
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"),
+        expr("coalesce(split(lower(trim(text)), '\\\\s+'), array())").as("w"))
+      .select(col("doc_id"),
+        expr("transform(slice(w, 1, greatest(size(w) - 1, 0)), (t, i) -> struct(concat(t, ' ', w[i + 1]) AS xy, t AS x))")
+          .as("ps"))
+      .withColumn("k", lit(1))
+      .join(staticModel, Seq("k"), "left")
+      .withColumn("n_bigrams", expr("CAST(size(ps) AS BIGINT)"))
+      .withColumn("sum_w", expr(
+        s"""aggregate(ps, 0L, (acc, p) ->
+           |  acc + ((coalesce(element_at(bg_map, p.xy), 0L) + 1L) * ${LmScore.Scale})
+           |        div (coalesce(element_at(cx_map, p.x), 0L) + v))""".stripMargin))
+      .withColumn("lm_ppm", expr("CAST(sum_w AS DOUBLE) / greatest(n_bigrams, 1)"))
+      .select("doc_id", "n_bigrams", "sum_w", "lm_ppm")
+  }
+
   // ------------------------------------------------- stateful sessionize
 
   /** c is Option: a NULL value must not kill the stream — the batch twin

@@ -14,19 +14,21 @@ class LmScoreSpec extends AnyFunSuite {
 
   private lazy val docs = Tables.documents(spark, sf)
 
-  /** Reference implementation: train + score in plain Scala. */
-  private def scoreAll(texts: Map[Long, String]): Map[Long, (Long, Long)] = {
+  /** Reference implementation: train on one text set, score another. */
+  private def scoreWith(train: Map[Long, String],
+                        score: Map[Long, String]): Map[Long, (Long, Long)] = {
     // exact mirror of the operator: NULL → [], otherwise Java split (an
     // empty text yields one empty-string token, which enters V)
     def toks(t: String): Array[String] =
       Option(t).map(_.trim.toLowerCase.split("\\s+")).getOrElse(Array.empty)
-    val tokenized = texts.map { case (id, t) => id -> toks(t) }
-    val pairs = tokenized.values.flatMap(w => w.sliding(2).filter(_.length == 2)
+    val trainTok = train.map { case (id, t) => id -> toks(t) }
+    val pairs = trainTok.values.flatMap(w => w.sliding(2).filter(_.length == 2)
       .map(p => (p(0), p(1)))).toSeq
     val bc = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     val cx = pairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
-    val v = tokenized.values.flatten.toSet.size.toLong
-    tokenized.map { case (id, w) =>
+    val v = trainTok.values.flatten.toSet.size.toLong
+    score.map { case (id, t) =>
+      val w = toks(t)
       val ps = w.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
       val sum = ps.map { p =>
         ((bc.getOrElse(p, 0L) + 1L) * LmScore.Scale) / (cx.getOrElse(p._1, 0L) + v)
@@ -34,6 +36,9 @@ class LmScoreSpec extends AnyFunSuite {
       id -> (ps.size.toLong, sum)
     }
   }
+
+  private def scoreAll(texts: Map[Long, String]): Map[Long, (Long, Long)] =
+    scoreWith(texts, texts)
 
   test("gate corpus: every count and floor-divided weight recomputes exactly") {
     val texts = docs.select("doc_id", "text").collect()
@@ -72,6 +77,26 @@ class LmScoreSpec extends AnyFunSuite {
     assert(out(8L) == out(9L), "exact dups must score identically")
     assert(out(8L) > out(10L),
       s"dup pair ${out(8L)} must outscore hapax-only doc ${out(10L)}")
+  }
+
+  test("incremental: model from the corpus partition only; batch docs never self-score") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mod = graft.operators.Dedup.IncrementalBatchMod
+    val expected = scoreWith(
+      texts.filter(_._1 % mod != 0), texts.filter(_._1 % mod == 0))
+    val out = LmScore.lmScoreIncrementalQ(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == expected.keySet, "scored set != batch partition")
+    expected.foreach { case (id, want) =>
+      assert(out(id) == want, s"doc $id: ${out(id)} != $want")
+    }
+    // the scores genuinely differ from the self-trained form for some doc
+    // (the batch's own mass is absent from the model)
+    val full = LmScore.lmScoreQ(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(expected.keys.exists(id => full(id) != out(id)._2),
+      "incremental scores identical to self-trained — model restriction inert")
   }
 
   test("degenerate docs: empty, one-token, NULL text → 0/0/0.0") {

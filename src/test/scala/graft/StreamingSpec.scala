@@ -146,6 +146,32 @@ class StreamingSpec extends AnyFunSuite {
       "corpus must exercise all stream-detectable statuses")
   }
 
+  test("stream-static LM scoring matches the batch incremental operator row-for-row") {
+    // append-mode stateless: the model rides as one static row (two maps +
+    // vocab size), the doc score is a per-row aggregate fold over its pair
+    // array — verdict final at arrival, same integer ppm algebra, so
+    // parity with lmScoreIncremental is full row equality
+    val dir = Files.createTempDirectory("graft-stream-lm")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingJobs.lmScoreStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val streamed = spark.table("lm_stream")
+      .select("doc_id", "n_bigrams", "sum_w", "lm_ppm")
+      .collect().map(key).sortBy(_._1)
+    val batch = graft.operators.LmScore.lmScoreIncremental(Tables.documents(spark, sf))
+      .select("doc_id", "n_bigrams", "sum_w", "lm_ppm")
+      .collect().map(key).sortBy(_._1)
+    assert(streamed.length == batch.length && streamed.sameElements(batch),
+      s"stream=${streamed.length} batch=${batch.length} " +
+        s"diff=${streamed.zip(batch).filter(p => p._1 != p._2).take(3).mkString(",")}")
+    assert(streamed.exists(_._3 > 0), "no scored bigram in the stream twin")
+  }
+
   test("stream-static paragraph admission matches the batch operator row-for-row") {
     // append-mode stateless: per-row window fingerprints + one static
     // corpus-index row on a constant key + per-row instance filter-count —
