@@ -80,6 +80,9 @@ object SparkEntry {
     // round 8 cont.: signup-day cohort retention matrix (integer day algebra,
     // distinct-before-join, conditional-sum rollup)
     "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
+    // round 8 cont.: per-trial cross-channel Pearson matrix from exact
+    // integer-cents sufficient statistics
+    "channel_correlation" -> ((s, d) => ChannelCorr.channelCorrelationQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // rows-only operators (engine-specific hashes/models — spec-gated)
     "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
@@ -297,6 +300,7 @@ object SparkEntry {
     "event_funnel" -> Funnel.eventFunnelSql,
     "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
     "event_retention" -> Retention.eventRetentionSql,
+    "channel_correlation" -> ChannelCorr.channelCorrelationSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,

@@ -131,7 +131,8 @@ class EmptyInputSpec extends AnyFunSuite {
     val ops: Seq[(String, DataFrame)] = Seq(
       "event_funnel" -> Funnel.eventFunnel(empty),
       "event_outlier_mad" -> RobustOutlier.eventOutlierMad(empty),
-      "event_retention" -> Retention.eventRetention(empty))
+      "event_retention" -> Retention.eventRetention(empty),
+      "channel_correlation" -> ChannelCorr.channelCorrelation(empty))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty events: $e")
