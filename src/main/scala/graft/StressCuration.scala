@@ -50,7 +50,12 @@ object StressCuration {
 
     def materialize(df: DataFrame, name: String): DataFrame = {
       val path = s"$workDir/$name"
-      df.write.mode("overwrite").parquet(path)
+      // write with real partitioning: a single-file 10x corpus gives every
+      // op a ONE-partition scan side, and an AQE broadcast-collapsed join
+      // then serializes the whole pair stage onto one task (observed: the
+      // split_leakage candidate agg pinned a single spilling thread for
+      // 20+ min). A production corpus is many splits; measure that shape.
+      df.repartition(32).write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
     val x10 = materialize(uniform10x, "uniform10x")
