@@ -131,6 +131,9 @@ object SparkEntry {
     // round 8 cont.: the deployment form — model trained on the corpus
     // partition, scoring the arriving batch (no self-inflation)
     "lm_score_incremental" -> ((s, d) => LmScore.lmScoreIncrementalQ(Tables.documents(s, d))),
+    // round 8 cont.: heuristic-vs-LM filter contingency with a histogram-
+    // rank-selected integer quartile threshold
+    "filter_agreement" -> ((s, d) => FilterAgreement.filterAgreementQ(Tables.documents(s, d))),
     // round 8 cont.: char-level Simpson collision index (gibberish gate,
     // zero-exchange run-length fold, all-integer)
     "char_diversity" -> ((s, d) => CharDiversity.charDiversityQ(Tables.documents(s, d))),
@@ -318,6 +321,7 @@ object SparkEntry {
     "split_leakage" -> SplitLeakage.splitLeakageSql,
     "lm_score" -> LmScore.lmScoreSql,
     "lm_score_incremental" -> LmScore.lmScoreIncrementalSql,
+    "filter_agreement" -> FilterAgreement.filterAgreementSql,
     "char_diversity" -> CharDiversity.charDiversitySql,
     "length_quantiles" -> LengthQuantiles.lengthQuantilesSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,

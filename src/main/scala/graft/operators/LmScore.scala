@@ -122,10 +122,11 @@ object LmScore {
       .select(col("doc_id"), col("n_bigrams"), col("sum_w"), r("lm_ppm", 4))
       .orderBy("doc_id")
 
-  /** One CTE text for both oracles (the one-text rule): `trainWhere`
-    * restricts the model corpus, `scoreWhere` the scored docs. */
-  private def lmScoreSqlFor(trainWhere: String, scoreWhere: String): String =
-    s"""WITH toks AS (
+  /** CTE chain ending at `agg(doc_id, n_bigrams, sum_w)` over the scored
+    * docs — one text for the two score oracles AND every consumer that
+    * composes on the per-doc LM sums (filter_agreement). */
+  private[operators] def lmAggCtes(trainWhere: String, scoreWhere: String): String =
+    s"""toks AS (
        |  SELECT doc_id, COALESCE(string_split_regex(lower(trim(text)), '\\s+'), []) AS w
        |  FROM documents WHERE $trainWhere
        |), vocab AS (
@@ -155,7 +156,12 @@ object LmScore {
        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |         CAST(sum(wgt) AS BIGINT) AS sum_w
        |  FROM sc GROUP BY 1
-       |)
+       |)""".stripMargin
+
+  /** One query text for both score oracles: `trainWhere` restricts the
+    * model corpus, `scoreWhere` the scored docs. */
+  private def lmScoreSqlFor(trainWhere: String, scoreWhere: String): String =
+    s"""WITH ${lmAggCtes(trainWhere, scoreWhere)}
        |SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
        |       COALESCE(a.sum_w, 0) AS sum_w,
        |       ${rsql("CAST(COALESCE(a.sum_w, 0) AS DOUBLE) / greatest(COALESCE(a.n_bigrams, 0), 1)", 4, "lm_ppm")}

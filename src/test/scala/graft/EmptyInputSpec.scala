@@ -92,7 +92,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "split_leakage" -> SplitLeakage.splitLeakage(d),
       "lm_score" -> LmScore.lmScore(d),
       "char_diversity" -> CharDiversity.charDiversity(d),
-      "length_quantiles" -> LengthQuantiles.lengthQuantiles(d))
+      "length_quantiles" -> LengthQuantiles.lengthQuantiles(d),
+      "filter_agreement" -> FilterAgreement.filterAgreement(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
