@@ -71,9 +71,11 @@ object LmScore {
   }
 
   /** Score `toScore`'s pair stream against a trained model; total on
-    * unseen pairs/contexts (add-one smoothing over left joins). */
-  private def scoreAgainst(toScore: DataFrame,
-                           bc: DataFrame, cx: DataFrame, v: DataFrame): DataFrame = {
+    * unseen pairs/contexts (add-one smoothing over left joins).
+    * `private[graft]` so InfraSpec can drive it from a PERSISTED model
+    * table (train-once-score-many economics). */
+  private[graft] def scoreAgainst(toScore: DataFrame,
+                                  bc: DataFrame, cx: DataFrame, v: DataFrame): DataFrame = {
     val scored = toks(toScore)
       .select(col("doc_id"), explode(expr(pairArrayExpr)).as("p"))
       .select(col("doc_id"), col("p.x").as("x"), col("p.y").as("y"))

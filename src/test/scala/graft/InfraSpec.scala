@@ -168,6 +168,51 @@ class InfraSpec extends AnyFunSuite {
     assert(a.sameElements(b), "compaction must not change content")
   }
 
+  test("LM model persists bucketed by (x, y); scoring probe shuffles ONLY the pair stream") {
+    // lm_score_incremental's train-once-score-many economics made
+    // executable: the bigram count table (THE model — vocab²-bounded) is
+    // persisted bucketed by its join key, and every future batch's scoring
+    // probe reads it back without re-shuffling (or re-training); only the
+    // batch's pair stream moves. Broadcast disabled so the join shape is
+    // the open-vocabulary one.
+    import graft.operators.{Dedup, LmScore}
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      val mod = Dedup.IncrementalBatchMod
+      val corpus = docs.filter(col("doc_id") % mod =!= 0)
+      val batch = docs.filter(col("doc_id") % mod === 0)
+      val (bc, cx, v) = LmScore.model(corpus)
+      bc.write.mode("overwrite").format("parquet")
+        .bucketBy(8, "x", "y").sortBy("x", "y")
+        .saveAsTable("graft_lm_model")
+      val persistedBc = spark.table("graft_lm_model")
+      // cx/v derive from the persisted table — nothing retrains
+      val persistedCx = persistedBc.groupBy("x").agg(sum("c_xy").as("c_x"))
+      val scored = LmScore.scoreAgainst(batch, persistedBc, persistedCx, v)
+      val plan = scored.queryExecution.executedPlan.toString
+      val modelSideShuffles = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") &&
+          l.contains("x#") && l.contains("y#"))
+      assert(modelSideShuffles <= 1,
+        s"model must read bucketed — at most the pair stream shuffles on (x, y):\n$plan")
+      // score parity with the inline (non-persisted) model
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val persisted = scored.select("doc_id", "n_bigrams", "sum_w")
+        .collect().map(key).sortBy(_._1)
+      val inline = LmScore.lmScoreIncremental(docs)
+        .select("doc_id", "n_bigrams", "sum_w")
+        .collect().map(key).sortBy(_._1)
+      assert(persisted.sameElements(inline) && persisted.nonEmpty,
+        s"persisted-model scores diverge: ${persisted.length} vs ${inline.length}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_lm_model")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("temp-view spark.sql runs the oracle SQL dialect for shared queries") {
     // these oracle strings are ANSI enough to run unmodified on Spark —
     // same text, DataFrame plan vs spark.sql plan, identical results

@@ -153,4 +153,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins == 1, s"jump round must contain exactly the one self-join:\n$p")
     assert(p.contains("Scan ExistingRDD"), s"jump inputs must be checkpoint scans:\n$p")
   }
+
+  test("lm_score consumes the checkpointed bigram model — the count agg runs once") {
+    // the model frame (bigram counts) feeds TWO consumers: the c_x
+    // derivation and the scoring lookup join. Checkpointed, both must read
+    // Scan ExistingRDD; if the checkpoint is dropped, the whole
+    // explode+count aggregation re-plans under EACH consumer and the
+    // scoring plan grows a second pair-stream explode + agg chain
+    import graft.operators.LmScore
+    val docs = Tables.documents(spark, sf)
+    val p = planOf(LmScore.lmScore(docs))
+    assert(p.contains("Scan ExistingRDD"),
+      s"scoring must consume the checkpointed model:\n$p")
+    // generators in the plan: ONE pair explode for scoring + ONE unigram
+    // explode for the vocab count — the model's own pair explode is
+    // materialized away behind the checkpoint
+    val generates = nodeLines(p).count(_.startsWith("Generate"))
+    assert(generates == 2,
+      s"expected exactly 2 live Generate sites (score pairs + vocab), got $generates:\n$p")
+  }
 }
