@@ -134,6 +134,10 @@ object SparkEntry {
     // round 8 cont.: heuristic-vs-LM filter contingency with a histogram-
     // rank-selected integer quartile threshold
     "filter_agreement" -> ((s, d) => FilterAgreement.filterAgreementQ(Tables.documents(s, d))),
+    // round 8 cont.: word-granularity lexicon gate (C4-badwords class) and
+    // Flesch-Kincaid readability — both zero-exchange map passes
+    "lexicon_score" -> ((s, d) => Lexicon.lexiconScoreQ(Tables.documents(s, d))),
+    "readability" -> ((s, d) => Readability.readabilityQ(Tables.documents(s, d))),
     // round 8 cont.: char-level Simpson collision index (gibberish gate,
     // zero-exchange run-length fold, all-integer)
     "char_diversity" -> ((s, d) => CharDiversity.charDiversityQ(Tables.documents(s, d))),
@@ -322,6 +326,8 @@ object SparkEntry {
     "lm_score" -> LmScore.lmScoreSql,
     "lm_score_incremental" -> LmScore.lmScoreIncrementalSql,
     "filter_agreement" -> FilterAgreement.filterAgreementSql,
+    "lexicon_score" -> Lexicon.lexiconScoreSql,
+    "readability" -> Readability.readabilitySql,
     "char_diversity" -> CharDiversity.charDiversitySql,
     "length_quantiles" -> LengthQuantiles.lengthQuantilesSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,

@@ -93,7 +93,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "lm_score" -> LmScore.lmScore(d),
       "char_diversity" -> CharDiversity.charDiversity(d),
       "length_quantiles" -> LengthQuantiles.lengthQuantiles(d),
-      "filter_agreement" -> FilterAgreement.filterAgreement(d))
+      "filter_agreement" -> FilterAgreement.filterAgreement(d),
+      "lexicon_score" -> Lexicon.lexiconScore(d),
+      "readability" -> Readability.readability(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
