@@ -138,6 +138,9 @@ object SparkEntry {
     // Flesch-Kincaid readability — both zero-exchange map passes
     "lexicon_score" -> ((s, d) => Lexicon.lexiconScoreQ(Tables.documents(s, d))),
     "readability" -> ((s, d) => Readability.readabilityQ(Tables.documents(s, d))),
+    // round 8 cont.: SemDeDup canonical choice — keep the centroid-closest
+    // member of each semantic cluster (rounded rank key)
+    "semantic_keep_best" -> ((s, d) => SemanticKeepBest.semanticKeepBestQ(Tables.embeddings(s, d))),
     // round 8 cont.: char-level Simpson collision index (gibberish gate,
     // zero-exchange run-length fold, all-integer)
     "char_diversity" -> ((s, d) => CharDiversity.charDiversityQ(Tables.documents(s, d))),
@@ -328,6 +331,7 @@ object SparkEntry {
     "filter_agreement" -> FilterAgreement.filterAgreementSql,
     "lexicon_score" -> Lexicon.lexiconScoreSql,
     "readability" -> Readability.readabilitySql,
+    "semantic_keep_best" -> SemanticKeepBest.semanticKeepBestSql,
     "char_diversity" -> CharDiversity.charDiversitySql,
     "length_quantiles" -> LengthQuantiles.lengthQuantilesSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,

@@ -44,10 +44,10 @@ object EmbeddingOutlier {
   /** Flagged per label. */
   val OutlierK = 5
 
-  private val IntVecExpr =
+  private[operators] val IntVecExpr =
     s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $Scale.0) AS BIGINT))"
 
-  private def fold(arr: String): String =
+  private[operators] def fold(arr: String): String =
     s"aggregate($arr, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
 
   def embeddingOutliers(embeddings: DataFrame, k: Int = OutlierK): DataFrame = {

@@ -241,8 +241,11 @@ object Similarity {
   /** DuckDB twin: the [[embeddingDedupSql]] pair CTEs + the recursive-CTE
     * transitive closure of [[Dedup.dedupClustersSql]] — min reachable id
     * per vector. */
-  val embeddingClustersSql: String =
-    s"""WITH RECURSIVE $VecCteBody, pairs AS (
+  /** Chain ending at `cc(doc, cluster_id)` — must be opened with
+    * `WITH RECURSIVE`. One text for [[embeddingClustersSql]] and every
+    * oracle composing on the semantic clusters (semantic_keep_best). */
+  private[operators] lazy val clusterChainBody: String =
+    s"""$VecCteBody, pairs AS (
        |  SELECT * FROM (
        |    SELECT a.vec_id AS id1, q.vec_id AS id2,
        |           $DotSqlF / (a.norm * q.norm) AS cos
@@ -258,7 +261,10 @@ object Similarity {
        |  SELECT e.u AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.v
        |), cc AS (
        |  SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc
-       |)
+       |)""".stripMargin
+
+  val embeddingClustersSql: String =
+    s"""WITH RECURSIVE $clusterChainBody
        |SELECT doc AS vec_id, cluster_id, doc = cluster_id AS is_canonical
        |FROM cc
        |ORDER BY vec_id""".stripMargin

@@ -151,6 +151,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "embedding_dedup" -> Similarity.embeddingDedup(e),
       "embedding_dedup_incremental" -> Similarity.embeddingDedupIncremental(e),
       "embedding_cluster" -> Similarity.embeddingClusters(e),
+      "semantic_keep_best" -> SemanticKeepBest.semanticKeepBest(e),
       "knn_cosine_lsh" -> Lsh.knnCosineLsh(e),
       "embedding_dedup_lsh" -> Lsh.embeddingDedupLsh(e),
       // the driver-side quantizer yields zero centroids on an empty corpus
