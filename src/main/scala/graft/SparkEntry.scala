@@ -204,6 +204,9 @@ object SparkEntry {
     // unchanged by content fingerprint, the reprocess-only-the-delta
     // primitive (deterministic synthetic old/new snapshots)
     "corpus_diff" -> ((s, d) => CorpusDiff.corpusDiffQ(Tables.documents(s, d))),
+    // …and its distribution-shape sibling: how the unigram distribution
+    // moved between versions (new/dropped terms + top ppm movers)
+    "vocab_drift" -> ((s, d) => VocabDrift.vocabDriftQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -355,6 +358,7 @@ object SparkEntry {
     "context_pack" -> ContextPack.contextPackSql,
     "context_window_docs" -> ContextPack.contextWindowDocsSql,
     "corpus_diff" -> CorpusDiff.corpusDiffSql,
+    "vocab_drift" -> VocabDrift.vocabDriftSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,
