@@ -223,6 +223,9 @@ object SparkEntry {
     // …and the dataset-granularity dedup-pressure matrix: exact pairwise
     // cross-source shingle Jaccard over distinct (source, shingle)
     "source_overlap" -> ((s, d) => SourceOverlap.sourceOverlapQ(Tables.documents(s, d))),
+    // …and how DIFFERENT each source's language is: exact ppm-domain
+    // total-variation distance vs the corpus distribution + top mover
+    "source_divergence" -> ((s, d) => SourceDivergence.sourceDivergenceQ(Tables.documents(s, d))),
     // …and the boilerplate audit (top-K cross-doc duplicated windows,
     // TakeOrderedAndProject — no global sort) + the per-shard training
     // manifest (counts, token mass, key range, ordered-id checksum)
@@ -365,6 +368,7 @@ object SparkEntry {
     "winnow_overlap" -> Winnow.winnowOverlapSql,
     "winnow_align" -> Winnow.winnowAlignSql,
     "source_overlap" -> SourceOverlap.sourceOverlapSql,
+    "source_divergence" -> SourceDivergence.sourceDivergenceSql,
     "dup_passages" -> DupPassages.dupPassagesSql,
     "shard_manifest" -> ShardManifest.shardManifestSql,
     "tokenize_ids" -> TokenizeIds.tokenizeIdsSql,
