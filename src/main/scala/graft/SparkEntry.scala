@@ -137,6 +137,9 @@ object SparkEntry {
     // round 8 cont.: word-granularity lexicon gate (C4-badwords class) and
     // Flesch-Kincaid readability — both zero-exchange map passes
     "lexicon_score" -> ((s, d) => Lexicon.lexiconScoreQ(Tables.documents(s, d))),
+    // …and the data-driven taxonomy sibling: per-doc domain label from a
+    // broadcast (topic, word, weight) lexicon table, argmax with ties
+    "topic_classify" -> ((s, d) => TopicClassify.topicClassifyQ(Tables.documents(s, d))),
     "readability" -> ((s, d) => Readability.readabilityQ(Tables.documents(s, d))),
     // round 8 cont.: SemDeDup canonical choice — keep the centroid-closest
     // member of each semantic cluster (rounded rank key)
@@ -336,6 +339,7 @@ object SparkEntry {
     "lm_score_incremental" -> LmScore.lmScoreIncrementalSql,
     "filter_agreement" -> FilterAgreement.filterAgreementSql,
     "lexicon_score" -> Lexicon.lexiconScoreSql,
+    "topic_classify" -> TopicClassify.topicClassifySql,
     "readability" -> Readability.readabilitySql,
     "semantic_keep_best" -> SemanticKeepBest.semanticKeepBestSql,
     "char_diversity" -> CharDiversity.charDiversitySql,
