@@ -80,6 +80,9 @@ object SparkEntry {
     // round 8 cont.: signup-day cohort retention matrix (integer day algebra,
     // distinct-before-join, conditional-sum rollup)
     "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
+    // …and time DENSIFICATION: dense per-(user, day) activity matrix
+    // with explicit zero rows for silent days (sequence/generate_series)
+    "event_series" -> ((s, d) => EventSeries.eventSeriesQ(Tables.events(s, d))),
     // round 8 cont.: per-trial cross-channel Pearson matrix from exact
     // integer-cents sufficient statistics
     "channel_correlation" -> ((s, d) => ChannelCorr.channelCorrelationQ(Tables.events(s, d))),
@@ -319,6 +322,7 @@ object SparkEntry {
     "event_funnel" -> Funnel.eventFunnelSql,
     "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
     "event_retention" -> Retention.eventRetentionSql,
+    "event_series" -> EventSeries.eventSeriesSql,
     "channel_correlation" -> ChannelCorr.channelCorrelationSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
