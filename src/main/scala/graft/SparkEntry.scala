@@ -172,6 +172,9 @@ object SparkEntry {
     "doc_novelty" -> ((s, d) => Curation.docNoveltyQ(Tables.documents(s, d))),
     "doc_ngram_repetition" -> ((s, d) => Curation.ngramRepetitionQ(Tables.documents(s, d))),
     "quality_select" -> ((s, d) => Curation.qualitySelectQ(Tables.documents(s, d))),
+    // …and the rank-fusion sibling: Borda sum of three integer signal
+    // ranks per stratum, keep gate on the fused rank (no calibration)
+    "quality_ensemble" -> ((s, d) => QualityEnsemble.qualityEnsembleQ(Tables.documents(s, d))),
     "token_budget_pack" -> ((s, d) => Curation.tokenBudgetPackQ(Tables.documents(s, d))),
     // round 7: the giant-source scale form of the prefix pack (range
     // partition + per-partition totals + broadcast offsets) — registered
@@ -356,6 +359,7 @@ object SparkEntry {
     "doc_novelty" -> Curation.docNoveltySql,
     "doc_ngram_repetition" -> Curation.ngramRepetitionSql,
     "quality_select" -> Curation.qualitySelectSql,
+    "quality_ensemble" -> QualityEnsemble.qualityEnsembleSql,
     "token_budget_pack" -> Curation.tokenBudgetPackSql,
     "token_budget_pack_range" -> Curation.tokenBudgetPackSql,
     "tfidf_topterms" -> Curation.tfidfTopTermsSql,
