@@ -175,6 +175,9 @@ object SparkEntry {
     // …and the rank-fusion sibling: Borda sum of three integer signal
     // ranks per stratum, keep gate on the fused rank (no calibration)
     "quality_ensemble" -> ((s, d) => QualityEnsemble.qualityEnsembleQ(Tables.documents(s, d))),
+    // exact-COUNT stratified sampling (the eval-set builder): rank cut
+    // on the content-keyed sample key, rank <= per-stratum quota
+    "sample_quota" -> ((s, d) => SampleQuota.sampleQuotaQ(Tables.documents(s, d))),
     "token_budget_pack" -> ((s, d) => Curation.tokenBudgetPackQ(Tables.documents(s, d))),
     // round 7: the giant-source scale form of the prefix pack (range
     // partition + per-partition totals + broadcast offsets) — registered
@@ -360,6 +363,7 @@ object SparkEntry {
     "doc_ngram_repetition" -> Curation.ngramRepetitionSql,
     "quality_select" -> Curation.qualitySelectSql,
     "quality_ensemble" -> QualityEnsemble.qualityEnsembleSql,
+    "sample_quota" -> SampleQuota.sampleQuotaSql,
     "token_budget_pack" -> Curation.tokenBudgetPackSql,
     "token_budget_pack_range" -> Curation.tokenBudgetPackSql,
     "tfidf_topterms" -> Curation.tfidfTopTermsSql,
