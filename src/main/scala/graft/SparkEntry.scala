@@ -27,6 +27,10 @@ object SparkEntry {
       Relational.q5MultiJoin(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d))),
     "window_topk_per_group" -> ((s, d) => Relational.windowTopKPerGroup(Tables.orders(s, d))),
+    // correlated-aggregate predicate (TPC-H Q17 class) in decorrelated
+    // form: per-part avg computed once, joined back, integer threshold
+    "q17_avg_filter" -> ((s, d) =>
+      AvgFilter.q17AvgFilter(Tables.lineitem(s, d), Tables.part(s, d))),
     "rollup_agg" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
     "semi_anti_join" -> ((s, d) =>
       Relational.semiAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
@@ -363,6 +367,7 @@ object SparkEntry {
     "doc_ngram_repetition" -> Curation.ngramRepetitionSql,
     "quality_select" -> Curation.qualitySelectSql,
     "quality_ensemble" -> QualityEnsemble.qualityEnsembleSql,
+    "q17_avg_filter" -> AvgFilter.q17AvgFilterSql,
     "sample_quota" -> SampleQuota.sampleQuotaSql,
     "token_budget_pack" -> Curation.tokenBudgetPackSql,
     "token_budget_pack_range" -> Curation.tokenBudgetPackSql,
