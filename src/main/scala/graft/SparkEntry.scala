@@ -87,6 +87,9 @@ object SparkEntry {
     // …and time DENSIFICATION: dense per-(user, day) activity matrix
     // with explicit zero rows for silent days (sequence/generate_series)
     "event_series" -> ((s, d) => EventSeries.eventSeriesQ(Tables.events(s, d))),
+    // …and PATH analytics: the empirical first-order Markov transition
+    // matrix over per-user streams, with a _start entry state
+    "event_transitions" -> ((s, d) => EventTransitions.eventTransitionsQ(Tables.events(s, d))),
     // round 8 cont.: per-trial cross-channel Pearson matrix from exact
     // integer-cents sufficient statistics
     "channel_correlation" -> ((s, d) => ChannelCorr.channelCorrelationQ(Tables.events(s, d))),
@@ -333,6 +336,7 @@ object SparkEntry {
     "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
     "event_retention" -> Retention.eventRetentionSql,
     "event_series" -> EventSeries.eventSeriesSql,
+    "event_transitions" -> EventTransitions.eventTransitionsSql,
     "channel_correlation" -> ChannelCorr.channelCorrelationSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
