@@ -31,6 +31,9 @@ object SparkEntry {
     // form: per-part avg computed once, joined back, integer threshold
     "q17_avg_filter" -> ((s, d) =>
       AvgFilter.q17AvgFilter(Tables.lineitem(s, d), Tables.part(s, d))),
+    // join-key skew diagnostic: top-K heaviest keys + hot verdicts —
+    // the input that feeds Skew.saltedJoinHot's hot-key list
+    "key_skew_report" -> ((s, d) => KeySkew.keySkewReportQ(Tables.lineitem(s, d))),
     "rollup_agg" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
     "semi_anti_join" -> ((s, d) =>
       Relational.semiAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
@@ -372,6 +375,7 @@ object SparkEntry {
     "quality_select" -> Curation.qualitySelectSql,
     "quality_ensemble" -> QualityEnsemble.qualityEnsembleSql,
     "q17_avg_filter" -> AvgFilter.q17AvgFilterSql,
+    "key_skew_report" -> KeySkew.keySkewReportSql,
     "sample_quota" -> SampleQuota.sampleQuotaSql,
     "token_budget_pack" -> Curation.tokenBudgetPackSql,
     "token_budget_pack_range" -> Curation.tokenBudgetPackSql,
