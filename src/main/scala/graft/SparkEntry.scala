@@ -34,6 +34,14 @@ object SparkEntry {
     // join-key skew diagnostic: top-K heaviest keys + hot verdicts —
     // the input that feeds Skew.saltedJoinHot's hot-key list
     "key_skew_report" -> ((s, d) => KeySkew.keySkewReportQ(Tables.lineitem(s, d))),
+    // arrival-time data-quality profile: per-column rows/nulls/distincts
+    // /min/max in ONE scan via inline stack unpivot
+    "table_profile" -> ((s, d) => TableProfile.tableProfileQ(Tables.lineitem(s, d))),
+    // …and the cross-table audit: orphan counts per FK edge of the star
+    // (exact anti joins; lakes have no FK enforcement)
+    "ref_integrity" -> ((s, d) => RefIntegrity.refIntegrity(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+      Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "rollup_agg" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
     "semi_anti_join" -> ((s, d) =>
       Relational.semiAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
@@ -93,6 +101,9 @@ object SparkEntry {
     // …and PATH analytics: the empirical first-order Markov transition
     // matrix over per-user streams, with a _start entry state
     "event_transitions" -> ((s, d) => EventTransitions.eventTransitionsQ(Tables.events(s, d))),
+    // …and the densified series' consumer: 7-day RANGE-frame trailing
+    // activity + week-over-week delta + churn-risk verdict
+    "event_trend" -> ((s, d) => EventTrend.eventTrendQ(Tables.events(s, d))),
     // round 8 cont.: per-trial cross-channel Pearson matrix from exact
     // integer-cents sufficient statistics
     "channel_correlation" -> ((s, d) => ChannelCorr.channelCorrelationQ(Tables.events(s, d))),
@@ -340,6 +351,7 @@ object SparkEntry {
     "event_retention" -> Retention.eventRetentionSql,
     "event_series" -> EventSeries.eventSeriesSql,
     "event_transitions" -> EventTransitions.eventTransitionsSql,
+    "event_trend" -> EventTrend.eventTrendSql,
     "channel_correlation" -> ChannelCorr.channelCorrelationSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
@@ -376,6 +388,8 @@ object SparkEntry {
     "quality_ensemble" -> QualityEnsemble.qualityEnsembleSql,
     "q17_avg_filter" -> AvgFilter.q17AvgFilterSql,
     "key_skew_report" -> KeySkew.keySkewReportSql,
+    "table_profile" -> TableProfile.tableProfileSql,
+    "ref_integrity" -> RefIntegrity.refIntegritySql,
     "sample_quota" -> SampleQuota.sampleQuotaSql,
     "token_budget_pack" -> Curation.tokenBudgetPackSql,
     "token_budget_pack_range" -> Curation.tokenBudgetPackSql,
