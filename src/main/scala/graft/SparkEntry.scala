@@ -104,6 +104,9 @@ object SparkEntry {
     // …and the densified series' consumer: 7-day RANGE-frame trailing
     // activity + week-over-week delta + churn-risk verdict
     "event_trend" -> ((s, d) => EventTrend.eventTrendQ(Tables.events(s, d))),
+    // bucketed interval-containment join (the range-join scale pattern:
+    // equi key on (user, time-bucket) + residual filter, no nested loop)
+    "interval_join" -> ((s, d) => IntervalJoin.intervalJoinQ(Tables.events(s, d))),
     // round 8 cont.: per-trial cross-channel Pearson matrix from exact
     // integer-cents sufficient statistics
     "channel_correlation" -> ((s, d) => ChannelCorr.channelCorrelationQ(Tables.events(s, d))),
@@ -352,6 +355,7 @@ object SparkEntry {
     "event_series" -> EventSeries.eventSeriesSql,
     "event_transitions" -> EventTransitions.eventTransitionsSql,
     "event_trend" -> EventTrend.eventTrendSql,
+    "interval_join" -> IntervalJoin.intervalJoinSql,
     "channel_correlation" -> ChannelCorr.channelCorrelationSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,

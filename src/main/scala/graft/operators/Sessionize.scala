@@ -59,8 +59,11 @@ object Sessionize {
         col("n_types"), r("sum_value", 2))
       .orderBy("user_id", "session_seq")
 
-  val sessionizeSql: String =
-    s"""WITH ev AS (
+  /** Shared CTE chain ending in `sess` — nested by [[sessionizeSql]] and
+    * [[IntervalJoin.intervalJoinSql]] so the session definition cannot
+    * drift between the rollup and the containment-join consumer. */
+  private[graft] val sessionCtes: String =
+    s"""ev AS (
        |  SELECT user_id, event_id, event_type,
        |         epoch_us(date_trunc('microseconds', ts)) AS t_us,
        |         CAST(round(value * 100.0) AS BIGINT) AS c
@@ -84,7 +87,10 @@ object Sessionize {
        |         CAST(sum(c) AS DOUBLE) AS sum_c
        |  FROM s3
        |  GROUP BY user_id, session_seq
-       |)
+       |)""".stripMargin
+
+  val sessionizeSql: String =
+    s"""WITH $sessionCtes
        |SELECT user_id, session_seq, session_start_us, session_end_us,
        |       ${rsql("(CAST(session_end_us - session_start_us AS DOUBLE) / 1000000.0)", 6, "duration_sec")},
        |       n_events, n_types,
