@@ -243,6 +243,10 @@ object SparkEntry {
     // …and its distribution-shape sibling: how the unigram distribution
     // moved between versions (new/dropped terms + top ppm movers)
     "vocab_drift" -> ((s, d) => VocabDrift.vocabDriftQ(Tables.documents(s, d))),
+    // Delta-semantics stand-ins (no Delta jars offline): MERGE INTO as a
+    // key-keyed fingerprint join, VERSION AS OF as a log-window query
+    "cdc_apply" -> ((s, d) => Cdc.cdcApplyQ(Tables.documents(s, d))),
+    "snapshot_at" -> ((s, d) => Cdc.snapshotAtQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -409,6 +413,8 @@ object SparkEntry {
     "context_window_docs" -> ContextPack.contextWindowDocsSql,
     "corpus_diff" -> CorpusDiff.corpusDiffSql,
     "vocab_drift" -> VocabDrift.vocabDriftSql,
+    "cdc_apply" -> Cdc.cdcApplySql,
+    "snapshot_at" -> Cdc.snapshotAtSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,
