@@ -107,6 +107,9 @@ object SparkEntry {
     // bucketed interval-containment join (the range-join scale pattern:
     // equi key on (user, time-bucket) + residual filter, no nested loop)
     "interval_join" -> ((s, d) => IntervalJoin.intervalJoinQ(Tables.events(s, d))),
+    // exact step-function time integral (plain means are wrong on
+    // irregular streams) — the trend family's integral sibling
+    "twap" -> ((s, d) => Twap.twapQ(Tables.events(s, d))),
     // round 8 cont.: per-trial cross-channel Pearson matrix from exact
     // integer-cents sufficient statistics
     "channel_correlation" -> ((s, d) => ChannelCorr.channelCorrelationQ(Tables.events(s, d))),
@@ -167,6 +170,9 @@ object SparkEntry {
     // …and the data-driven taxonomy sibling: per-doc domain label from a
     // broadcast (topic, word, weight) lexicon table, argmax with ties
     "topic_classify" -> ((s, d) => TopicClassify.topicClassifyQ(Tables.documents(s, d))),
+    // declared-vs-predicted language audit: confusion matrix with row
+    // ppm shares (oracle nests langIdSql verbatim)
+    "lang_confusion" -> ((s, d) => LangConfusion.langConfusionQ(Tables.documents(s, d))),
     "readability" -> ((s, d) => Readability.readabilityQ(Tables.documents(s, d))),
     // round 8 cont.: SemDeDup canonical choice — keep the centroid-closest
     // member of each semantic cluster (rounded rank key)
@@ -360,6 +366,8 @@ object SparkEntry {
     "event_transitions" -> EventTransitions.eventTransitionsSql,
     "event_trend" -> EventTrend.eventTrendSql,
     "interval_join" -> IntervalJoin.intervalJoinSql,
+    "twap" -> Twap.twapSql,
+    "lang_confusion" -> LangConfusion.langConfusionSql,
     "channel_correlation" -> ChannelCorr.channelCorrelationSql,
     "asof_join" -> Sessionize.asofJoinSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
