@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, ShardManifest, SourceOverlap, SplitLeakage, TokenizeIds, Vocab, VocabCoverage, Winnow}
+import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, QualityEnsemble, SampleQuota, ShardManifest, SourceDivergence, SourceOverlap, SplitLeakage, TokenizeIds, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -131,6 +131,18 @@ object StressCuration {
       time(s"lm_score_$tag") { LmScore.lmScore(docs) }
       time(s"char_diversity_$tag") { CharDiversity.charDiversity(docs) }
       time(s"split_leakage_$tag") { SplitLeakage.splitLeakage(docs) }
+      // round-8 continuation (3rd session): distribution analytics
+      // (vocab-bounded join stages after one token-stream agg each),
+      // the broadcast-lexicon labeler, the stratified rank pair, and
+      // the fingerprint-join CDC merge
+      time(s"vocab_drift_$tag") {
+        VocabDrift.vocabDrift(CorpusDiff.oldSnapshot(docs), CorpusDiff.newSnapshot(docs))
+      }
+      time(s"source_divergence_$tag") { SourceDivergence.sourceDivergence(docs) }
+      time(s"topic_classify_$tag") { TopicClassify.topicClassify(docs) }
+      time(s"quality_ensemble_$tag") { QualityEnsemble.qualityEnsemble(docs) }
+      time(s"sample_quota_$tag") { SampleQuota.sampleQuota(docs) }
+      time(s"cdc_apply_$tag") { Cdc.cdcApply(docs, Cdc.changeBatch(docs)) }
     }
 
     spark.stop()

@@ -95,7 +95,16 @@ class EmptyInputSpec extends AnyFunSuite {
       "length_quantiles" -> LengthQuantiles.lengthQuantiles(d),
       "filter_agreement" -> FilterAgreement.filterAgreement(d),
       "lexicon_score" -> Lexicon.lexiconScore(d),
-      "readability" -> Readability.readability(d))
+      "readability" -> Readability.readability(d),
+      // round-8 continuation (3rd session)
+      "vocab_drift" -> VocabDrift.vocabDrift(d, d),
+      "source_divergence" -> SourceDivergence.sourceDivergence(d),
+      "topic_classify" -> TopicClassify.topicClassify(d),
+      "quality_ensemble" -> QualityEnsemble.qualityEnsemble(d),
+      "sample_quota" -> SampleQuota.sampleQuota(d),
+      "lang_confusion" -> LangConfusion.langConfusion(d),
+      "cdc_apply" -> Cdc.cdcApply(d, Cdc.changeBatch(d)),
+      "snapshot_at" -> Cdc.snapshotAt(Cdc.changeLog(d), Cdc.AsOfVersion))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
@@ -135,7 +144,13 @@ class EmptyInputSpec extends AnyFunSuite {
       "event_funnel" -> Funnel.eventFunnel(empty),
       "event_outlier_mad" -> RobustOutlier.eventOutlierMad(empty),
       "event_retention" -> Retention.eventRetention(empty),
-      "channel_correlation" -> ChannelCorr.channelCorrelation(empty))
+      "channel_correlation" -> ChannelCorr.channelCorrelation(empty),
+      // round-8 continuation (3rd session)
+      "event_series" -> EventSeries.eventSeries(empty),
+      "event_transitions" -> EventTransitions.eventTransitions(empty),
+      "event_trend" -> EventTrend.eventTrend(EventSeries.eventSeries(empty)),
+      "twap" -> Twap.twap(empty),
+      "interval_join" -> IntervalJoin.intervalJoin(empty))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty events: $e")
