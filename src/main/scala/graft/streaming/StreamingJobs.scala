@@ -525,4 +525,30 @@ object StreamingJobs {
       .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"),
         col("source"))
   }
+
+  /** Stream-static CDC APPLY twin — the canonical streaming shape: a CDC
+    * change feed arrives continuously and each change is verdicted against
+    * the static snapshot (one stream-static LEFT join on the key, per-row,
+    * stateless, append-mode — verdict final at arrival). Contract vs the
+    * batch [[graft.operators.Cdc.cdcApply]]: the stream emits one verdict
+    * PER ARRIVING CHANGE (upserts match the batch status; deletes — which
+    * the batch MERGE drops from its output — are observable here because
+    * the delete row itself arrives); 'kept' rows have no arriving change
+    * and are structurally absent. Spec-pinned row-for-row.
+    */
+  def cdcApplyStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cdc
+    val fpExpr =
+      "md5(lower(trim(regexp_replace(coalesce(text, ''), '\\\\s+', ' '))))"
+    val snap = spark.read.schema(documentsRawSchema).parquet(dir)
+      .select(col("doc_id"), expr(fpExpr).as("old_fp"))
+    val changes = Cdc.changeBatch(
+      spark.readStream.schema(documentsRawSchema).parquet(dir))
+    changes.withColumnRenamed("fp", "new_fp")
+      .join(snap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("op"), col("new_fp"), col("old_fp"),
+        when(col("op") === "insert", lit("inserted"))
+          .when(col("op") === "delete", lit("deleted"))
+          .otherwise(lit("updated")).as("status"))
+  }
 }

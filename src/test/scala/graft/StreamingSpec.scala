@@ -434,4 +434,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected,
       s"stream=${streamed.size} batch-closed=${expected.size}")
   }
+
+  test("stream-static CDC apply verdicts every arriving change like the batch merge") {
+    // append-mode stateless: one stream-static LEFT join on the key.
+    // Contract: one verdict per ARRIVING change — upserts match the batch
+    // cdcApply status row-for-row; deletes (dropped from the batch MERGE
+    // output) are observable here because the delete row itself arrives;
+    // 'kept' rows have no arriving change and are structurally absent.
+    val dir = Files.createTempDirectory("graft-stream-cdc")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingJobs.cdcApplyStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("cdc_stream")
+      .select("doc_id", "status",
+        "new_fp").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) "" else r.getString(2))).sortBy(_._1)
+    val docs = Tables.documents(spark, sf)
+    val upserts = graft.operators.Cdc.cdcApplyQ(docs)
+      .filter(col("status") =!= "kept")
+      .select("doc_id", "status", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val deletes = graft.operators.Cdc.changeBatch(docs)
+      .filter(col("op") === "delete")
+      .select("doc_id").collect()
+      .map(r => (r.getLong(0), "deleted", ""))
+    val expected = (upserts ++ deletes).sortBy(_._1)
+    assert(streamed.length == expected.length && streamed.sameElements(expected),
+      s"stream=${streamed.length} batch=${expected.length} " +
+        s"diff=${streamed.zip(expected).filter(p => p._1 != p._2).take(3).mkString(",")}")
+    assert(Set("inserted", "updated", "deleted") == streamed.map(_._2).toSet,
+      "corpus must exercise all three change verdicts")
+  }
 }
