@@ -158,6 +158,9 @@ object SparkEntry {
     // round 8 cont.: corpus-trained bigram-LM likelihood score (CCNet-style
     // model-based quality signal, integer ppm weights)
     "lm_score" -> ((s, d) => LmScore.lmScoreQ(Tables.documents(s, d))),
+    // …and WHERE a doc goes bad: worst fixed-token window per doc under
+    // the same bigram model (sub-document quality localization)
+    "span_quality" -> ((s, d) => SpanQuality.spanQualityQ(Tables.documents(s, d))),
     // round 8 cont.: the deployment form — model trained on the corpus
     // partition, scoring the arriving batch (no self-inflation)
     "lm_score_incremental" -> ((s, d) => LmScore.lmScoreIncrementalQ(Tables.documents(s, d))),
@@ -385,6 +388,7 @@ object SparkEntry {
     "corpus_split" -> TextOps.corpusSplitSql,
     "split_leakage" -> SplitLeakage.splitLeakageSql,
     "lm_score" -> LmScore.lmScoreSql,
+    "span_quality" -> SpanQuality.spanQualitySql,
     "lm_score_incremental" -> LmScore.lmScoreIncrementalSql,
     "filter_agreement" -> FilterAgreement.filterAgreementSql,
     "lexicon_score" -> Lexicon.lexiconScoreSql,

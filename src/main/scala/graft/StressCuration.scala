@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, QualityEnsemble, SampleQuota, ShardManifest, SourceDivergence, SourceOverlap, SplitLeakage, TokenizeIds, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
+import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, QualityEnsemble, SampleQuota, ShardManifest, SourceDivergence, SourceOverlap, SpanQuality, SplitLeakage, TokenizeIds, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -143,6 +143,7 @@ object StressCuration {
       time(s"quality_ensemble_$tag") { QualityEnsemble.qualityEnsemble(docs) }
       time(s"sample_quota_$tag") { SampleQuota.sampleQuota(docs) }
       time(s"cdc_apply_$tag") { Cdc.cdcApply(docs, Cdc.changeBatch(docs)) }
+      time(s"span_quality_$tag") { SpanQuality.spanQuality(docs) }
     }
 
     spark.stop()

@@ -48,10 +48,10 @@ object LmScore {
   /** ppm quantization of the smoothed conditional probability. */
   val Scale = 1000000L
 
-  private val pairArrayExpr: String =
+  private[graft] val pairArrayExpr: String =
     "transform(slice(w, 1, greatest(size(w) - 1, 0)), (t, i) -> struct(t AS x, w[i + 1] AS y))"
 
-  private def toks(documents: DataFrame): DataFrame =
+  private[graft] def toks(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
       expr("coalesce(split(lower(trim(text)), '\\\\s+'), array())").as("w"))
 
@@ -127,7 +127,9 @@ object LmScore {
   /** CTE chain ending at `agg(doc_id, n_bigrams, sum_w)` over the scored
     * docs — one text for the two score oracles AND every consumer that
     * composes on the per-doc LM sums (filter_agreement). */
-  private[operators] def lmAggCtes(trainWhere: String, scoreWhere: String): String =
+  /** MODEL-ONLY CTE chain (toks/vocab/tprs/bc/cx) — nested by
+    * [[lmAggCtes]] and SpanQuality's windowed oracle (one-text rule). */
+  private[operators] def lmModelCtes(trainWhere: String): String =
     s"""toks AS (
        |  SELECT doc_id, COALESCE(string_split_regex(lower(trim(text)), '\\s+'), []) AS w
        |  FROM documents WHERE $trainWhere
@@ -141,7 +143,10 @@ object LmScore {
        |  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM tprs GROUP BY 1, 2
        |), cx AS (
        |  SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM bc GROUP BY 1
-       |), stoks AS (
+       |)""".stripMargin
+
+  private[operators] def lmAggCtes(trainWhere: String, scoreWhere: String): String =
+    s"""${lmModelCtes(trainWhere)}, stoks AS (
        |  SELECT doc_id, COALESCE(string_split_regex(lower(trim(text)), '\\s+'), []) AS w
        |  FROM documents WHERE $scoreWhere
        |), prs AS (

@@ -104,7 +104,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "sample_quota" -> SampleQuota.sampleQuota(d),
       "lang_confusion" -> LangConfusion.langConfusion(d),
       "cdc_apply" -> Cdc.cdcApply(d, Cdc.changeBatch(d)),
-      "snapshot_at" -> Cdc.snapshotAt(Cdc.changeLog(d), Cdc.AsOfVersion))
+      "snapshot_at" -> Cdc.snapshotAt(Cdc.changeLog(d), Cdc.AsOfVersion),
+      "span_quality" -> SpanQuality.spanQuality(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
