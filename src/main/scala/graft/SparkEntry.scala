@@ -89,6 +89,9 @@ object SparkEntry {
     // round 8 cont.: strict-sequence conversion funnel (view→click→purchase),
     // chained conditional-min windows over one user_id exchange
     "event_funnel" -> ((s, d) => Funnel.eventFunnelQ(Tables.events(s, d))),
+    // …and how LONG each hop takes: per-transition latency quantiles
+    // (rank-selected exact µs) over converting users
+    "funnel_latency" -> ((s, d) => FunnelLatency.funnelLatencyQ(Tables.events(s, d))),
     // round 8 cont.: robust median/MAD outlier screen (integer half/quarter-
     // cent domain, pure-integer gate), the breakdown-resistant silver twin
     "event_outlier_mad" -> ((s, d) => RobustOutlier.eventOutlierMadQ(Tables.events(s, d))),
@@ -363,6 +366,7 @@ object SparkEntry {
     "embedding_cluster" -> Similarity.embeddingClustersSql,
     "sessionize" -> Sessionize.sessionizeSql,
     "event_funnel" -> Funnel.eventFunnelSql,
+    "funnel_latency" -> FunnelLatency.funnelLatencySql,
     "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
     "event_retention" -> Retention.eventRetentionSql,
     "event_series" -> EventSeries.eventSeriesSql,
