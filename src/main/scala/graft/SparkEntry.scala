@@ -113,6 +113,9 @@ object SparkEntry {
     // exact step-function time integral (plain means are wrong on
     // irregular streams) — the trend family's integral sibling
     "twap" -> ((s, d) => Twap.twapQ(Tables.events(s, d))),
+    // weekly-cycle fold: (day-of-week x hour) load matrix in pure
+    // integer-µs time math (no engine date functions)
+    "event_seasonality" -> ((s, d) => Seasonality.eventSeasonalityQ(Tables.events(s, d))),
     // round 8 cont.: per-trial cross-channel Pearson matrix from exact
     // integer-cents sufficient statistics
     "channel_correlation" -> ((s, d) => ChannelCorr.channelCorrelationQ(Tables.events(s, d))),
@@ -179,6 +182,9 @@ object SparkEntry {
     // declared-vs-predicted language audit: confusion matrix with row
     // ppm shares (oracle nests langIdSql verbatim)
     "lang_confusion" -> ((s, d) => LangConfusion.langConfusionQ(Tables.documents(s, d))),
+    // the labeler's readout: measured source x topic mixture matrix
+    // (doc counts, token mass, within-source ppm)
+    "topic_mix" -> ((s, d) => TopicMix.topicMixQ(Tables.documents(s, d))),
     "readability" -> ((s, d) => Readability.readabilityQ(Tables.documents(s, d))),
     // round 8 cont.: SemDeDup canonical choice — keep the centroid-closest
     // member of each semantic cluster (rounded rank key)
@@ -374,6 +380,8 @@ object SparkEntry {
     "event_trend" -> EventTrend.eventTrendSql,
     "interval_join" -> IntervalJoin.intervalJoinSql,
     "twap" -> Twap.twapSql,
+    "event_seasonality" -> Seasonality.eventSeasonalitySql,
+    "topic_mix" -> TopicMix.topicMixSql,
     "lang_confusion" -> LangConfusion.langConfusionSql,
     "channel_correlation" -> ChannelCorr.channelCorrelationSql,
     "asof_join" -> Sessionize.asofJoinSql,
