@@ -122,6 +122,9 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // rows-only operators (engine-specific hashes/models — spec-gated)
     "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
+    // duplication TOPOLOGY: degree histogram of the near-dup pair graph
+    // (the one-page readout that picks the salting/maxDf dials)
+    "dedup_degree" -> ((s, d) => DedupDegree.dedupDegreeQ(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Lsh.simhashQ(Tables.documents(s, d))),
     // oracled since round 4: multiProbe=MultiProbeGate makes LSH == brute
     // on the gate corpus (AnnOracleSpec), so the brute SQL is its oracle
@@ -392,6 +395,7 @@ object SparkEntry {
     "video_header_decode" -> VideoHeaders.videoHeaderDecodeSql,
     "pii_redact" -> PiiRedact.piiRedactSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
+    "dedup_degree" -> DedupDegree.dedupDegreeSql,
     "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
     "dedup_cluster_lsh" -> Dedup.dedupClustersSql,

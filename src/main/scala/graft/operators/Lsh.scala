@@ -89,8 +89,10 @@ object Lsh {
     * banded-LSH recall at this corpus' near-dup similarity (j≈0.98) is
     * 1-(1-j⁴)⁸ ≈ 1-1e-11 and candidates are exactly verified — the
     * RowsOnlyOpsSpec pins set equality, this pins values too. */
-  val minhashLshSql: String =
-    s"""WITH toks AS (
+  /** CTE chain ending at `j(id1, id2, inter, jaccard)` — nested by
+    * [[minhashLshSql]] and DedupDegree's oracle (one-text rule). */
+  private[operators] val exactPairCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
        |), sh AS (
        |  SELECT doc_id,
@@ -108,7 +110,10 @@ object Lsh {
        |  SELECT id1, id2, inter,
        |         CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
        |  FROM pairs
-       |)
+       |)""".stripMargin
+
+  val minhashLshSql: String =
+    s"""WITH $exactPairCtes
        |SELECT id1, id2, inter, ${Parity.rsql("jaccard", 4, "jaccard")}
        |FROM j
        |WHERE jaccard >= ${Dedup.JaccardThreshold}

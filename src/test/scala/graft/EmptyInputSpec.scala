@@ -105,7 +105,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "lang_confusion" -> LangConfusion.langConfusion(d),
       "cdc_apply" -> Cdc.cdcApply(d, Cdc.changeBatch(d)),
       "snapshot_at" -> Cdc.snapshotAt(Cdc.changeLog(d), Cdc.AsOfVersion),
-      "span_quality" -> SpanQuality.spanQuality(d))
+      "span_quality" -> SpanQuality.spanQuality(d),
+      "dedup_degree" -> DedupDegree.dedupDegree(d),
+      "topic_mix" -> TopicMix.topicMix(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
