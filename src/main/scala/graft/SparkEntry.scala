@@ -75,6 +75,9 @@ object SparkEntry {
     "corpus_filter" -> ((s, d) => TextOps.corpusFilterQ(Tables.documents(s, d))),
     // §C near-dup + similarity
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardQ(Tables.documents(s, d))),
+    // prefix-filtered twin: identical output (spec-pinned), Σ df_prefix²
+    // candidate cost — the lossless scale path for dense vocabularies
+    "dedup_prefix" -> ((s, d) => PrefixJoin.prefixJaccardQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedupQ(Tables.embeddings(s, d))),
     // round 8 (closing): the embedding-side incremental admission — batch
@@ -369,6 +372,7 @@ object SparkEntry {
     "dedup_exact" -> TextOps.dedupExactSql,
     "corpus_filter" -> TextOps.corpusFilterSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_prefix" -> Dedup.ngramJaccardSql,
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,
     "embedding_dedup_incremental" -> Similarity.embeddingDedupIncrementalSql,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, PrefixJoin}
+
+class PrefixJoinSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("prefix-filtered pairs are row-identical to the full inverted-index form") {
+    val exact = Dedup.ngramJaccardQ(docs).collect().toSeq
+    val pref = PrefixJoin.prefixJaccardQ(docs).collect().toSeq
+    assert(pref == exact, s"prefix form diverges: ${pref.size} vs ${exact.size} rows")
+    assert(exact.nonEmpty, "gate corpus produces no pairs — identity test is vacuous")
+  }
+
+  test("a universal hot shingle is excluded from every prefix: candidate set collapses") {
+    // every doc shares the bigram "common token"; everything else is
+    // per-doc unique. nsh = 4, prefix length = 4 - ceil(0.8*4) + 1 = 1, and
+    // the hot bigram has the max df so it is ranked LAST — no doc's prefix
+    // contains it. Plain inverted-index candidates: C(n,2); prefix: 0.
+    val n = 40
+    val hot = (0 until n)
+      .map(i => (i.toLong, s"common token u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    val fullCand = {
+      val ex = hot
+        .select(col("doc_id"), expr("split(lower(trim(text)), '\\\\s+')").as("w"))
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1])))"))
+          .as("s"))
+        .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
+      ex.select(col("doc_id").as("id1"), col("sh"))
+        .join(ex.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
+        .filter(col("id1") < col("id2")).select("id1", "id2").distinct().count()
+    }
+    val prefCand = PrefixJoin.candidates(hot).count()
+    assert(fullCand == n.toLong * (n - 1) / 2, s"fixture not universally hot: $fullCand")
+    assert(prefCand == 0, s"hot shingle leaked into a prefix: $prefCand candidates")
+    // and the exact answer on this corpus IS empty (J = 1/7 for every pair)
+    assert(PrefixJoin.prefixJaccardPairs(hot).count() == 0)
+  }
+
+  test("near-threshold pair survives the prefix filter (exact-ceil soundness)") {
+    // two docs sharing 9 of their 10 bigrams each: J = 9/11 ≈ 0.818 ≥ 0.8.
+    // prefix length = 10 - ceil(8.0) + 1 = 3 — a float ceil that rounds
+    // 0.8*10 up to 9 would shrink the prefix to 2 and could still pass, so
+    // also pin the integer prefix arithmetic directly below.
+    val words = (1 to 11).map(i => s"w$i")
+    val d1 = words.mkString(" ")
+    val d2 = (words.dropRight(1) :+ "zz").mkString(" ")
+    val two = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val got = PrefixJoin.prefixJaccardQ(two).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+    assert(got(0).getLong(4) == 9L, s"inter: ${got(0).getLong(4)}")
+    // integer prefix lengths: nsh − ((4·nsh + 4) div 5) + 1
+    def p(nsh: Long) = nsh - ((PrefixJoin.ThrNum * nsh + PrefixJoin.ThrDen - 1)
+      / PrefixJoin.ThrDen) + 1
+    assert(p(10) == 3 && p(5) == 2 && p(4) == 1 && p(1) == 1)
+  }
+
+  test("plan: no cartesian/nested-loop join and no corpus-sized broadcast") {
+    val plan = PrefixJoin.prefixJaccardQ(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in plan")
+  }
+
+  test("degenerate docs (0/1-word, NULL) are total and pair-free") {
+    val deg = Seq((1L, ""), (2L, "one"), (3L, null.asInstanceOf[String]),
+      (4L, "a b"), (5L, "a b")).toDF("doc_id", "text")
+    val rows = PrefixJoin.prefixJaccardQ(deg).collect()
+    // only the identical 2-word docs pair up (J = 1)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
+  }
+}
