@@ -271,6 +271,7 @@ object SparkEntry {
     // key-keyed fingerprint join, VERSION AS OF as a log-window query
     "cdc_apply" -> ((s, d) => Cdc.cdcApplyQ(Tables.documents(s, d))),
     "snapshot_at" -> ((s, d) => Cdc.snapshotAtQ(Tables.documents(s, d))),
+    "scd2_build" -> ((s, d) => Cdc.scd2BuildQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -447,6 +448,7 @@ object SparkEntry {
     "vocab_drift" -> VocabDrift.vocabDriftSql,
     "cdc_apply" -> Cdc.cdcApplySql,
     "snapshot_at" -> Cdc.snapshotAtSql,
+    "scd2_build" -> Cdc.scd2BuildSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

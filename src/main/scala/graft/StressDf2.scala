@@ -26,6 +26,34 @@ import graft.operators.Dedup
   * output is a PERF.md table, not a gate). Corpus stats (Σ df², max df)
   * print alongside so the timings are interpretable.
   */
+/** The three 10× stress corpora, shared with [[StressPrefix]]. Each
+  * builder is deterministic in the base frame; callers materialize to
+  * parquet before timing so generation cost stays out of the numbers. */
+private[graft] object StressCorpora {
+  def uniform10x(base: DataFrame): DataFrame = base
+    .withColumn("r", explode(expr("sequence(0, 9)")))
+    .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+    .withColumn("rot", expr("concat(slice(w, r + 1, size(w) - r), slice(w, 1, r))"))
+    .select((col("doc_id") * lit(10L) + col("r")).as("doc_id"),
+      array_join(col("rot"), " ").as("text"),
+      col("lang"), col("source"))
+    .withColumn("n_chars", length(col("text")))
+
+  def skewed10x(base: DataFrame): DataFrame = uniform10x(base)
+    .withColumn("text", concat(col("text"), lit(" the the the")))
+    .withColumn("n_chars", length(col("text")))
+
+  def hotonly10x(base: DataFrame): DataFrame = base
+    .withColumn("r", explode(expr("sequence(0, 9)")))
+    .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
+    .withColumn("uid", col("doc_id") * lit(10L) + col("r"))
+    .withColumn("uw", expr("transform(w, x -> concat(x, '_', CAST(uid AS STRING)))"))
+    .select(col("uid").as("doc_id"),
+      concat(array_join(col("uw"), " "), lit(" the the the")).as("text"),
+      col("lang"), col("source"))
+    .withColumn("n_chars", length(col("text")))
+}
+
 object StressDf2 {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -44,34 +72,17 @@ object StressDf2 {
     // 10×: replica r rotates the word array left by r, so each replica
     // keeps the corpus vocabulary (df scales ×10 per shingle) while being
     // a near-dup of its siblings — what a 10×-grown dedup corpus looks like
-    val uniform10x = base
-      .withColumn("r", explode(expr("sequence(0, 9)")))
-      .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
-      .withColumn("rot", expr("concat(slice(w, r + 1, size(w) - r), slice(w, 1, r))"))
-      .select((col("doc_id") * lit(10L) + col("r")).as("doc_id"),
-        array_join(col("rot"), " ").as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
+    val uniform10x = StressCorpora.uniform10x(base)
 
     // skewed: one shingle ("the the") planted in EVERY row → df = |corpus|,
     // df² candidate rows all hashing to one reducer in the unsalted join
-    val skewed10x = uniform10x
-      .withColumn("text", concat(col("text"), lit(" the the the")))
-      .withColumn("n_chars", length(col("text")))
+    val skewed10x = StressCorpora.skewed10x(base)
 
     // hot-only: every body shingle made doc-unique (df=1 → zero balanced
     // candidates) + the same planted hot shingle. The candidate join is
     // then ~ONLY the hot key's df² rows in one reducer task — isolates
     // "where the work lands" from "how much work there is"
-    val hotonly10x = base
-      .withColumn("r", explode(expr("sequence(0, 9)")))
-      .withColumn("w", expr("split(lower(trim(text)), '\\\\s+')"))
-      .withColumn("uid", col("doc_id") * lit(10L) + col("r"))
-      .withColumn("uw", expr("transform(w, x -> concat(x, '_', CAST(uid AS STRING)))"))
-      .select(col("uid").as("doc_id"),
-        concat(array_join(col("uw"), " "), lit(" the the the")).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
+    val hotonly10x = StressCorpora.hotonly10x(base)
 
     def materialize(df: DataFrame, name: String): DataFrame = {
       val path = s"$workDir/$name"

@@ -96,6 +96,32 @@ object Cdc {
       .select(col("doc_id"), col("version"), col("fp"))
   }
 
+  /** SCD TYPE 2 dimension build from the append-only change log — the
+    * third Delta-class semantic (after MERGE and VERSION AS OF): each
+    * non-delete log entry becomes a validity interval
+    * `[valid_from, valid_to)` in version space, where `valid_to` is the
+    * NEXT entry's version for the same key (a delete closes the interval
+    * without opening one) and an open interval (`valid_to` NULL) marks
+    * the current row. One doc_id-keyed exchange for the lead window;
+    * payload is (id, version, 32-hex) — never document text.
+    *
+    * Invariants (spec-pinned): per key the intervals tile
+    * [first insert, last entry) with no gaps or overlaps; exactly one
+    * open interval per LIVE key, zero per deleted key; and for every
+    * version v, the rows whose interval contains v reproduce
+    * [[snapshotAt]](v) exactly. */
+  def scd2Build(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("version")
+    log
+      .withColumn("valid_to", lead(col("version"), 1).over(w))
+      .filter(col("op") =!= "delete")
+      .select(col("doc_id"), col("fp"), col("version").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  def scd2BuildQ(documents: DataFrame): DataFrame =
+    scd2Build(changeLog(documents)).orderBy("doc_id", "valid_from")
+
   /** Registered at asOf = 2: updates visible, deletes not yet. */
   val AsOfVersion = 2L
 
@@ -130,6 +156,22 @@ object Cdc {
        |FROM k s FULL JOIN changes c ON s.doc_id = c.doc_id
        |WHERE COALESCE(c.op, '') <> 'delete'
        |ORDER BY doc_id""".stripMargin
+
+  val scd2BuildSql: String =
+    s"""WITH $baseCte, log AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS version, 'insert' AS op, fp FROM k
+       |  UNION ALL
+       |  SELECT doc_id, 2, 'update', md5(fp || ':u') FROM k WHERE k IN ('2', '3', '4')
+       |  UNION ALL
+       |  SELECT doc_id, 3, 'delete', CAST(NULL AS VARCHAR) FROM k WHERE k IN ('0', '1')
+       |), iv AS (
+       |  SELECT doc_id, fp, op, version AS valid_from,
+       |         lead(version) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to
+       |  FROM log
+       |)
+       |SELECT doc_id, fp, valid_from, valid_to, valid_to IS NULL AS is_current
+       |FROM iv WHERE op <> 'delete'
+       |ORDER BY doc_id, valid_from""".stripMargin
 
   val snapshotAtSql: String =
     s"""WITH $baseCte, log AS (

@@ -59,6 +59,55 @@ class CdcSpec extends AnyFunSuite {
     assert(Cdc.snapshotAt(Cdc.changeLog(docs), 3L).count() == nDocs - dels)
   }
 
+  test("planted: scd2 intervals close on update AND on delete") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, "insert", Some("A1")), (1L, 2L, "update", Some("A2")),
+      (2L, 1L, "insert", Some("B1")), (2L, 3L, "delete", None),
+      (3L, 1L, "insert", Some("C1")))
+      .toDF("doc_id", "version", "op", "fp")
+    val got = Cdc.scd2Build(log).orderBy("doc_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, "A1", 1L, Some(2L), false),   // closed by the update
+      (1L, "A2", 2L, None, true),
+      (2L, "B1", 1L, Some(3L), false),   // closed by the delete, no successor
+      (3L, "C1", 1L, None, true)))
+  }
+
+  test("gate corpus: scd2 tiles version space and reproduces every snapshot") {
+    val log = Cdc.changeLog(docs).localCheckpoint()
+    val iv = Cdc.scd2Build(log).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // no overlaps/gaps per key: intervals sorted by valid_from chain
+    // valid_to == next valid_from (or the delete version / open end)
+    iv.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, Some(to)), (_, _, from, _)) =>
+          assert(to == from, s"doc $id: gap/overlap at $to vs $from")
+        case _ => ()
+      }
+      assert(sorted.init.forall(_._4.nonEmpty), s"doc $id: open non-final interval")
+    }
+    // exactly one current row per live key, none for deleted keys
+    val current = iv.filter(_._4.isEmpty).map(_._1)
+    assert(current.distinct.length == current.length)
+    val deleted = log.filter(col("op") === "delete").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(current.forall(id => !deleted.contains(id)))
+    // interval containment reproduces snapshotAt at every version
+    (1L to 3L).foreach { v =>
+      val fromIv = iv.filter(r => r._3 <= v && r._4.forall(_ > v))
+        .map(r => (r._1, r._2)).sortBy(_._1).toSeq
+      val snap = Cdc.snapshotAt(log, v).collect()
+        .map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+      assert(fromIv == snap, s"version $v: scd2 view diverges from snapshotAt")
+    }
+  }
+
   test("plan: merge is one key-keyed join carrying fingerprints, not text") {
     val plan = Cdc.cdcApplyQ(docs).queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
