@@ -79,6 +79,7 @@ object SparkEntry {
     // candidate cost — the lossless scale path for dense vocabularies
     "dedup_prefix" -> ((s, d) => PrefixJoin.prefixJaccardQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
+    "hard_negative_mine" -> ((s, d) => HardNegative.hardNegativesQ(Tables.embeddings(s, d))),
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedupQ(Tables.embeddings(s, d))),
     // round 8 (closing): the embedding-side incremental admission — batch
     // vectors vs the existing corpus only, the text family's economics
@@ -375,6 +376,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_prefix" -> Dedup.ngramJaccardSql,
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
+    "hard_negative_mine" -> HardNegative.hardNegativesSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,
     "embedding_dedup_incremental" -> Similarity.embeddingDedupIncrementalSql,
     "embedding_cluster" -> Similarity.embeddingClustersSql,

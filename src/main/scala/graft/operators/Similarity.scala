@@ -104,9 +104,9 @@ object Similarity {
       |  FROM e
       |)""".stripMargin
 
-  private val VecCte = "WITH " + VecCteBody
+  private[operators] val VecCte = "WITH " + VecCteBody
 
-  private val DotSqlF =
+  private[operators] val DotSqlF =
     "list_reduce([a.vd[i] * q.vd[i] for i in range(1, len(a.vd) + 1)], (x, y) -> x + y)"
 
   val knnCosineBruteSql: String =
