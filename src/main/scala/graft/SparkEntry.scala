@@ -102,6 +102,7 @@ object SparkEntry {
     // round 8 cont.: signup-day cohort retention matrix (integer day algebra,
     // distinct-before-join, conditional-sum rollup)
     "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
+    "zorder_plan" -> ((s, d) => ZOrder.zorderPlanQ(Tables.events(s, d))),
     // …and time DENSIFICATION: dense per-(user, day) activity matrix
     // with explicit zero rows for silent days (sequence/generate_series)
     "event_series" -> ((s, d) => EventSeries.eventSeriesQ(Tables.events(s, d))),
@@ -385,6 +386,7 @@ object SparkEntry {
     "funnel_latency" -> FunnelLatency.funnelLatencySql,
     "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
     "event_retention" -> Retention.eventRetentionSql,
+    "zorder_plan" -> ZOrder.zorderPlanSql,
     "event_series" -> EventSeries.eventSeriesSql,
     "event_transitions" -> EventTransitions.eventTransitionsSql,
     "event_trend" -> EventTrend.eventTrendSql,
