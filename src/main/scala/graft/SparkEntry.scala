@@ -103,6 +103,7 @@ object SparkEntry {
     // distinct-before-join, conditional-sum rollup)
     "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
     "zorder_plan" -> ((s, d) => ZOrder.zorderPlanQ(Tables.events(s, d))),
+    "contribution_cap" -> ((s, d) => ContributionCap.contributionCapQ(Tables.events(s, d))),
     // …and time DENSIFICATION: dense per-(user, day) activity matrix
     // with explicit zero rows for silent days (sequence/generate_series)
     "event_series" -> ((s, d) => EventSeries.eventSeriesQ(Tables.events(s, d))),
@@ -387,6 +388,7 @@ object SparkEntry {
     "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
     "event_retention" -> Retention.eventRetentionSql,
     "zorder_plan" -> ZOrder.zorderPlanSql,
+    "contribution_cap" -> ContributionCap.contributionCapSql,
     "event_series" -> EventSeries.eventSeriesSql,
     "event_transitions" -> EventTransitions.eventTransitionsSql,
     "event_trend" -> EventTrend.eventTrendSql,
