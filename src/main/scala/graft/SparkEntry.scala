@@ -104,6 +104,7 @@ object SparkEntry {
     "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
     "zorder_plan" -> ((s, d) => ZOrder.zorderPlanQ(Tables.events(s, d))),
     "contribution_cap" -> ((s, d) => ContributionCap.contributionCapQ(Tables.events(s, d))),
+    "session_path" -> ((s, d) => SessionPath.sessionPathsQ(Tables.events(s, d))),
     // …and time DENSIFICATION: dense per-(user, day) activity matrix
     // with explicit zero rows for silent days (sequence/generate_series)
     "event_series" -> ((s, d) => EventSeries.eventSeriesQ(Tables.events(s, d))),
@@ -389,6 +390,7 @@ object SparkEntry {
     "event_retention" -> Retention.eventRetentionSql,
     "zorder_plan" -> ZOrder.zorderPlanSql,
     "contribution_cap" -> ContributionCap.contributionCapSql,
+    "session_path" -> SessionPath.sessionPathSql,
     "event_series" -> EventSeries.eventSeriesSql,
     "event_transitions" -> EventTransitions.eventTransitionsSql,
     "event_trend" -> EventTrend.eventTrendSql,

@@ -29,7 +29,10 @@ object Sessionize {
     * real multi-event sessions. Same operator, different constant.) */
   val GapUs: Long = 6L * 3600 * 1000000
 
-  def sessionize(events: DataFrame): DataFrame = {
+  /** Events tagged with their session_seq — the shared stage under the
+    * rollup ([[sessionize]]) and the path miner ([[SessionPath]]); one
+    * definition so the gap rule cannot drift between consumers. */
+  private[graft] def sessionTagged(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
@@ -40,6 +43,10 @@ object Sessionize {
       .withColumn("is_new",
         when(col("prev_us").isNull || col("t_us") - col("prev_us") > GapUs, 1).otherwise(0))
       .withColumn("session_seq", sum("is_new").over(wRun))
+  }
+
+  def sessionize(events: DataFrame): DataFrame = {
+    sessionTagged(events)
       .groupBy("user_id", "session_seq")
       .agg(
         min("t_us").as("session_start_us"),
@@ -62,7 +69,10 @@ object Sessionize {
   /** Shared CTE chain ending in `sess` — nested by [[sessionizeSql]] and
     * [[IntervalJoin.intervalJoinSql]] so the session definition cannot
     * drift between the rollup and the containment-join consumer. */
-  private[graft] val sessionCtes: String =
+  /** CTE chain ending in `s3` (session-tagged events) — the SQL twin of
+    * [[sessionTagged]], nested by [[sessionCtes]] and
+    * [[SessionPath.sessionPathSql]]. */
+  private[graft] val sessionTagCtes: String =
     s"""ev AS (
        |  SELECT user_id, event_id, event_type,
        |         epoch_us(date_trunc('microseconds', ts)) AS t_us,
@@ -78,7 +88,10 @@ object Sessionize {
        |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id
        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
        |  FROM s2
-       |), sess AS (
+       |)""".stripMargin
+
+  private[graft] val sessionCtes: String =
+    s"""$sessionTagCtes, sess AS (
        |  SELECT user_id, session_seq,
        |         min(t_us) AS session_start_us,
        |         max(t_us) AS session_end_us,
