@@ -126,6 +126,11 @@ object SparkEntry {
     // round 8 cont.: per-trial cross-channel Pearson matrix from exact
     // integer-cents sufficient statistics
     "channel_correlation" -> ((s, d) => ChannelCorr.channelCorrelationQ(Tables.events(s, d))),
+    // round 8 (continuation 4): exact DAU + trailing-7-day WAU per day —
+    // the inverted-window form of sliding-distinct (no frame-DISTINCT
+    // exists); and the dyadic-half-life recency-weighted value score
+    "rolling_active_users" -> ((s, d) => RollingActives.rollingActivesQ(Tables.events(s, d))),
+    "event_decay_score" -> ((s, d) => DecayScore.eventDecayScoreQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // rows-only operators (engine-specific hashes/models — spec-gated)
     "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
@@ -316,6 +321,9 @@ object SparkEntry {
     // …and collocation mining: top-K adjacent pairs by PMI, ranked via the
     // monotone lift ratio so both engines stay in exact integer products
     "bigram_pmi" -> ((s, d) => Collocations.bigramPmiQ(Tables.documents(s, d))),
+    // round 8 (continuation 4): the word2vec-window sibling — top-K
+    // within-±3-token co-occurrence pairs by lift, map-side generation
+    "skipgram_cooccur" -> ((s, d) => Skipgram.skipgramCooccurQ(Tables.documents(s, d))),
     // …and the ingestion-side HTML extraction pass (committed fixture —
     // the corpus tables are bare word streams): block removal, tag strip,
     // entity decode, text-mass gate
@@ -471,6 +479,9 @@ object SparkEntry {
     "lang_mix" -> LangMix.langMixSql,
     "paragraph_clean" -> ParagraphClean.paragraphCleanSql,
     "bigram_pmi" -> Collocations.bigramPmiSql,
+    "skipgram_cooccur" -> Skipgram.skipgramCooccurSql,
+    "rolling_active_users" -> RollingActives.rollingActivesSql,
+    "event_decay_score" -> DecayScore.eventDecayScoreSql,
     "html_clean" -> HtmlClean.htmlCleanSql,
     "keyword_search" -> KeywordSearch.keywordSearchSql,
     "url_canonicalize" -> UrlCanon.urlCanonicalizeSql,
