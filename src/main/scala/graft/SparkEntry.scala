@@ -131,6 +131,14 @@ object SparkEntry {
     // exists); and the dyadic-half-life recency-weighted value score
     "rolling_active_users" -> ((s, d) => RollingActives.rollingActivesQ(Tables.events(s, d))),
     "event_decay_score" -> ((s, d) => DecayScore.eventDecayScoreQ(Tables.events(s, d))),
+    // …and the basket view of sessions: unordered event-type pair
+    // support/confidence/lift (SessionPath is the ordered twin)
+    "assoc_rules" -> ((s, d) => AssocRules.assocRulesQ(Tables.events(s, d))),
+    // …and the cadence readout: power-of-two inter-arrival histogram per
+    // type (what calibrates the sessionize gap), plus the ops-monitoring
+    // daily spike/drop verdicts vs a trailing integer baseline
+    "event_interarrival" -> ((s, d) => Interarrival.eventInterarrivalQ(Tables.events(s, d))),
+    "rate_spike" -> ((s, d) => RateSpike.rateSpikeQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // rows-only operators (engine-specific hashes/models — spec-gated)
     "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
@@ -482,6 +490,9 @@ object SparkEntry {
     "skipgram_cooccur" -> Skipgram.skipgramCooccurSql,
     "rolling_active_users" -> RollingActives.rollingActivesSql,
     "event_decay_score" -> DecayScore.eventDecayScoreSql,
+    "assoc_rules" -> AssocRules.assocRulesSql,
+    "event_interarrival" -> Interarrival.eventInterarrivalSql,
+    "rate_spike" -> RateSpike.rateSpikeSql,
     "html_clean" -> HtmlClean.htmlCleanSql,
     "keyword_search" -> KeywordSearch.keywordSearchSql,
     "url_canonicalize" -> UrlCanon.urlCanonicalizeSql,
