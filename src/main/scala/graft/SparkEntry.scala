@@ -140,6 +140,9 @@ object SparkEntry {
     "event_interarrival" -> ((s, d) => Interarrival.eventInterarrivalQ(Tables.events(s, d))),
     "rate_spike" -> ((s, d) => RateSpike.rateSpikeQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
+    // …and its business twin: last-touch conversion attribution (LOCF
+    // carries the touch TYPE; explicit _none channel for cold purchases)
+    "attribution_lasttouch" -> ((s, d) => Attribution.attributionLastTouchQ(Tables.events(s, d))),
     // rows-only operators (engine-specific hashes/models — spec-gated)
     "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
     // duplication TOPOLOGY: degree histogram of the near-dup pair graph
@@ -181,6 +184,9 @@ object SparkEntry {
     // round 6: leakage-safe train/val/test assignment, keyed on the dedup
     // fingerprint so exact duplicates can never straddle splits
     "corpus_split" -> ((s, d) => TextOps.corpusSplitQ(Tables.documents(s, d))),
+    // round 8 (continuation 4): soft dedup — per-member 1/cluster-size
+    // sampling weight in ppm (down-weight copies instead of dropping)
+    "dedup_weights" -> ((s, d) => DedupWeights.dedupWeightsQ(Tables.documents(s, d))),
     // round 8 cont.: cross-split near-dup leakage audit — Jaccard ≥ τ
     // pairs straddling the split assignment (exact dups can't, near-dups can)
     "split_leakage" -> ((s, d) => SplitLeakage.splitLeakageQ(Tables.documents(s, d))),
@@ -348,6 +354,9 @@ object SparkEntry {
     // …and semantic outlier scoring: per-label quantized-integer centroid,
     // bottom-K cosine flag (the off-distribution tail, not the dup tail)
     "embedding_outlier" -> ((s, d) => EmbeddingOutlier.embeddingOutliersQ(Tables.embeddings(s, d))),
+    // round 8 (continuation 4): the embedding-quality eval — per-label
+    // kNN purity over the exact brute neighbor sets (oracle nests them)
+    "knn_label_purity" -> ((s, d) => KnnPurity.knnLabelPurityQ(Tables.embeddings(s, d))),
     // …and subword tokenizer TRAINING: the BPE merge table learned on the
     // vocabulary-sized word-frequency frame (rows-only — iterative argmax
     // has no SQL twin; BpeTrainSpec pins an independent Scala BPE)
@@ -493,6 +502,9 @@ object SparkEntry {
     "assoc_rules" -> AssocRules.assocRulesSql,
     "event_interarrival" -> Interarrival.eventInterarrivalSql,
     "rate_spike" -> RateSpike.rateSpikeSql,
+    "dedup_weights" -> DedupWeights.dedupWeightsSql,
+    "knn_label_purity" -> KnnPurity.knnLabelPuritySql,
+    "attribution_lasttouch" -> Attribution.attributionLastTouchSql,
     "html_clean" -> HtmlClean.htmlCleanSql,
     "keyword_search" -> KeywordSearch.keywordSearchSql,
     "url_canonicalize" -> UrlCanon.urlCanonicalizeSql,
