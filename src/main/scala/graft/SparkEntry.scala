@@ -43,6 +43,10 @@ object SparkEntry {
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
       Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "rollup_agg" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
+    // round 8 (continuation 4): TPC-H Q4 shape — correlated cross-table
+    // EXISTS decorrelated to a hash semi join with a residual date compare
+    "q4_late_exists" -> ((s, d) =>
+      LateExists.q4LateExistsQ(Tables.orders(s, d), Tables.lineitem(s, d))),
     "semi_anti_join" -> ((s, d) =>
       Relational.semiAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
     "incremental_new_keys" -> ((s, d) =>
@@ -90,6 +94,10 @@ object SparkEntry {
       Similarity.embeddingClustersQ(Tables.embeddings(s, d))),
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
+    // …per-hour live-session/user load curve (span-to-bucket explode) and
+    // the per-user customer-360 lifetime rollup
+    "session_concurrency" -> ((s, d) => SessionConcurrency.sessionConcurrencyQ(Tables.events(s, d))),
+    "user_ltv" -> ((s, d) => UserLtv.userLtvQ(Tables.events(s, d))),
     // round 8 cont.: strict-sequence conversion funnel (view→click→purchase),
     // chained conditional-min windows over one user_id exchange
     "event_funnel" -> ((s, d) => Funnel.eventFunnelQ(Tables.events(s, d))),
@@ -503,6 +511,9 @@ object SparkEntry {
     "event_interarrival" -> Interarrival.eventInterarrivalSql,
     "rate_spike" -> RateSpike.rateSpikeSql,
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
+    "q4_late_exists" -> LateExists.q4LateExistsSql,
+    "session_concurrency" -> SessionConcurrency.sessionConcurrencySql,
+    "user_ltv" -> UserLtv.userLtvSql,
     "knn_label_purity" -> KnnPurity.knnLabelPuritySql,
     "attribution_lasttouch" -> Attribution.attributionLastTouchSql,
     "html_clean" -> HtmlClean.htmlCleanSql,
