@@ -42,6 +42,12 @@ object SparkEntry {
     "ref_integrity" -> ((s, d) => RefIntegrity.refIntegrity(
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
       Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    // round 8 (continuation 4): the ANALYZE-stats equi-depth boundary
+    // vector (rank-selected exact cents + tie-closed cumulative counts)
+    // and the per-column Tukey-fence outlier screen (doubled-integer
+    // 1.5*IQR fences, two-pass by the qualitySelect precedent)
+    "equidepth_hist" -> ((s, d) => EquidepthHist.equidepthHistQ(Tables.lineitem(s, d))),
+    "column_outliers" -> ((s, d) => ColumnOutliers.columnOutliersQ(Tables.lineitem(s, d))),
     "rollup_agg" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
     // round 8 (continuation 4): TPC-H Q4 shape — correlated cross-table
     // EXISTS decorrelated to a hash semi join with a residual date compare
@@ -298,6 +304,9 @@ object SparkEntry {
     // …and its distribution-shape sibling: how the unigram distribution
     // moved between versions (new/dropped terms + top ppm movers)
     "vocab_drift" -> ((s, d) => VocabDrift.vocabDriftQ(Tables.documents(s, d))),
+    // …and the table-shape drift row: per-source profile of both
+    // versions side by side (doc/char/lang deltas, full-outer on source)
+    "profile_drift" -> ((s, d) => ProfileDrift.profileDriftQ(Tables.documents(s, d))),
     // Delta-semantics stand-ins (no Delta jars offline): MERGE INTO as a
     // key-keyed fingerprint join, VERSION AS OF as a log-window query
     "cdc_apply" -> ((s, d) => Cdc.cdcApplyQ(Tables.documents(s, d))),
@@ -512,6 +521,9 @@ object SparkEntry {
     "rate_spike" -> RateSpike.rateSpikeSql,
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
     "q4_late_exists" -> LateExists.q4LateExistsSql,
+    "equidepth_hist" -> EquidepthHist.equidepthHistSql,
+    "column_outliers" -> ColumnOutliers.columnOutliersSql,
+    "profile_drift" -> ProfileDrift.profileDriftSql,
     "session_concurrency" -> SessionConcurrency.sessionConcurrencySql,
     "user_ltv" -> UserLtv.userLtvSql,
     "knn_label_purity" -> KnnPurity.knnLabelPuritySql,
