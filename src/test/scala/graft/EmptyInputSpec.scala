@@ -107,7 +107,11 @@ class EmptyInputSpec extends AnyFunSuite {
       "snapshot_at" -> Cdc.snapshotAt(Cdc.changeLog(d), Cdc.AsOfVersion),
       "span_quality" -> SpanQuality.spanQuality(d),
       "dedup_degree" -> DedupDegree.dedupDegree(d),
-      "topic_mix" -> TopicMix.topicMix(d))
+      "topic_mix" -> TopicMix.topicMix(d),
+      // round-8 continuation (4th session)
+      "skipgram_cooccur" -> Skipgram.skipgramCooccur(d),
+      "dedup_weights" -> DedupWeights.dedupWeights(d),
+      "profile_drift" -> ProfileDrift.profileDrift(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
@@ -153,12 +157,57 @@ class EmptyInputSpec extends AnyFunSuite {
       "event_transitions" -> EventTransitions.eventTransitions(empty),
       "event_trend" -> EventTrend.eventTrend(EventSeries.eventSeries(empty)),
       "twap" -> Twap.twap(empty),
-      "interval_join" -> IntervalJoin.intervalJoin(empty))
+      "interval_join" -> IntervalJoin.intervalJoin(empty),
+      // round-8 continuation (4th session)
+      "rolling_active_users" -> RollingActives.rollingActives(empty),
+      "event_decay_score" -> DecayScore.eventDecayScore(empty),
+      "assoc_rules" -> AssocRules.assocRules(empty),
+      "event_interarrival" -> Interarrival.eventInterarrival(empty),
+      "rate_spike" -> RateSpike.rateSpike(empty),
+      "session_concurrency" -> SessionConcurrency.sessionConcurrency(empty),
+      "user_ltv" -> UserLtv.userLtv(empty),
+      "attribution_lasttouch" -> Attribution.attributionLastTouch(empty))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty events: $e")
       }
       assert(n == 0, s"$name returned $n rows on empty events")
+    }
+  }
+
+  test("profiling/relational round-8c4 operators are total on empty tables") {
+    val emptyLineitem = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_partkey", LongType),
+        StructField("l_suppkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_extendedprice", DoubleType),
+        StructField("l_discount", DoubleType),
+        StructField("l_tax", DoubleType),
+        StructField("l_returnflag", StringType),
+        StructField("l_linestatus", StringType),
+        StructField("l_shipdate", TimestampType))))
+    val emptyOrders = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType),
+        StructField("o_orderpriority", StringType))))
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "equidepth_hist" -> EquidepthHist.equidepthHist(emptyLineitem),
+      "column_outliers" -> ColumnOutliers.columnOutliers(emptyLineitem),
+      "q4_late_exists" -> LateExists.q4LateExists(emptyOrders, emptyLineitem))
+    ops.foreach { case (name, df) =>
+      val n = try df.count() catch {
+        case e: Throwable => fail(s"$name threw on empty input: $e")
+      }
+      assert(n == 0, s"$name returned $n rows on empty input")
     }
   }
 
@@ -174,7 +223,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "embedding_dedup_lsh" -> Lsh.embeddingDedupLsh(e),
       // the driver-side quantizer yields zero centroids on an empty corpus
       // (a NON-empty corpus smaller than k stays a loud config error)
-      "knn_cosine_ivf" -> Ivf.knnCosineIvf(e))
+      "knn_cosine_ivf" -> Ivf.knnCosineIvf(e),
+      // round-8 continuation (4th session)
+      "knn_label_purity" -> KnnPurity.knnLabelPurity(e))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case ex: Throwable => fail(s"$name threw on empty embeddings: $ex")
