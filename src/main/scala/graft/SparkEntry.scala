@@ -48,6 +48,8 @@ object SparkEntry {
     // 1.5*IQR fences, two-pass by the qualitySelect precedent)
     "equidepth_hist" -> ((s, d) => EquidepthHist.equidepthHistQ(Tables.lineitem(s, d))),
     "column_outliers" -> ((s, d) => ColumnOutliers.columnOutliersQ(Tables.lineitem(s, d))),
+    // …and the marketing rollup: RFM quartile segmentation of customers
+    "rfm_segment" -> ((s, d) => RfmSegment.rfmSegmentQ(Tables.orders(s, d))),
     "rollup_agg" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
     // round 8 (continuation 4): TPC-H Q4 shape — correlated cross-table
     // EXISTS decorrelated to a hash semi join with a residual date compare
@@ -113,6 +115,9 @@ object SparkEntry {
     // round 8 cont.: robust median/MAD outlier screen (integer half/quarter-
     // cent domain, pure-integer gate), the breakdown-resistant silver twin
     "event_outlier_mad" -> ((s, d) => RobustOutlier.eventOutlierMadQ(Tables.events(s, d))),
+    // …and the tail-bounding silver treatment: exact p1/p99 winsorization
+    // report per type (clip counts + raw-vs-clamped mass)
+    "winsorize" -> ((s, d) => Winsorize.winsorizeQ(Tables.events(s, d))),
     // round 8 cont.: signup-day cohort retention matrix (integer day algebra,
     // distinct-before-join, conditional-sum rollup)
     "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
@@ -204,6 +209,9 @@ object SparkEntry {
     // round 8 cont.: cross-split near-dup leakage audit — Jaccard ≥ τ
     // pairs straddling the split assignment (exact dups can't, near-dups can)
     "split_leakage" -> ((s, d) => SplitLeakage.splitLeakageQ(Tables.documents(s, d))),
+    // …and the REPAIR pass the audit feeds: whole near-dup clusters
+    // reassigned to their canonical's split (moved rows = the leakage)
+    "split_repair" -> ((s, d) => SplitRepair.splitRepairQ(Tables.documents(s, d))),
     // round 8 cont.: corpus-trained bigram-LM likelihood score (CCNet-style
     // model-based quality signal, integer ppm weights)
     "lm_score" -> ((s, d) => LmScore.lmScoreQ(Tables.documents(s, d))),
@@ -522,6 +530,9 @@ object SparkEntry {
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
     "q4_late_exists" -> LateExists.q4LateExistsSql,
     "equidepth_hist" -> EquidepthHist.equidepthHistSql,
+    "rfm_segment" -> RfmSegment.rfmSegmentSql,
+    "split_repair" -> SplitRepair.splitRepairSql,
+    "winsorize" -> Winsorize.winsorizeSql,
     "column_outliers" -> ColumnOutliers.columnOutliersSql,
     "profile_drift" -> ProfileDrift.profileDriftSql,
     "session_concurrency" -> SessionConcurrency.sessionConcurrencySql,
