@@ -17,17 +17,19 @@ import org.apache.spark.sql.functions._
   * (`10⁶ div s`) — no float division; a downstream sampler multiplies
   * counts, it never needs the unquantized ratio.
   *
-  * Scale shape: [[Dedup.dedupClusters]]' label frame (≤|docs| narrow
-  * rows) is localCheckpoint'd — it feeds the size aggregation AND the
-  * join-back (multi-consumer invariant, and the CC loop upstream is the
-  * expensive thing the checkpoint must not re-run); the size frame is
-  * ≤|clusters| rows and the join is cluster_id-keyed. Nothing here adds
-  * to the pair-mining cost profile documented on the cluster operator.
+  * Scale shape: cluster labels come from [[Dedup.dedupClustersLsh]] —
+  * the shipping-scale pair path (Σ bucket², not Σ df²), row-identical to
+  * the exact form on the gate corpus (the #39 spec-pinned argument that
+  * lets the exact recursive-CTE closure stay the oracle); the label
+  * frame (≤|docs| narrow rows) is localCheckpoint'd — it feeds the size
+  * aggregation AND the join-back (multi-consumer invariant, and the CC
+  * loop upstream is the expensive thing the checkpoint must not re-run);
+  * the size frame is ≤|clusters| rows and the join is cluster_id-keyed.
   */
 object DedupWeights {
 
   def dedupWeights(documents: DataFrame): DataFrame = {
-    val clusters = Dedup.dedupClusters(documents)
+    val clusters = Dedup.dedupClustersLsh(documents)
       .select("doc_id", "cluster_id")
       .localCheckpoint()
     val sizes = clusters.groupBy("cluster_id")

@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
   * trail, not a silent rewrite; `moved` rows are exactly the leakage the
   * audit would have flagged at the cluster level.
   *
-  * Scale shape: cluster labels are localCheckpoint'd (the CC loop is the
-  * expensive upstream; the label frame feeds the member join AND the
+  * Scale shape: cluster labels come from [[Dedup.dedupClustersLsh]] (the
+  * shipping Σ bucket² pair path, row-identical to the exact form on the
+  * gate corpus — the #39 argument that keeps the exact closure chain as
+  * the oracle) and are localCheckpoint'd (the CC loop is the expensive
+  * upstream; the label frame feeds the member join AND the
   * canonical-split join). The split assignment is a pure fused map pass
   * recomputed per consumer BY DESIGN (the [[Curation.qualitySelect]]
   * two-pass exception — materializing the corpus to save two md5s per
@@ -29,7 +32,7 @@ import org.apache.spark.sql.functions._
 object SplitRepair {
 
   def splitRepair(documents: DataFrame): DataFrame = {
-    val clusters = Dedup.dedupClusters(documents)
+    val clusters = Dedup.dedupClustersLsh(documents)
       .select("doc_id", "cluster_id")
       .localCheckpoint()
     val splits = TextOps.corpusSplit(documents).select("doc_id", "split")
