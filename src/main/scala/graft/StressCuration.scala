@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, QualityEnsemble, SampleQuota, ShardManifest, SourceDivergence, SourceOverlap, SpanQuality, SplitLeakage, TokenizeIds, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
+import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DedupWeights, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, ProfileDrift, QualityEnsemble, SampleQuota, ShardManifest, Skipgram, SourceDivergence, SourceOverlap, SpanQuality, SplitLeakage, SplitRepair, TokenizeIds, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -144,6 +144,13 @@ object StressCuration {
       time(s"sample_quota_$tag") { SampleQuota.sampleQuota(docs) }
       time(s"cdc_apply_$tag") { Cdc.cdcApply(docs, Cdc.changeBatch(docs)) }
       time(s"span_quality_$tag") { SpanQuality.spanQuality(docs) }
+      // round-8 continuation 4: the session's corpus-scaled additions —
+      // skipgram's K×token pair explode is the heaviest new map volume;
+      // weights/repair ride the LSH cluster pipeline over denser dup graphs
+      time(s"skipgram_$tag") { Skipgram.skipgramCooccur(docs) }
+      time(s"dedup_weights_$tag") { DedupWeights.dedupWeights(docs) }
+      time(s"split_repair_$tag") { SplitRepair.splitRepair(docs) }
+      time(s"profile_drift_$tag") { ProfileDrift.profileDrift(docs) }
     }
 
     spark.stop()
