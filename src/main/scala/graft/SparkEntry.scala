@@ -130,6 +130,9 @@ object SparkEntry {
     // …and PATH analytics: the empirical first-order Markov transition
     // matrix over per-user streams, with a _start entry state
     "event_transitions" -> ((s, d) => EventTransitions.eventTransitionsQ(Tables.events(s, d))),
+    // …and its conformance twin: observed transitions judged against a
+    // declared (broadcast data-table) process model
+    "transition_conformance" -> ((s, d) => Conformance.transitionConformanceQ(Tables.events(s, d))),
     // …and the densified series' consumer: 7-day RANGE-frame trailing
     // activity + week-over-week delta + churn-risk verdict
     "event_trend" -> ((s, d) => EventTrend.eventTrendQ(Tables.events(s, d))),
@@ -236,6 +239,9 @@ object SparkEntry {
     // the labeler's readout: measured source x topic mixture matrix
     // (doc counts, token mass, within-source ppm)
     "topic_mix" -> ((s, d) => TopicMix.topicMixQ(Tables.documents(s, d))),
+    // …and the cTF-IDF readout: top-K class-characteristic terms per
+    // topic by exact-cross-product lift
+    "topic_terms" -> ((s, d) => TopicTerms.topicTermsQ(Tables.documents(s, d))),
     "readability" -> ((s, d) => Readability.readabilityQ(Tables.documents(s, d))),
     // round 8 cont.: SemDeDup canonical choice — keep the centroid-closest
     // member of each semantic cluster (rounded rank key)
@@ -382,6 +388,9 @@ object SparkEntry {
     // round 8 (continuation 4): the embedding-quality eval — per-label
     // kNN purity over the exact brute neighbor sets (oracle nests them)
     "knn_label_purity" -> ((s, d) => KnnPurity.knnLabelPurityQ(Tables.embeddings(s, d))),
+    // …and its change-monitor sibling: per-label centroid cosine between
+    // two cohorts (integer-centroid discipline, NULL = vanished label)
+    "embedding_drift" -> ((s, d) => EmbeddingDrift.embeddingDriftQ(Tables.embeddings(s, d))),
     // …and subword tokenizer TRAINING: the BPE merge table learned on the
     // vocabulary-sized word-frequency frame (rows-only — iterative argmax
     // has no SQL twin; BpeTrainSpec pins an independent Scala BPE)
@@ -531,6 +540,9 @@ object SparkEntry {
     "q4_late_exists" -> LateExists.q4LateExistsSql,
     "equidepth_hist" -> EquidepthHist.equidepthHistSql,
     "rfm_segment" -> RfmSegment.rfmSegmentSql,
+    "topic_terms" -> TopicTerms.topicTermsSql,
+    "transition_conformance" -> Conformance.transitionConformanceSql,
+    "embedding_drift" -> EmbeddingDrift.embeddingDriftSql,
     "split_repair" -> SplitRepair.splitRepairSql,
     "winsorize" -> Winsorize.winsorizeSql,
     "column_outliers" -> ColumnOutliers.columnOutliersSql,
