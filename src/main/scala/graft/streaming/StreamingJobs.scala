@@ -551,4 +551,63 @@ object StreamingJobs {
           .when(col("op") === "delete", lit("deleted"))
           .otherwise(lit("updated")).as("status"))
   }
+
+  // --------------------------------- streaming last-touch attribution
+
+  case class TouchEvent(user_id: Long, event_id: Long, t_us: Long,
+                        cents: Long, side: Int, event_type: String)
+  case class TouchState(t_us: Long, event_id: Long, channel: String)
+  case class AttributedPurchase(user_id: Long, event_id: Long, t_us: Long,
+                                cents: Long, channel: String)
+
+  /** Per-user fold: touches (view/click) update the ONE-record last-touch
+    * state, purchases emit an attributed row. Per batch, events are sorted
+    * by the batch twin's (t_us, side, event_id) order — touches before a
+    * same-instant purchase, so zero-latency touches attribute; across
+    * batches the state is MONOTONE in (t_us, event_id) (the [[asofFn]]
+    * guard): a late touch older than the state updates nothing, so every
+    * FUTURE purchase still credits the true latest touch, while
+    * already-emitted attributions are final (append mode — the same
+    * documented out-of-order contract as the as-of twin). */
+  def attributionFn(userId: Long, events: Iterator[TouchEvent],
+                    state: GroupState[TouchState]): Iterator[AttributedPurchase] = {
+    val sorted = events.toArray.sortBy(e => (e.t_us, e.side, e.event_id))
+    var cur = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[AttributedPurchase]
+    for (e <- sorted) {
+      if (e.side == 0) {
+        if (cur == null || e.t_us > cur.t_us ||
+          (e.t_us == cur.t_us && e.event_id > cur.event_id))
+          cur = TouchState(e.t_us, e.event_id, e.event_type)
+      } else out += AttributedPurchase(userId, e.event_id, e.t_us, e.cents,
+        Option(cur).map(_.channel).getOrElse("_none"))
+    }
+    if (cur != null) state.update(cur)
+    out.iterator
+  }
+
+  /** Streaming last-touch attribution — the unbounded twin of
+    * [[graft.operators.Attribution.attributionLastTouch]]'s per-purchase
+    * credit assignment: state is ONE small record per user (latest touch
+    * type), purchases emit final attributed rows at arrival. The batch
+    * operator's channel ROLLUP is a downstream aggregation of this
+    * stream (complete-mode agg or a batch query over the sink) — the
+    * spec pins exactly that: grouping the emitted rows reproduces the
+    * batch rollup's counts and cents per channel. */
+  def attributionStream(spark: SparkSession, dir: String): Dataset[AttributedPurchase] = {
+    import spark.implicits._
+    val (tsIsLong, tUs) = eventsTsProbe(spark, dir)
+    spark.readStream
+      .schema(eventsRawSchema(tsIsLong))
+      .parquet(dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        tUs.as("t_us"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        col("event_type"))
+      .as[TouchEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(attributionFn)
+  }
 }

@@ -469,4 +469,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(Set("inserted", "updated", "deleted") == streamed.map(_._2).toSet,
       "corpus must exercise all three change verdicts")
   }
+
+  test("streaming attribution rollup matches the batch operator per channel") {
+    // keyed state: one last-touch record per user; purchases emit final
+    // attributed rows at arrival. The batch operator ships the channel
+    // ROLLUP, so parity = grouping the emitted per-purchase rows
+    // reproduces its (channel, n_conversions, value_cents) exactly
+    val dir = stageEventsDir("attr")
+    val q = StreamingJobs.attributionStream(spark, dir)
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_stream").collect()
+      .map(r => (r.getString(4), r.getLong(3)))
+      .groupBy(_._1).map { case (ch, v) => (ch, v.size.toLong, v.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val batch = graft.operators.Attribution
+      .attributionLastTouchQ(Tables.events(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch,
+      s"stream=$streamed batch=$batch")
+    assert(streamed.map(_._2).sum > 0, "no purchases attributed in the stream twin")
+  }
 }
