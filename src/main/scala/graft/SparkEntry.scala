@@ -55,6 +55,10 @@ object SparkEntry {
     // EXISTS decorrelated to a hash semi join with a residual date compare
     "q4_late_exists" -> ((s, d) =>
       LateExists.q4LateExistsQ(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // …and the fulfillment-SLA readout: order-to-first-ship latency
+    // quantiles per priority (signed-factored day division)
+    "ship_latency" -> ((s, d) =>
+      ShipLatency.shipLatencyQ(Tables.orders(s, d), Tables.lineitem(s, d))),
     "semi_anti_join" -> ((s, d) =>
       Relational.semiAntiJoin(Tables.customer(s, d), Tables.orders(s, d))),
     "incremental_new_keys" -> ((s, d) =>
@@ -82,6 +86,9 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextOps.tokenCountQ(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextOps.docFingerprintQ(Tables.documents(s, d))),
     "dedup_exact" -> ((s, d) => TextOps.dedupExactQ(Tables.documents(s, d))),
+    // round 8 (continuation 4): where does duplication hide — distinct
+    // counts under successive normalization levels, one pass
+    "normalization_funnel" -> ((s, d) => NormalizationFunnel.normalizationFunnelQ(Tables.documents(s, d))),
     // round 4: composed quality+lang+dedup admission verdict, one pass +
     // one fingerprint shuffle
     "corpus_filter" -> ((s, d) => TextOps.corpusFilterQ(Tables.documents(s, d))),
@@ -118,6 +125,9 @@ object SparkEntry {
     // …and the tail-bounding silver treatment: exact p1/p99 winsorization
     // report per type (clip counts + raw-vs-clamped mass)
     "winsorize" -> ((s, d) => Winsorize.winsorizeQ(Tables.events(s, d))),
+    // …and the numeric-drift monitor: per-type TV distance between the
+    // value distributions of the stream's two time halves (integer ppm)
+    "value_drift" -> ((s, d) => ValueDrift.valueDriftQ(Tables.events(s, d))),
     // round 8 cont.: signup-day cohort retention matrix (integer day algebra,
     // distinct-before-join, conditional-sum rollup)
     "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
@@ -541,6 +551,9 @@ object SparkEntry {
     "equidepth_hist" -> EquidepthHist.equidepthHistSql,
     "rfm_segment" -> RfmSegment.rfmSegmentSql,
     "topic_terms" -> TopicTerms.topicTermsSql,
+    "value_drift" -> ValueDrift.valueDriftSql,
+    "normalization_funnel" -> NormalizationFunnel.normalizationFunnelSql,
+    "ship_latency" -> ShipLatency.shipLatencySql,
     "transition_conformance" -> Conformance.transitionConformanceSql,
     "embedding_drift" -> EmbeddingDrift.embeddingDriftSql,
     "split_repair" -> SplitRepair.splitRepairSql,
