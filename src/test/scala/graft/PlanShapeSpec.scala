@@ -172,4 +172,55 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(generates == 2,
       s"expected exactly 2 live Generate sites (score pairs + vocab), got $generates:\n$p")
   }
+
+  test("skipgram: map-side pair generation — two Generate sites, no position self-join") {
+    // the naive form self-joins a positions frame (quadratic in doc
+    // length, shuffles the corpus twice); the shipped form generates
+    // pairs inside ONE inline nested-transform generator. Pin: exactly
+    // ONE live Generate site (the pair explode — the unigram explode is
+    // materialized away behind the uni checkpoint, the lm_score
+    // pattern), no cartesian, and the only nested loop is the 1-row
+    // n_tok fact
+    import graft.operators.Skipgram
+    val p = planOf(Skipgram.skipgramCooccur(Tables.documents(spark, sf)))
+    val generates = nodeLines(p).count(_.startsWith("Generate"))
+    assert(generates == 1, s"expected 1 live Generate site, got $generates:\n$p")
+    assert(count(p, "CartesianProduct") == 0, s"cartesian in skipgram:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin") <= 1,
+      s"only the 1-row total fact may nested-loop:\n$p")
+  }
+
+  test("rolling actives: the (user, day) distinct collapses volume BEFORE the x7 explode") {
+    // exploding raw events first would 7x the corpus; the shipped form
+    // explodes the distinct (user, day) frame. Pin: both Generate sites
+    // (cover + axis) sit above an aggregate, i.e. every Generate's
+    // subtree contains a HashAggregate before the scan
+    import graft.operators.RollingActives
+    val p = planOf(RollingActives.rollingActives(Tables.events(spark, sf)))
+    val lines = nodeLines(p)
+    val genIdx = lines.zipWithIndex.filter(_._1.startsWith("Generate")).map(_._2)
+    assert(genIdx.size == 2, s"expected 2 Generate sites (axis + cover):\n$p")
+    genIdx.foreach { i =>
+      assert(lines.drop(i + 1).exists(_.startsWith("HashAggregate")),
+        s"Generate at line $i must consume an aggregated frame, not raw events:\n$p")
+    }
+  }
+
+  test("round-8c4 joins: no undocumented nested loops") {
+    import graft.operators.{Conformance, ShipLatency, SplitRepair, Winsorize}
+    val docs = Tables.documents(spark, sf)
+    val events = Tables.events(spark, sf)
+    Seq(
+      "split_repair" -> SplitRepair.splitRepair(docs),
+      "winsorize" -> Winsorize.winsorize(events),
+      "transition_conformance" -> Conformance.transitionConformance(events),
+      "ship_latency" -> ShipLatency.shipLatency(
+        Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    ).foreach { case (name, df) =>
+      val p = planOf(df)
+      assert(count(p, "BroadcastNestedLoopJoin") == 0 &&
+        count(p, "CartesianProduct") == 0,
+        s"$name must plan only equi joins:\n$p")
+    }
+  }
 }
