@@ -29,6 +29,10 @@ object SparkEntry {
     "window_topk_per_group" -> ((s, d) => Relational.windowTopKPerGroup(Tables.orders(s, d))),
     // correlated-aggregate predicate (TPC-H Q17 class) in decorrelated
     // form: per-part avg computed once, joined back, integer threshold
+    // Q15 shape: max-over-aggregate, decorrelated (1-row max fact joined
+    // back); exact-cents max equality, integer-µs ship window
+    "q15_top_supplier" -> ((s, d) =>
+      TopSupplier.topSupplierQ(Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q17_avg_filter" -> ((s, d) =>
       AvgFilter.q17AvgFilter(Tables.lineitem(s, d), Tables.part(s, d))),
     // join-key skew diagnostic: top-K heaviest keys + hot verdicts —
@@ -113,6 +117,10 @@ object SparkEntry {
     // the per-user customer-360 lifetime rollup
     "session_concurrency" -> ((s, d) => SessionConcurrency.sessionConcurrencyQ(Tables.events(s, d))),
     "user_ltv" -> ((s, d) => UserLtv.userLtvQ(Tables.events(s, d))),
+    // per-type value concentration: top-1%/10% user shares + exact Gini
+    // over the ppm-quantized per-user mass distribution
+    "concentration_report" -> ((s, d) =>
+      Concentration.concentrationReportQ(Tables.events(s, d))),
     // round 8 cont.: strict-sequence conversion funnel (view→click→purchase),
     // chained conditional-min windows over one user_id exchange
     "event_funnel" -> ((s, d) => Funnel.eventFunnelQ(Tables.events(s, d))),
@@ -401,6 +409,10 @@ object SparkEntry {
     // …and its change-monitor sibling: per-label centroid cosine between
     // two cohorts (integer-centroid discipline, NULL = vanished label)
     "embedding_drift" -> ((s, d) => EmbeddingDrift.embeddingDriftQ(Tables.embeddings(s, d))),
+    // per-label vector-column arrival profile: dims, zero norms, norm²/
+    // component ranges (µ-unit extrema, milli-unit corpus sums)
+    "embedding_profile" -> ((s, d) =>
+      EmbeddingProfile.embeddingProfileQ(Tables.embeddings(s, d))),
     // …and subword tokenizer TRAINING: the BPE merge table learned on the
     // vocabulary-sized word-frequency frame (rows-only — iterative argmax
     // has no SQL twin; BpeTrainSpec pins an independent Scala BPE)
@@ -504,6 +516,7 @@ object SparkEntry {
     "doc_ngram_repetition" -> Curation.ngramRepetitionSql,
     "quality_select" -> Curation.qualitySelectSql,
     "quality_ensemble" -> QualityEnsemble.qualityEnsembleSql,
+    "q15_top_supplier" -> TopSupplier.topSupplierSql,
     "q17_avg_filter" -> AvgFilter.q17AvgFilterSql,
     "key_skew_report" -> KeySkew.keySkewReportSql,
     "table_profile" -> TableProfile.tableProfileSql,
@@ -556,6 +569,8 @@ object SparkEntry {
     "ship_latency" -> ShipLatency.shipLatencySql,
     "transition_conformance" -> Conformance.transitionConformanceSql,
     "embedding_drift" -> EmbeddingDrift.embeddingDriftSql,
+    "embedding_profile" -> EmbeddingProfile.embeddingProfileSql,
+    "concentration_report" -> Concentration.concentrationReportSql,
     "split_repair" -> SplitRepair.splitRepairSql,
     "winsorize" -> Winsorize.winsorizeSql,
     "column_outliers" -> ColumnOutliers.columnOutliersSql,

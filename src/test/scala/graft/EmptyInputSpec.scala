@@ -166,7 +166,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "rate_spike" -> RateSpike.rateSpike(empty),
       "session_concurrency" -> SessionConcurrency.sessionConcurrency(empty),
       "user_ltv" -> UserLtv.userLtv(empty),
-      "attribution_lasttouch" -> Attribution.attributionLastTouch(empty))
+      "attribution_lasttouch" -> Attribution.attributionLastTouch(empty),
+      // round-8 continuation (5th session)
+      "concentration_report" -> Concentration.concentrationReport(empty))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty events: $e")
@@ -202,7 +204,10 @@ class EmptyInputSpec extends AnyFunSuite {
     val ops: Seq[(String, DataFrame)] = Seq(
       "equidepth_hist" -> EquidepthHist.equidepthHist(emptyLineitem),
       "column_outliers" -> ColumnOutliers.columnOutliers(emptyLineitem),
-      "q4_late_exists" -> LateExists.q4LateExists(emptyOrders, emptyLineitem))
+      "q4_late_exists" -> LateExists.q4LateExists(emptyOrders, emptyLineitem),
+      // round-8 continuation (5th session)
+      "q15_top_supplier" -> TopSupplier.topSupplier(emptyLineitem,
+        Tables.supplier(spark, sf)))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")
@@ -225,7 +230,9 @@ class EmptyInputSpec extends AnyFunSuite {
       // (a NON-empty corpus smaller than k stays a loud config error)
       "knn_cosine_ivf" -> Ivf.knnCosineIvf(e),
       // round-8 continuation (4th session)
-      "knn_label_purity" -> KnnPurity.knnLabelPurity(e))
+      "knn_label_purity" -> KnnPurity.knnLabelPurity(e),
+      // round-8 continuation (5th session)
+      "embedding_profile" -> EmbeddingProfile.embeddingProfile(e))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case ex: Throwable => fail(s"$name threw on empty embeddings: $ex")
