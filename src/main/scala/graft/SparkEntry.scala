@@ -29,6 +29,11 @@ object SparkEntry {
     "window_topk_per_group" -> ((s, d) => Relational.windowTopKPerGroup(Tables.orders(s, d))),
     // correlated-aggregate predicate (TPC-H Q17 class) in decorrelated
     // form: per-part avg computed once, joined back, integer threshold
+    // Q7 shape: directed nation-pair × ship-year trade matrix; one
+    // fact-fact orderkey join, every dim leg broadcast
+    "q7_trade_volume" -> ((s, d) =>
+      TradeVolume.q7TradeVolumeQ(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     // Q15 shape: max-over-aggregate, decorrelated (1-row max fact joined
     // back); exact-cents max equality, integer-µs ship window
     "q15_top_supplier" -> ((s, d) =>
@@ -140,6 +145,9 @@ object SparkEntry {
     // distinct-before-join, conditional-sum rollup)
     "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
     "zorder_plan" -> ((s, d) => ZOrder.zorderPlanQ(Tables.events(s, d))),
+    // …and its consumer: per-probe bucket pruning + scan-waste audit
+    // over the zone maps (probes derive from the corpus' own stats)
+    "zone_map_prune" -> ((s, d) => ZoneMapPrune.zoneMapPruneQ(Tables.events(s, d))),
     "contribution_cap" -> ((s, d) => ContributionCap.contributionCapQ(Tables.events(s, d))),
     "session_path" -> ((s, d) => SessionPath.sessionPathsQ(Tables.events(s, d))),
     // …and time DENSIFICATION: dense per-(user, day) activity matrix
@@ -371,6 +379,10 @@ object SparkEntry {
     // …and vocabulary APPLICATION: every token position mapped to its
     // learned vocab id (UNK=-1) via one broadcast join of the K-row vocab
     "tokenize_ids" -> ((s, d) => TokenizeIds.tokenizeIdsQ(Tables.documents(s, d))),
+    // …and its per-source eval: token volume, UNK rate, chars-per-token
+    // fertility — the numbers a vocab swap is judged by
+    "tokenizer_fertility" -> ((s, d) =>
+      TokenizerFertility.tokenizerFertilityQ(Tables.documents(s, d))),
     // round 8 (continuation): maximal duplicate-span merge — adjacent
     // duplicated windows fused into surgical-removal extents (islands)
     "dup_span_merge" -> ((s, d) => DupSpans.dupSpanMergeQ(Tables.documents(s, d))),
@@ -470,6 +482,8 @@ object SparkEntry {
     "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
     "event_retention" -> Retention.eventRetentionSql,
     "zorder_plan" -> ZOrder.zorderPlanSql,
+    "zone_map_prune" -> ZoneMapPrune.zoneMapPruneSql,
+    "q7_trade_volume" -> TradeVolume.q7TradeVolumeSql,
     "contribution_cap" -> ContributionCap.contributionCapSql,
     "session_path" -> SessionPath.sessionPathSql,
     "event_series" -> EventSeries.eventSeriesSql,
@@ -549,6 +563,7 @@ object SparkEntry {
     "dup_passages" -> DupPassages.dupPassagesSql,
     "shard_manifest" -> ShardManifest.shardManifestSql,
     "tokenize_ids" -> TokenizeIds.tokenizeIdsSql,
+    "tokenizer_fertility" -> TokenizerFertility.tokenizerFertilitySql,
     "dup_span_merge" -> DupSpans.dupSpanMergeSql,
     "lang_mix" -> LangMix.langMixSql,
     "paragraph_clean" -> ParagraphClean.paragraphCleanSql,

@@ -61,9 +61,15 @@ object ZOrder {
   private def normExpr(v: String, lo: String, hi: String, divOp: String): String =
     s"((($v - $lo) * $MaxCode) $divOp (CASE WHEN $hi > $lo THEN $hi - $lo ELSE 1 END))"
 
-  def zorderPlan(events: DataFrame): DataFrame = {
-    val base = events.select(col("user_id"),
+  /** (user_id, epoch-day) projection shared with [[ZoneMapPrune]]. */
+  private[graft] def baseFrame(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
       expr(s"unix_micros(ts) div ${Retention.UsPerDay}").as("day"))
+
+  def zorderPlan(events: DataFrame): DataFrame =
+    zorderPlanFromBase(baseFrame(events))
+
+  private[graft] def zorderPlanFromBase(base: DataFrame): DataFrame = {
     val stats = base.agg(min("user_id").as("lo_u"), max("user_id").as("hi_u"),
       min("day").as("lo_d"), max("day").as("hi_d"))
     val xn = normExpr("user_id", "lo_u", "hi_u", "div")
@@ -80,26 +86,36 @@ object ZOrder {
   def zorderPlanQ(events: DataFrame): DataFrame =
     zorderPlan(events).orderBy("bucket")
 
-  val zorderPlanSql: String = {
-    val xn = normExpr("user_id", "lo_u", "hi_u", "//")
-    val yn = normExpr("day", "lo_d", "hi_d", "//")
-    val m = mortonExpr(xn, yn, "//")
-    s"""WITH base AS (
+  /** `base` CTE body (shared with [[ZoneMapPrune]]'s oracle — one text). */
+  private[graft] val BaseCteSql: String =
+    s"""base AS (
        |  SELECT user_id,
        |         epoch_us(date_trunc('microseconds', ts)) // ${Retention.UsPerDay} AS day
        |  FROM events
-       |), stats AS (
+       |)""".stripMargin
+
+  /** stats/keyed/zones CTE chain over `base` (shared with the prune oracle). */
+  private[graft] val ZonesCtesSql: String = {
+    val xn = normExpr("user_id", "lo_u", "hi_u", "//")
+    val yn = normExpr("day", "lo_d", "hi_d", "//")
+    val m = mortonExpr(xn, yn, "//")
+    s"""stats AS (
        |  SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
        |         min(day) AS lo_d, max(day) AS hi_d
        |  FROM base
        |), keyed AS (
        |  SELECT user_id, day, $m // $BucketDiv AS bucket
        |  FROM base CROSS JOIN stats
-       |)
-       |SELECT bucket, count(*) AS n_events,
-       |       min(user_id) AS min_user, max(user_id) AS max_user,
-       |       min(day) AS min_day, max(day) AS max_day
-       |FROM keyed GROUP BY bucket
-       |ORDER BY bucket""".stripMargin
+       |), zones AS (
+       |  SELECT bucket, count(*) AS n_events,
+       |         min(user_id) AS min_user, max(user_id) AS max_user,
+       |         min(day) AS min_day, max(day) AS max_day
+       |  FROM keyed GROUP BY bucket
+       |)""".stripMargin
   }
+
+  val zorderPlanSql: String =
+    s"""WITH $BaseCteSql, $ZonesCtesSql
+       |SELECT * FROM zones
+       |ORDER BY bucket""".stripMargin
 }

@@ -111,7 +111,9 @@ class EmptyInputSpec extends AnyFunSuite {
       // round-8 continuation (4th session)
       "skipgram_cooccur" -> Skipgram.skipgramCooccur(d),
       "dedup_weights" -> DedupWeights.dedupWeights(d),
-      "profile_drift" -> ProfileDrift.profileDrift(d))
+      "profile_drift" -> ProfileDrift.profileDrift(d),
+      // round-8 continuation (5th session)
+      "tokenizer_fertility" -> TokenizerFertility.tokenizerFertility(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
@@ -168,7 +170,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "user_ltv" -> UserLtv.userLtv(empty),
       "attribution_lasttouch" -> Attribution.attributionLastTouch(empty),
       // round-8 continuation (5th session)
-      "concentration_report" -> Concentration.concentrationReport(empty))
+      "concentration_report" -> Concentration.concentrationReport(empty),
+      "zone_map_prune" -> ZoneMapPrune.zoneMapPrune(empty))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty events: $e")
