@@ -60,6 +60,8 @@ object SparkEntry {
     // …and the marketing rollup: RFM quartile segmentation of customers
     "rfm_segment" -> ((s, d) => RfmSegment.rfmSegmentQ(Tables.orders(s, d))),
     "rollup_agg" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
+    // …and the full 2^3 CUBE sibling: one scan → Expand(8) → one agg
+    "cube_agg" -> ((s, d) => CubeAgg.cubeAggQ(Tables.lineitem(s, d))),
     // round 8 (continuation 4): TPC-H Q4 shape — correlated cross-table
     // EXISTS decorrelated to a hash semi join with a residual date compare
     "q4_late_exists" -> ((s, d) =>
@@ -118,6 +120,10 @@ object SparkEntry {
       Similarity.embeddingClustersQ(Tables.embeddings(s, d))),
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
+    // gap-dial sensitivity: session counts at each candidate gap in ONE
+    // window pass (360-min row cross-derives against sessionize by spec)
+    "session_gap_sweep" -> ((s, d) =>
+      SessionGapSweep.sessionGapSweepQ(Tables.events(s, d))),
     // …per-hour live-session/user load curve (span-to-bucket explode) and
     // the per-user customer-360 lifetime rollup
     "session_concurrency" -> ((s, d) => SessionConcurrency.sessionConcurrencyQ(Tables.events(s, d))),
@@ -144,6 +150,8 @@ object SparkEntry {
     // round 8 cont.: signup-day cohort retention matrix (integer day algebra,
     // distinct-before-join, conditional-sum rollup)
     "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
+    // …and its value twin: cumulative cohort LTV at the same offsets
+    "cohort_ltv" -> ((s, d) => CohortLtv.cohortLtvQ(Tables.events(s, d))),
     "zorder_plan" -> ((s, d) => ZOrder.zorderPlanQ(Tables.events(s, d))),
     // …and its consumer: per-probe bucket pruning + scan-waste audit
     // over the zone maps (probes derive from the corpus' own stats)
@@ -447,6 +455,7 @@ object SparkEntry {
     "q5_multijoin" -> Relational.q5MultiJoinSql,
     "window_topk_per_group" -> Relational.windowTopKPerGroupSql,
     "rollup_agg" -> Relational.rollupAggSql,
+    "cube_agg" -> CubeAgg.cubeAggSql,
     "semi_anti_join" -> Relational.semiAntiJoinSql,
     "incremental_new_keys" -> Relational.incrementalNewKeysSql,
     "json_extract" -> Relational.jsonExtractSql,
@@ -477,10 +486,12 @@ object SparkEntry {
     "embedding_dedup_incremental" -> Similarity.embeddingDedupIncrementalSql,
     "embedding_cluster" -> Similarity.embeddingClustersSql,
     "sessionize" -> Sessionize.sessionizeSql,
+    "session_gap_sweep" -> SessionGapSweep.sessionGapSweepSql,
     "event_funnel" -> Funnel.eventFunnelSql,
     "funnel_latency" -> FunnelLatency.funnelLatencySql,
     "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
     "event_retention" -> Retention.eventRetentionSql,
+    "cohort_ltv" -> CohortLtv.cohortLtvSql,
     "zorder_plan" -> ZOrder.zorderPlanSql,
     "zone_map_prune" -> ZoneMapPrune.zoneMapPruneSql,
     "q7_trade_volume" -> TradeVolume.q7TradeVolumeSql,

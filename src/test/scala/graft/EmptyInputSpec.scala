@@ -171,7 +171,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "attribution_lasttouch" -> Attribution.attributionLastTouch(empty),
       // round-8 continuation (5th session)
       "concentration_report" -> Concentration.concentrationReport(empty),
-      "zone_map_prune" -> ZoneMapPrune.zoneMapPrune(empty))
+      "zone_map_prune" -> ZoneMapPrune.zoneMapPrune(empty),
+      "session_gap_sweep" -> SessionGapSweep.sessionGapSweep(empty),
+      "cohort_ltv" -> CohortLtv.cohortLtv(empty))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty events: $e")
@@ -210,7 +212,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "q4_late_exists" -> LateExists.q4LateExists(emptyOrders, emptyLineitem),
       // round-8 continuation (5th session)
       "q15_top_supplier" -> TopSupplier.topSupplier(emptyLineitem,
-        Tables.supplier(spark, sf)))
+        Tables.supplier(spark, sf)),
+      "cube_agg" -> CubeAgg.cubeAgg(emptyLineitem))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")
