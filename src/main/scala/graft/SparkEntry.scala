@@ -51,6 +51,11 @@ object SparkEntry {
     "ref_integrity" -> ((s, d) => RefIntegrity.refIntegrity(
       Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
       Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    // …and the mirror direction: parents no child references (childless
+    // rate per edge — distinct child keys before the anti join)
+    "coverage_audit" -> ((s, d) => CoverageAudit.coverageAudit(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+      Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     // round 8 (continuation 4): the ANALYZE-stats equi-depth boundary
     // vector (rank-selected exact cents + tie-closed cumulative counts)
     // and the per-column Tukey-fence outlier screen (doubled-integer
@@ -194,6 +199,11 @@ object SparkEntry {
     // type (what calibrates the sessionize gap), plus the ops-monitoring
     // daily spike/drop verdicts vs a trailing integer baseline
     "event_interarrival" -> ((s, d) => Interarrival.eventInterarrivalQ(Tables.events(s, d))),
+    // at-least-once delivery repair: content-key dedup verdict per type
+    "event_dedup_report" -> ((s, d) => EventDedup.eventDedupReportQ(Tables.events(s, d))),
+    // out-of-order audit vs the per-user arrival high-watermark — the
+    // watermark-sizing diagnostic behind the streaming twins' contracts
+    "late_arrival_audit" -> ((s, d) => LateArrival.lateArrivalAuditQ(Tables.events(s, d))),
     "rate_spike" -> ((s, d) => RateSpike.rateSpikeQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // …and its business twin: last-touch conversion attribution (LOCF
@@ -546,6 +556,7 @@ object SparkEntry {
     "key_skew_report" -> KeySkew.keySkewReportSql,
     "table_profile" -> TableProfile.tableProfileSql,
     "ref_integrity" -> RefIntegrity.refIntegritySql,
+    "coverage_audit" -> CoverageAudit.coverageAuditSql,
     "sample_quota" -> SampleQuota.sampleQuotaSql,
     "token_budget_pack" -> Curation.tokenBudgetPackSql,
     "token_budget_pack_range" -> Curation.tokenBudgetPackSql,
@@ -584,6 +595,8 @@ object SparkEntry {
     "event_decay_score" -> DecayScore.eventDecayScoreSql,
     "assoc_rules" -> AssocRules.assocRulesSql,
     "event_interarrival" -> Interarrival.eventInterarrivalSql,
+    "event_dedup_report" -> EventDedup.eventDedupReportSql,
+    "late_arrival_audit" -> LateArrival.lateArrivalAuditSql,
     "rate_spike" -> RateSpike.rateSpikeSql,
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
     "q4_late_exists" -> LateExists.q4LateExistsSql,

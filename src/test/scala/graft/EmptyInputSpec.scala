@@ -173,7 +173,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "concentration_report" -> Concentration.concentrationReport(empty),
       "zone_map_prune" -> ZoneMapPrune.zoneMapPrune(empty),
       "session_gap_sweep" -> SessionGapSweep.sessionGapSweep(empty),
-      "cohort_ltv" -> CohortLtv.cohortLtv(empty))
+      "cohort_ltv" -> CohortLtv.cohortLtv(empty),
+      "event_dedup_report" -> EventDedup.eventDedupReport(empty),
+      "late_arrival_audit" -> LateArrival.lateArrivalAudit(empty))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty events: $e")
