@@ -29,6 +29,11 @@ object SparkEntry {
     "window_topk_per_group" -> ((s, d) => Relational.windowTopKPerGroup(Tables.orders(s, d))),
     // correlated-aggregate predicate (TPC-H Q17 class) in decorrelated
     // form: per-part avg computed once, joined back, integer threshold
+    // Q18 shape: HAVING on a child aggregate driving the parent join
+    // (aggregate-then-join, never re-aggregated per probe)
+    "q18_large_orders" -> ((s, d) =>
+      LargeOrders.q18LargeOrdersQ(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d))),
     // Q7 shape: directed nation-pair × ship-year trade matrix; one
     // fact-fact orderkey join, every dim leg broadcast
     "q7_trade_volume" -> ((s, d) =>
@@ -110,6 +115,10 @@ object SparkEntry {
     "corpus_filter" -> ((s, d) => TextOps.corpusFilterQ(Tables.documents(s, d))),
     // §C near-dup + similarity
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardQ(Tables.documents(s, d))),
+    // τ-dial calibration: pair volume at every candidate cut from ONE
+    // pass over the raw pair stream (integer cross-product predicates)
+    "dedup_threshold_sweep" -> ((s, d) =>
+      ThresholdSweep.dedupThresholdSweepQ(Tables.documents(s, d))),
     // prefix-filtered twin: identical output (spec-pinned), Σ df_prefix²
     // candidate cost — the lossless scale path for dense vocabularies
     "dedup_prefix" -> ((s, d) => PrefixJoin.prefixJaccardQ(Tables.documents(s, d))),
@@ -441,6 +450,9 @@ object SparkEntry {
     "embedding_drift" -> ((s, d) => EmbeddingDrift.embeddingDriftQ(Tables.embeddings(s, d))),
     // per-label vector-column arrival profile: dims, zero norms, norm²/
     // component ranges (µ-unit extrema, milli-unit corpus sums)
+    // int8 PTQ error audit: sign-free integer quantize→dequantize→error
+    "embedding_quantize_audit" -> ((s, d) =>
+      EmbeddingQuantize.embeddingQuantizeAuditQ(Tables.embeddings(s, d))),
     "embedding_profile" -> ((s, d) =>
       EmbeddingProfile.embeddingProfileQ(Tables.embeddings(s, d))),
     // …and subword tokenizer TRAINING: the BPE merge table learned on the
@@ -489,6 +501,7 @@ object SparkEntry {
     "dedup_exact" -> TextOps.dedupExactSql,
     "corpus_filter" -> TextOps.corpusFilterSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_threshold_sweep" -> ThresholdSweep.dedupThresholdSweepSql,
     "dedup_prefix" -> Dedup.ngramJaccardSql,
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
     "hard_negative_mine" -> HardNegative.hardNegativesSql,
@@ -552,6 +565,7 @@ object SparkEntry {
     "quality_select" -> Curation.qualitySelectSql,
     "quality_ensemble" -> QualityEnsemble.qualityEnsembleSql,
     "q15_top_supplier" -> TopSupplier.topSupplierSql,
+    "q18_large_orders" -> LargeOrders.q18LargeOrdersSql,
     "q17_avg_filter" -> AvgFilter.q17AvgFilterSql,
     "key_skew_report" -> KeySkew.keySkewReportSql,
     "table_profile" -> TableProfile.tableProfileSql,
@@ -609,6 +623,7 @@ object SparkEntry {
     "transition_conformance" -> Conformance.transitionConformanceSql,
     "embedding_drift" -> EmbeddingDrift.embeddingDriftSql,
     "embedding_profile" -> EmbeddingProfile.embeddingProfileSql,
+    "embedding_quantize_audit" -> EmbeddingQuantize.embeddingQuantizeAuditSql,
     "concentration_report" -> Concentration.concentrationReportSql,
     "split_repair" -> SplitRepair.splitRepairSql,
     "winsorize" -> Winsorize.winsorizeSql,

@@ -113,7 +113,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "dedup_weights" -> DedupWeights.dedupWeights(d),
       "profile_drift" -> ProfileDrift.profileDrift(d),
       // round-8 continuation (5th session)
-      "tokenizer_fertility" -> TokenizerFertility.tokenizerFertility(d))
+      "tokenizer_fertility" -> TokenizerFertility.tokenizerFertility(d),
+      "dedup_threshold_sweep" -> ThresholdSweep.dedupThresholdSweep(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
@@ -215,7 +216,9 @@ class EmptyInputSpec extends AnyFunSuite {
       // round-8 continuation (5th session)
       "q15_top_supplier" -> TopSupplier.topSupplier(emptyLineitem,
         Tables.supplier(spark, sf)),
-      "cube_agg" -> CubeAgg.cubeAgg(emptyLineitem))
+      "cube_agg" -> CubeAgg.cubeAgg(emptyLineitem),
+      "q18_large_orders" -> LargeOrders.q18LargeOrders(emptyLineitem,
+        emptyOrders, Tables.customer(spark, sf)))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")
@@ -240,7 +243,8 @@ class EmptyInputSpec extends AnyFunSuite {
       // round-8 continuation (4th session)
       "knn_label_purity" -> KnnPurity.knnLabelPurity(e),
       // round-8 continuation (5th session)
-      "embedding_profile" -> EmbeddingProfile.embeddingProfile(e))
+      "embedding_profile" -> EmbeddingProfile.embeddingProfile(e),
+      "embedding_quantize_audit" -> EmbeddingQuantize.embeddingQuantizeAudit(e))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case ex: Throwable => fail(s"$name threw on empty embeddings: $ex")
