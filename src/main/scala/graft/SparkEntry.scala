@@ -166,6 +166,14 @@ object SparkEntry {
     "event_retention" -> ((s, d) => Retention.eventRetentionQ(Tables.events(s, d))),
     // …and its value twin: cumulative cohort LTV at the same offsets
     "cohort_ltv" -> ((s, d) => CohortLtv.cohortLtvQ(Tables.events(s, d))),
+    // day-over-day DAU ledger: new/retained/resurrected/churned with
+    // the balance identity spec-pinned
+    "growth_accounting" -> ((s, d) =>
+      GrowthAccounting.growthAccountingQ(Tables.events(s, d))),
+    // consecutive-day gaps-and-islands: streak-length distribution +
+    // personal-best mass
+    "activity_streaks" -> ((s, d) =>
+      ActivityStreaks.activityStreaksQ(Tables.events(s, d))),
     "zorder_plan" -> ((s, d) => ZOrder.zorderPlanQ(Tables.events(s, d))),
     // …and its consumer: per-probe bucket pruning + scan-waste audit
     // over the zone maps (probes derive from the corpus' own stats)
@@ -204,6 +212,10 @@ object SparkEntry {
     // …and the basket view of sessions: unordered event-type pair
     // support/confidence/lift (SessionPath is the ordered twin)
     "assoc_rules" -> ((s, d) => AssocRules.assocRulesQ(Tables.events(s, d))),
+    // user-set overlap matrix between types (people, not sessions):
+    // distinct-first, catalog-bounded pair generation
+    "audience_overlap" -> ((s, d) =>
+      AudienceOverlap.audienceOverlapQ(Tables.events(s, d))),
     // …and the cadence readout: power-of-two inter-arrival histogram per
     // type (what calibrates the sessionize gap), plus the ops-monitoring
     // daily spike/drop verdicts vs a trailing integer baseline
@@ -515,6 +527,8 @@ object SparkEntry {
     "event_outlier_mad" -> RobustOutlier.eventOutlierMadSql,
     "event_retention" -> Retention.eventRetentionSql,
     "cohort_ltv" -> CohortLtv.cohortLtvSql,
+    "growth_accounting" -> GrowthAccounting.growthAccountingSql,
+    "activity_streaks" -> ActivityStreaks.activityStreaksSql,
     "zorder_plan" -> ZOrder.zorderPlanSql,
     "zone_map_prune" -> ZoneMapPrune.zoneMapPruneSql,
     "q7_trade_volume" -> TradeVolume.q7TradeVolumeSql,
@@ -608,6 +622,7 @@ object SparkEntry {
     "rolling_active_users" -> RollingActives.rollingActivesSql,
     "event_decay_score" -> DecayScore.eventDecayScoreSql,
     "assoc_rules" -> AssocRules.assocRulesSql,
+    "audience_overlap" -> AudienceOverlap.audienceOverlapSql,
     "event_interarrival" -> Interarrival.eventInterarrivalSql,
     "event_dedup_report" -> EventDedup.eventDedupReportSql,
     "late_arrival_audit" -> LateArrival.lateArrivalAuditSql,

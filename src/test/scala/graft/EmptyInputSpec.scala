@@ -176,7 +176,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "session_gap_sweep" -> SessionGapSweep.sessionGapSweep(empty),
       "cohort_ltv" -> CohortLtv.cohortLtv(empty),
       "event_dedup_report" -> EventDedup.eventDedupReport(empty),
-      "late_arrival_audit" -> LateArrival.lateArrivalAudit(empty))
+      "late_arrival_audit" -> LateArrival.lateArrivalAudit(empty),
+      "growth_accounting" -> GrowthAccounting.growthAccounting(empty),
+      "activity_streaks" -> ActivityStreaks.activityStreaks(empty),
+      "audience_overlap" -> AudienceOverlap.audienceOverlap(empty))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty events: $e")
