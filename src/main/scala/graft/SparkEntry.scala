@@ -48,6 +48,13 @@ object SparkEntry {
     // join-key skew diagnostic: top-K heaviest keys + hot verdicts —
     // the input that feeds Skew.saltedJoinHot's hot-key list
     "key_skew_report" -> ((s, d) => KeySkew.keySkewReportQ(Tables.lineitem(s, d))),
+    // …and its output side: per-hot-key salt factors (the saltedJoinHot
+    // input contract; ceiling-div over the shared hot rule)
+    "salting_plan" -> ((s, d) => SaltingPlan.saltingPlanQ(Tables.lineitem(s, d))),
+    // Bloom pre-filter price list: exact key cardinalities × fpp grid,
+    // constants precomputed (no ln in engine expressions)
+    "bloom_sizing_report" -> ((s, d) =>
+      BloomSizing.bloomSizingReportQ(Tables.lineitem(s, d), Tables.orders(s, d))),
     // arrival-time data-quality profile: per-column rows/nulls/distincts
     // /min/max in ONE scan via inline stack unpivot
     "table_profile" -> ((s, d) => TableProfile.tableProfileQ(Tables.lineitem(s, d))),
@@ -582,6 +589,8 @@ object SparkEntry {
     "q18_large_orders" -> LargeOrders.q18LargeOrdersSql,
     "q17_avg_filter" -> AvgFilter.q17AvgFilterSql,
     "key_skew_report" -> KeySkew.keySkewReportSql,
+    "salting_plan" -> SaltingPlan.saltingPlanSql,
+    "bloom_sizing_report" -> BloomSizing.bloomSizingReportSql,
     "table_profile" -> TableProfile.tableProfileSql,
     "ref_integrity" -> RefIntegrity.refIntegritySql,
     "coverage_audit" -> CoverageAudit.coverageAuditSql,

@@ -52,15 +52,20 @@ object KeySkew {
     keySkewReport(lineitem, col("l_partkey"))
       .orderBy(col("n").desc, col("key"))
 
-  val keySkewReportSql: String =
-    s"""WITH c AS (
-       |  SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+  /** c/t count CTE generator shared with [[SaltingPlan]]'s oracle (one
+    * text per key column — report and plan can't disagree on counting). */
+  private[operators] def keyCountCtes(keyCol: String): String =
+    s"""c AS (
+       |  SELECT $keyCol AS key, CAST(count(*) AS BIGINT) AS n
        |  FROM lineitem GROUP BY 1
        |), t AS (
        |  SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS total,
        |         CAST(count(*) AS BIGINT) AS n_keys
        |  FROM c
-       |)
+       |)""".stripMargin
+
+  val keySkewReportSql: String =
+    s"""WITH ${keyCountCtes("l_partkey")}
        |SELECT key, n,
        |       n * 1000000 // greatest(total, 1) AS share_ppm,
        |       n * 1000 // greatest(total // greatest(n_keys, 1), 1) AS mean_x_milli,

@@ -93,6 +93,26 @@ object StreamingJobs {
       .dropDuplicates("fingerprint")
       .select("doc_id", "fingerprint")
 
+  // ----------------------------------- streaming event delivery dedup
+
+  /** Streaming at-least-once delivery repair — the unbounded twin of
+    * [[graft.operators.EventDedup.eventDedupReport]]: arriving events
+    * dedup on the CONTENT key (user, type, µs-time, cents) against the
+    * state store; only first-arrivals pass. Batch keeps min event_id
+    * per key, a stream keeps the FIRST-seen id — the distinct
+    * content-key set is identical, which is what the parity spec pins
+    * (the [[dedupExactStream]] contract, on events). */
+  def eventDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    val (tsIsLong, tUs) = eventsTsProbe(spark, dir)
+    spark.readStream
+      .schema(eventsRawSchema(tsIsLong))
+      .parquet(dir)
+      .withColumn("t_us", tUs)
+      .withColumn("cents", expr("CAST(round(value * 100.0) AS BIGINT)"))
+      .dropDuplicates("user_id", "event_type", "t_us", "cents")
+      .select("event_id", "user_id", "event_type", "t_us", "cents")
+  }
+
   // --------------------------- stream-static incremental admission
 
   /** Stream-static near-dup ADMISSION — the streaming half of

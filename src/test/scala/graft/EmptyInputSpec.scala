@@ -221,7 +221,9 @@ class EmptyInputSpec extends AnyFunSuite {
         Tables.supplier(spark, sf)),
       "cube_agg" -> CubeAgg.cubeAgg(emptyLineitem),
       "q18_large_orders" -> LargeOrders.q18LargeOrders(emptyLineitem,
-        emptyOrders, Tables.customer(spark, sf)))
+        emptyOrders, Tables.customer(spark, sf)),
+      "salting_plan" -> SaltingPlan.saltingPlan(emptyLineitem,
+        org.apache.spark.sql.functions.col("l_orderkey")))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty input: $e")

@@ -491,4 +491,23 @@ class StreamingSpec extends AnyFunSuite {
       s"stream=$streamed batch=$batch")
     assert(streamed.map(_._2).sum > 0, "no purchases attributed in the stream twin")
   }
+
+  test("streaming event delivery dedup passes one event per content key") {
+    val dir = stageEventsDir("evdedup")
+    val q = StreamingJobs.eventDedupStream(spark, dir)
+      .writeStream.format("memory").queryName("evdedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("evdedup_stream").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // batch twin: one logical event per content key, per type
+    val batchLogical = graft.operators.EventDedup
+      .eventDedupReportQ(Tables.events(spark, sf)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val streamByType = streamed.groupBy(_._2).map { case (t, ks) => t -> ks.length.toLong }
+    assert(streamed.length == streamed.distinct.length, "stream emitted a key twice")
+    assert(streamByType == batchLogical,
+      s"stream=$streamByType batch=$batchLogical")
+  }
 }
