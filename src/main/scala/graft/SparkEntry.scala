@@ -39,6 +39,11 @@ object SparkEntry {
     "q7_trade_volume" -> ((s, d) =>
       TradeVolume.q7TradeVolumeQ(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    // Q10 shape: returned-item exposure top-K — flag filter pushed to the
+    // scan, reduced fact sides joined, TakeOrderedAndProject
+    "q10_returned_topk" -> ((s, d) =>
+      ReturnedItems.q10ReturnedTopKQ(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d))),
     // Q15 shape: max-over-aggregate, decorrelated (1-row max fact joined
     // back); exact-cents max equality, integer-µs ship window
     "q15_top_supplier" -> ((s, d) =>
@@ -236,6 +241,10 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // …and its business twin: last-touch conversion attribution (LOCF
     // carries the touch TYPE; explicit _none channel for cold purchases)
+    // …and the U-shaped multi-touch model: 40/20/40 integer credits with
+    // EXACT conservation (remainder to the last touch, spec-pinned)
+    "attribution_positional" -> ((s, d) =>
+      PositionalAttribution.attributionPositionalQ(Tables.events(s, d))),
     "attribution_lasttouch" -> ((s, d) => Attribution.attributionLastTouchQ(Tables.events(s, d))),
     // rows-only operators (engine-specific hashes/models — spec-gated)
     "dedup_minhash_lsh" -> ((s, d) => Lsh.minhashLshQ(Tables.documents(s, d))),
@@ -365,6 +374,10 @@ object SparkEntry {
     // round 8: coverage curve over the unigram inventory — the OOV-rate
     // signal that sizes the vocabulary before tokenize_ids commits
     "vocab_coverage" -> ((s, d) => VocabCoverage.vocabCoverageQ(Tables.documents(s, d))),
+    // …and the corpus' own growth law: Heaps curve via min-doc-per-term
+    // (one pass turns every prefix distinct-count into a conditional)
+    "vocab_growth_curve" -> ((s, d) =>
+      VocabGrowth.vocabGrowthCurveQ(Tables.documents(s, d))),
     "corpus_shuffle" -> ((s, d) => CorpusShuffle.corpusShuffleQ(Tables.documents(s, d))),
     // round 8 (second half): C4-style line-level cleaning — per-line
     // structural gates + cleaned-text reassembly, over a committed
@@ -585,6 +598,7 @@ object SparkEntry {
     "doc_ngram_repetition" -> Curation.ngramRepetitionSql,
     "quality_select" -> Curation.qualitySelectSql,
     "quality_ensemble" -> QualityEnsemble.qualityEnsembleSql,
+    "q10_returned_topk" -> ReturnedItems.q10ReturnedTopKSql,
     "q15_top_supplier" -> TopSupplier.topSupplierSql,
     "q18_large_orders" -> LargeOrders.q18LargeOrdersSql,
     "q17_avg_filter" -> AvgFilter.q17AvgFilterSql,
@@ -601,6 +615,7 @@ object SparkEntry {
     "corpus_report" -> Curation.corpusReportSql,
     "vocab_build" -> Vocab.vocabBuildSql,
     "vocab_coverage" -> VocabCoverage.vocabCoverageSql,
+    "vocab_growth_curve" -> VocabGrowth.vocabGrowthCurveSql,
     "corpus_shuffle" -> CorpusShuffle.corpusShuffleSql,
     "line_filter" -> LineFilter.lineFilterSql,
     "url_domain_filter" -> UrlFilter.urlDomainFilterSql,
@@ -657,6 +672,7 @@ object SparkEntry {
     "user_ltv" -> UserLtv.userLtvSql,
     "knn_label_purity" -> KnnPurity.knnLabelPuritySql,
     "attribution_lasttouch" -> Attribution.attributionLastTouchSql,
+    "attribution_positional" -> PositionalAttribution.attributionPositionalSql,
     "html_clean" -> HtmlClean.htmlCleanSql,
     "keyword_search" -> KeywordSearch.keywordSearchSql,
     "url_canonicalize" -> UrlCanon.urlCanonicalizeSql,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DedupWeights, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, ProfileDrift, QualityEnsemble, SampleQuota, ShardManifest, Skipgram, SourceDivergence, SourceOverlap, SpanQuality, SplitLeakage, SplitRepair, TokenizeIds, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
+import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DedupWeights, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, ProfileDrift, QualityEnsemble, SampleQuota, ShardManifest, Skipgram, SourceDivergence, SourceOverlap, SpanQuality, SplitLeakage, SplitRepair, ThresholdSweep, TokenizeIds, TokenizerFertility, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -151,6 +151,16 @@ object StressCuration {
       time(s"dedup_weights_$tag") { DedupWeights.dedupWeights(docs) }
       time(s"split_repair_$tag") { SplitRepair.splitRepair(docs) }
       time(s"profile_drift_$tag") { ProfileDrift.profileDrift(docs) }
+      // round-8 continuation 5: the session's two corpus-scaled additions —
+      // fertility rides the tokenize stream + a doc-keyed spine join;
+      // threshold_sweep pays the τ=0 pair stream (denser than the shipped
+      // 0.8 contract: EVERY intersecting pair reaches the sweep agg —
+      // the adversarial direction for the near-dup replicas)
+      time(s"tokenizer_fertility_$tag") { TokenizerFertility.tokenizerFertility(docs) }
+      time(s"threshold_sweep_$tag") { ThresholdSweep.dedupThresholdSweep(docs) }
+      time(s"threshold_sweep_maxdf_$tag") {
+        ThresholdSweep.dedupThresholdSweep(docs, maxDf = Some(1000L))
+      }
     }
 
     spark.stop()

@@ -22,16 +22,23 @@ import org.apache.spark.sql.functions._
   * τ=0 — the SAME Σ df² inverted-index work the shipped exact contract
   * already pays (the filter was always the last, free step); then a
   * 1-ROW aggregate with two conditional sums per cut, unpivoted by
-  * stack — the sweep itself is corpus-free. All of the base operator's
-  * dials (maxDf, hot-key salting, broadcastSizes) apply unchanged.
+  * stack — the sweep itself is corpus-free. The base operator's dials
+  * pass through: `saltCandidates` (lossless placement fix) and `maxDf`
+  * (lossy volume cap — at τ=0 the pair stream inherits the exact
+  * contract's Σ df² in FULL, with none of the 0.8 filter's tail
+  * discount, so on a dense near-dup corpus maxDf is the dial that
+  * keeps the sweep affordable; StressCuration numbers in PERF.md).
   */
 object ThresholdSweep {
 
   /** Jaccard cuts in tenths; includes the shipped 0.8. */
   val CutsT10: Seq[Int] = Seq(5, 6, 7, 8, 9)
 
-  def dedupThresholdSweep(documents: DataFrame): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(documents, threshold = 0.0)
+  def dedupThresholdSweep(documents: DataFrame,
+                          maxDf: Option[Long] = None,
+                          saltCandidates: Option[Int] = None): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(documents, threshold = 0.0,
+        maxDf = maxDf, saltCandidates = saltCandidates)
       .select(col("inter").cast("long").as("inter"),
         expr("CAST(n1 + n2 - inter AS BIGINT)").as("u"))
     val aggCols = CutsT10.flatMap(t => Seq(

@@ -114,7 +114,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "profile_drift" -> ProfileDrift.profileDrift(d),
       // round-8 continuation (5th session)
       "tokenizer_fertility" -> TokenizerFertility.tokenizerFertility(d),
-      "dedup_threshold_sweep" -> ThresholdSweep.dedupThresholdSweep(d))
+      "dedup_threshold_sweep" -> ThresholdSweep.dedupThresholdSweep(d),
+      "vocab_growth_curve" -> VocabGrowth.vocabGrowthCurve(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
@@ -179,7 +180,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "late_arrival_audit" -> LateArrival.lateArrivalAudit(empty),
       "growth_accounting" -> GrowthAccounting.growthAccounting(empty),
       "activity_streaks" -> ActivityStreaks.activityStreaks(empty),
-      "audience_overlap" -> AudienceOverlap.audienceOverlap(empty))
+      "audience_overlap" -> AudienceOverlap.audienceOverlap(empty),
+      "attribution_positional" -> PositionalAttribution.attributionPositional(empty))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty events: $e")
