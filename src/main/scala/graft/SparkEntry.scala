@@ -44,6 +44,14 @@ object SparkEntry {
     "q10_returned_topk" -> ((s, d) =>
       ReturnedItems.q10ReturnedTopKQ(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.nation(s, d))),
+    // Q14 shape: promo share per ship month — dim attribute decides the
+    // numerator as a map-side flag on the broadcast join
+    "q14_promo_share" -> ((s, d) =>
+      PromoShare.q14PromoShareQ(Tables.lineitem(s, d), Tables.part(s, d))),
+    // Q19 shape: OR-of-ANDs residual on one hash join (never a nested
+    // loop / three scans); per-branch masses
+    "q19_disjunctive" -> ((s, d) =>
+      DisjunctiveJoin.q19DisjunctiveQ(Tables.lineitem(s, d), Tables.part(s, d))),
     // Q15 shape: max-over-aggregate, decorrelated (1-row max fact joined
     // back); exact-cents max equality, integer-µs ship window
     "q15_top_supplier" -> ((s, d) =>
@@ -251,6 +259,9 @@ object SparkEntry {
     // duplication TOPOLOGY: degree histogram of the near-dup pair graph
     // (the one-page readout that picks the salting/maxDf dials)
     "dedup_degree" -> ((s, d) => DedupDegree.dedupDegreeQ(Tables.documents(s, d))),
+    // …attributed to the mixture axis: per-source dup-doc rate with
+    // within/cross-source partner split
+    "source_dup_rate" -> ((s, d) => SourceDupRate.sourceDupRateQ(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Lsh.simhashQ(Tables.documents(s, d))),
     // oracled since round 4: multiProbe=MultiProbeGate makes LSH == brute
     // on the gate corpus (AnnOracleSpec), so the brute SQL is its oracle
@@ -572,6 +583,7 @@ object SparkEntry {
     "pii_redact" -> PiiRedact.piiRedactSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
     "dedup_degree" -> DedupDegree.dedupDegreeSql,
+    "source_dup_rate" -> SourceDupRate.sourceDupRateSql,
     "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
     "dedup_cluster_lsh" -> Dedup.dedupClustersSql,
@@ -599,6 +611,8 @@ object SparkEntry {
     "quality_select" -> Curation.qualitySelectSql,
     "quality_ensemble" -> QualityEnsemble.qualityEnsembleSql,
     "q10_returned_topk" -> ReturnedItems.q10ReturnedTopKSql,
+    "q14_promo_share" -> PromoShare.q14PromoShareSql,
+    "q19_disjunctive" -> DisjunctiveJoin.q19DisjunctiveSql,
     "q15_top_supplier" -> TopSupplier.topSupplierSql,
     "q18_large_orders" -> LargeOrders.q18LargeOrdersSql,
     "q17_avg_filter" -> AvgFilter.q17AvgFilterSql,

@@ -115,7 +115,8 @@ class EmptyInputSpec extends AnyFunSuite {
       // round-8 continuation (5th session)
       "tokenizer_fertility" -> TokenizerFertility.tokenizerFertility(d),
       "dedup_threshold_sweep" -> ThresholdSweep.dedupThresholdSweep(d),
-      "vocab_growth_curve" -> VocabGrowth.vocabGrowthCurve(d))
+      "vocab_growth_curve" -> VocabGrowth.vocabGrowthCurve(d),
+      "source_dup_rate" -> SourceDupRate.sourceDupRate(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
