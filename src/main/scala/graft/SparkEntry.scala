@@ -274,6 +274,9 @@ object SparkEntry {
     // round 8: REAL format-header decode — PNG IHDR + JPEG SOF segment
     // walk as pure byte-arithmetic expressions over committed fixtures,
     // and the RIFF/WAVE chunk-walk sibling for audio
+    // magic-byte dispatch in front of the three decoder families:
+    // container + media class from prefix bytes alone (O(prefix)/blob)
+    "media_sniff" -> ((s, _) => MediaSniff.mediaSniffQ(s)),
     "image_header_decode" -> ((s, _) => ImageHeaders.imageHeaderDecodeQ(s)),
     "audio_header_decode" -> ((s, _) => AudioHeaders.audioHeaderDecodeQ(s)),
     "video_header_decode" -> ((s, _) => VideoHeaders.videoHeaderDecodeQ(s)),
@@ -421,6 +424,9 @@ object SparkEntry {
     // key-keyed fingerprint join, VERSION AS OF as a log-window query
     "cdc_apply" -> ((s, d) => Cdc.cdcApplyQ(Tables.documents(s, d))),
     "snapshot_at" -> ((s, d) => Cdc.snapshotAtQ(Tables.documents(s, d))),
+    // …and the maintenance side: what a VACUUM could remove per version
+    // under latest-per-key + time-travel-window retention
+    "vacuum_plan" -> ((s, d) => VacuumPlan.vacuumPlanQ(Tables.documents(s, d))),
     "scd2_build" -> ((s, d) => Cdc.scd2BuildQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
@@ -578,6 +584,7 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_decode" -> Multimodal.multimodalDecodeSql,
     "image_header_decode" -> ImageHeaders.imageHeaderDecodeSql,
+    "media_sniff" -> MediaSniff.mediaSniffSql,
     "audio_header_decode" -> AudioHeaders.audioHeaderDecodeSql,
     "video_header_decode" -> VideoHeaders.videoHeaderDecodeSql,
     "pii_redact" -> PiiRedact.piiRedactSql,
@@ -640,6 +647,7 @@ object SparkEntry {
     "vocab_drift" -> VocabDrift.vocabDriftSql,
     "cdc_apply" -> Cdc.cdcApplySql,
     "snapshot_at" -> Cdc.snapshotAtSql,
+    "vacuum_plan" -> VacuumPlan.vacuumPlanSql,
     "scd2_build" -> Cdc.scd2BuildSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,

@@ -139,6 +139,17 @@ object Cdc {
        |  FROM documents
        |)""".stripMargin
 
+  /** base + synthetic change-log CTEs, shared by the three log consumers
+    * (SCD2 / snapshot / [[VacuumPlan]]) — one log text, can't drift. */
+  private[operators] val changeLogCtes: String =
+    s"""$baseCte, log AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS version, 'insert' AS op, fp FROM k
+       |  UNION ALL
+       |  SELECT doc_id, 2, 'update', md5(fp || ':u') FROM k WHERE k IN ('2', '3', '4')
+       |  UNION ALL
+       |  SELECT doc_id, 3, 'delete', CAST(NULL AS VARCHAR) FROM k WHERE k IN ('0', '1')
+       |)""".stripMargin
+
   val cdcApplySql: String =
     s"""WITH $baseCte, changes AS (
        |  SELECT doc_id, 'delete' AS op, CAST(NULL AS VARCHAR) AS c_fp
@@ -158,13 +169,7 @@ object Cdc {
        |ORDER BY doc_id""".stripMargin
 
   val scd2BuildSql: String =
-    s"""WITH $baseCte, log AS (
-       |  SELECT doc_id, CAST(1 AS BIGINT) AS version, 'insert' AS op, fp FROM k
-       |  UNION ALL
-       |  SELECT doc_id, 2, 'update', md5(fp || ':u') FROM k WHERE k IN ('2', '3', '4')
-       |  UNION ALL
-       |  SELECT doc_id, 3, 'delete', CAST(NULL AS VARCHAR) FROM k WHERE k IN ('0', '1')
-       |), iv AS (
+    s"""WITH $changeLogCtes, iv AS (
        |  SELECT doc_id, fp, op, version AS valid_from,
        |         lead(version) OVER (PARTITION BY doc_id ORDER BY version) AS valid_to
        |  FROM log
@@ -174,13 +179,7 @@ object Cdc {
        |ORDER BY doc_id, valid_from""".stripMargin
 
   val snapshotAtSql: String =
-    s"""WITH $baseCte, log AS (
-       |  SELECT doc_id, CAST(1 AS BIGINT) AS version, 'insert' AS op, fp FROM k
-       |  UNION ALL
-       |  SELECT doc_id, 2, 'update', md5(fp || ':u') FROM k WHERE k IN ('2', '3', '4')
-       |  UNION ALL
-       |  SELECT doc_id, 3, 'delete', CAST(NULL AS VARCHAR) FROM k WHERE k IN ('0', '1')
-       |), r AS (
+    s"""WITH $changeLogCtes, r AS (
        |  SELECT doc_id, version, op, fp,
        |         row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
        |  FROM log WHERE version <= $AsOfVersion

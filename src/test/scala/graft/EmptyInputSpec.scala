@@ -116,7 +116,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "tokenizer_fertility" -> TokenizerFertility.tokenizerFertility(d),
       "dedup_threshold_sweep" -> ThresholdSweep.dedupThresholdSweep(d),
       "vocab_growth_curve" -> VocabGrowth.vocabGrowthCurve(d),
-      "source_dup_rate" -> SourceDupRate.sourceDupRate(d))
+      "source_dup_rate" -> SourceDupRate.sourceDupRate(d),
+      "vacuum_plan" -> VacuumPlan.vacuumPlan(Cdc.changeLog(d)))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
