@@ -51,7 +51,7 @@ object EmbeddingDrift {
       .withColumn("no2", expr(EmbeddingOutlier.fold("transform(old_ci, x -> x * x)")))
       .withColumn("nn2", expr(EmbeddingOutlier.fold("transform(new_ci, x -> x * x)")))
       .withColumn("cos_shift",
-        expr("""CASE WHEN old_ci IS NULL OR new_ci IS NULL THEN NULL
+        expr("""CASE WHEN old_ci IS NULL OR new_ci IS NULL OR no2 = 0 OR nn2 = 0 THEN NULL
                |     ELSE CAST(dot AS DOUBLE) /
                |          (sqrt(CAST(no2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE)))
                |END""".stripMargin))
@@ -86,14 +86,20 @@ object EmbeddingDrift {
        |         old_ci, new_ci,
        |         COALESCE(old_n, 0) AS n_old, COALESCE(new_n, 0) AS n_new
        |  FROM oldc FULL JOIN newc ON oldc.label = newc.label
+       |), norms AS (
+       |  SELECT label, n_old, n_new, old_ci, new_ci,
+       |         CASE WHEN old_ci IS NULL THEN NULL
+       |              ELSE list_reduce([old_ci[i] * old_ci[i] for i in range(1, len(old_ci) + 1)], (a, b) -> a + b) END AS no2,
+       |         CASE WHEN new_ci IS NULL THEN NULL
+       |              ELSE list_reduce([new_ci[i] * new_ci[i] for i in range(1, len(new_ci) + 1)], (a, b) -> a + b) END AS nn2
+       |  FROM j
        |), folded AS (
        |  SELECT label, n_old, n_new,
-       |         CASE WHEN old_ci IS NULL OR new_ci IS NULL THEN NULL
+       |         CASE WHEN old_ci IS NULL OR new_ci IS NULL OR no2 = 0 OR nn2 = 0 THEN NULL
        |              ELSE CAST(list_reduce([old_ci[i] * new_ci[i] for i in range(1, len(old_ci) + 1)], (a, b) -> a + b) AS DOUBLE) /
-       |                   (sqrt(CAST(list_reduce([old_ci[i] * old_ci[i] for i in range(1, len(old_ci) + 1)], (a, b) -> a + b) AS DOUBLE)) *
-       |                    sqrt(CAST(list_reduce([new_ci[i] * new_ci[i] for i in range(1, len(new_ci) + 1)], (a, b) -> a + b) AS DOUBLE)))
+       |                   (sqrt(CAST(no2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE)))
        |         END AS cos_shift
-       |  FROM j
+       |  FROM norms
        |)
        |SELECT label, n_old, n_new, ${rsql("cos_shift", 6, "cos_shift")}
        |FROM folded

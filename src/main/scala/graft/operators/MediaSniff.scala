@@ -75,7 +75,7 @@ object MediaSniff {
        |  FROM b
        |)
        |SELECT file,
-       |       ${ClassCase.replace("\n", "\n       |       ").replace("CASE container", "CASE container")} AS media_class,
+       |       ${ClassCase.replace("\n", "\n       |       ")} AS media_class,
        |       container, byte_len
        |FROM c
        |ORDER BY file""".stripMargin

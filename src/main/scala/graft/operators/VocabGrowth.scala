@@ -91,7 +91,7 @@ object VocabGrowth {
        |  FROM fdoc CROSS JOIN mx
        |), dt AS (
        |  SELECT doc_id,
-       |         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS ntok
+       |         CAST(COALESCE(len(string_split_regex(lower(trim(text)), '\\s+')), 0) AS BIGINT) AS ntok
        |  FROM documents
        |), da AS (
        |  SELECT $dcols
