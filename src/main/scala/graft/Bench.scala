@@ -113,8 +113,19 @@ object Bench {
     val total = timings.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"repeat":$repeat,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("BENCH_OUT.json"), line + "\n")
-    println(line)
+    val outPath = Paths.get("BENCH_OUT.json").toAbsolutePath
+    Files.writeString(outPath, line + "\n")
+    // stdout gets a COMPACT summary line only: the full per-query map is
+    // >2 KB at 189 queries and the driver's log-tail window is ~2 KB, so
+    // printing the full line guarantees it arrives truncated (r08's
+    // "parsed": null). The short line always fits; the full map lives at
+    // the path it names.
+    val slow = timings.sortBy(-_._2).take(8)
+      .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"repeat":$repeat,"sf":"$sfDir","slowest":$slow,"queries_file":"$outPath"}"""
+    println(compact)
+    System.out.flush()
     spark.stop()
   }
 }
