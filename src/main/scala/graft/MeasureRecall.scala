@@ -62,6 +62,20 @@ object MeasureRecall {
       val recall = (exactPairs & mined).size.toDouble / exactPairs.size
       println(f"PAIR_RECALL mp=$mp recall=$recall%.4f pairs=${mined.size}/${exactPairs.size}")
     }
+
+    // round-9: does the LSH pair graph induce the EXACT component
+    // labeling? (components need connectivity, not every edge — pair
+    // recall < 1 can still give cluster identity)
+    val exactClusters = Similarity.embeddingClusters(emb)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 to 2).foreach { mp =>
+      val lshClusters = Similarity.embeddingClustersLsh(emb, multiProbe = mp)
+        .select("vec_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"CLUSTER mp=$mp identical=${lshClusters == exactClusters} " +
+        s"diff=${(exactClusters diff lshClusters).size}")
+    }
     spark.stop()
   }
 }

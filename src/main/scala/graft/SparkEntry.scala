@@ -139,9 +139,12 @@ object SparkEntry {
     // pass over the raw pair stream (integer cross-product predicates)
     "dedup_threshold_sweep" -> ((s, d) =>
       ThresholdSweep.dedupThresholdSweepQ(Tables.documents(s, d))),
-    // prefix-filtered twin: identical output (spec-pinned), Σ df_prefix²
-    // candidate cost — the lossless scale path for dense vocabularies
-    "dedup_prefix" -> ((s, d) => PrefixJoin.prefixJaccardQ(Tables.documents(s, d))),
+    // df-banded hybrid twin: identical output (spec-pinned). Cold
+    // shingles keep the plain inverted index; hot shingles go through
+    // the PPJoin prefix filter restricted to hot-heavy docs — plain-form
+    // cost on diffuse corpora, prefix-form win where hot shingles carry
+    // Σ df² (the r8 91 s pure-prefix price at gate shape is gone)
+    "dedup_prefix" -> ((s, d) => PrefixJoin.hybridJaccardQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
     "hard_negative_mine" -> ((s, d) => HardNegative.hardNegativesQ(Tables.embeddings(s, d))),
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedupQ(Tables.embeddings(s, d))),
@@ -152,6 +155,12 @@ object SparkEntry {
     // round 8: semantic CC — the embedding-side twin of dedup_cluster
     "embedding_cluster" -> ((s, d) =>
       Similarity.embeddingClustersQ(Tables.embeddings(s, d))),
+    // round 9: its LSH twin — hyperplane-bucket pair stage (Σ bucket²),
+    // same CC; components need connectivity, not every edge, and at the
+    // gate probe width the labeling is identical (AnnOracleSpec) so it
+    // shares the exact closure oracle (the #38→#39 argument)
+    "embedding_cluster_lsh" -> ((s, d) =>
+      Similarity.embeddingClustersLshQ(Tables.embeddings(s, d))),
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
     // gap-dial sensitivity: session counts at each candidate gap in ONE
@@ -417,6 +426,10 @@ object SparkEntry {
     // …and its distribution-shape sibling: how the unigram distribution
     // moved between versions (new/dropped terms + top ppm movers)
     "vocab_drift" -> ((s, d) => VocabDrift.vocabDriftQ(Tables.documents(s, d))),
+    // theta-sketch twin of the snapshot-diff family: fp-prefix-θ sampled
+    // distinct content sets, set algebra exact on the samples, estimates
+    // integer multiples of 1/p — one sampled pass, mergeable registers
+    "distinct_diff_sketch" -> ((s, d) => ThetaDiff.thetaDiffQ(Tables.documents(s, d))),
     // …and the table-shape drift row: per-source profile of both
     // versions side by side (doc/char/lang deltas, full-outer on source)
     "profile_drift" -> ((s, d) => ProfileDrift.profileDriftQ(Tables.documents(s, d))),
@@ -557,6 +570,7 @@ object SparkEntry {
     "embedding_dedup" -> Similarity.embeddingDedupSql,
     "embedding_dedup_incremental" -> Similarity.embeddingDedupIncrementalSql,
     "embedding_cluster" -> Similarity.embeddingClustersSql,
+    "embedding_cluster_lsh" -> Similarity.embeddingClustersSql,
     "sessionize" -> Sessionize.sessionizeSql,
     "session_gap_sweep" -> SessionGapSweep.sessionGapSweepSql,
     "event_funnel" -> Funnel.eventFunnelSql,
@@ -592,6 +606,10 @@ object SparkEntry {
     "dedup_degree" -> DedupDegree.dedupDegreeSql,
     "source_dup_rate" -> SourceDupRate.sourceDupRateSql,
     "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
+    // round 9: promoted — the id-only join-back made the recall-1 probe
+    // width economical (116 s → ~6 s at sf0.1), so the exact twin's SQL
+    // is now a valid AND affordable oracle (AnnOracleSpec row equality)
+    "embedding_dedup_lsh" -> Lsh.embeddingDedupLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
     "dedup_cluster_lsh" -> Dedup.dedupClustersSql,
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
@@ -645,6 +663,7 @@ object SparkEntry {
     "context_window_docs" -> ContextPack.contextWindowDocsSql,
     "corpus_diff" -> CorpusDiff.corpusDiffSql,
     "vocab_drift" -> VocabDrift.vocabDriftSql,
+    "distinct_diff_sketch" -> ThetaDiff.thetaDiffSql,
     "cdc_apply" -> Cdc.cdcApplySql,
     "snapshot_at" -> Cdc.snapshotAtSql,
     "vacuum_plan" -> VacuumPlan.vacuumPlanSql,

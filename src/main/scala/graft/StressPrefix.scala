@@ -66,6 +66,7 @@ object StressPrefix {
         s"prefix=${PrefixJoin.candidates(docs).count()}")
       time(s"${name}_exact") { Dedup.ngramJaccardPairs(docs) }
       time(s"${name}_prefix") { PrefixJoin.prefixJaccardPairs(docs) }
+      time(s"${name}_hybrid") { PrefixJoin.hybridJaccardPairs(docs) }
     }
     spark.stop()
   }

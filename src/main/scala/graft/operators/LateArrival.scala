@@ -48,6 +48,32 @@ object LateArrival {
   def lateArrivalAuditQ(events: DataFrame): DataFrame =
     lateArrivalAudit(events).orderBy("event_type")
 
+  /** JOB-LEVEL watermark sizing: per type, the maximum lateness vs the
+    * GLOBAL arrival high-watermark — the statistic a Structured
+    * Streaming `withWatermark` actually compares against (the per-user
+    * audit above bounds per-KEY state correctness; a job's watermark is
+    * global, so an event can be behind the global max by far more than
+    * behind its own user's). `max(max_behind_us)` over this report + a
+    * margin IS the delay at which the streaming twins drop zero events
+    * — WatermarkSpec derives it and proves both directions.
+    *
+    * Scale note: the global prefix-max window is deliberately
+    * unpartitioned — the statistic is inherently a sequential scan of
+    * the arrival order. This is a per-shard/per-day DIAGNOSTIC (run it
+    * on each ingest partition and take the max), not a registered
+    * corpus-wide query; the registered audit stays per-user-keyed. */
+  def globalLateness(events: DataFrame): DataFrame = {
+    val w = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("hwm", max("t_us").over(w))
+      .withColumn("behind_us",
+        expr("CASE WHEN hwm IS NOT NULL AND hwm > t_us THEN hwm - t_us ELSE 0 END"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max("behind_us").as("max_behind_us"))
+  }
+
   val lateArrivalAuditSql: String =
     """WITH marked AS (
       |  SELECT event_type,

@@ -284,10 +284,20 @@ object Lsh {
   def embeddingDedupLsh(embeddings: DataFrame,
                         threshold: Double = Similarity.DedupCosThreshold,
                         multiProbe: Int = 0): DataFrame = {
-    val b = lshBuckets(embeddings)
-    val a1 = b.select(col("vec_id").as("id1"), col("vd"), col("norm"), col("t"), col("key"))
-    val a2base = b.select(col("vec_id").as("id2"), col("vd").as("qv"), col("norm").as("qn"),
-      col("t"), col("key"))
+    // Candidate generation is ID-ONLY: the bucket self-join and the pair
+    // dedup carry two longs per row, and the 64-dim double vectors join
+    // back AFTER dropDuplicates — only |distinct pairs| rows ever carry
+    // arrays (the Dedup.ngramJaccardPairs join-back economics). Carrying
+    // vd/norm/qv/qn THROUGH the join cost ~3× at the wide probe widths
+    // (42 s → measured re-run at mp=2 on sf0.1, where the probe explosion
+    // makes the candidate stream ~16× the corpus-bucket product). The
+    // per-pair cosine and output rows are unchanged (same verify
+    // expression, same rounding).
+    val e = Similarity.withNorm(embeddings)
+      .select(col("vec_id"), col("vd"), col("norm"))
+    val b = lshBuckets(embeddings).select(col("vec_id"), col("t"), col("key"))
+    val a1 = b.select(col("vec_id").as("id1"), col("t"), col("key"))
+    val a2base = b.select(col("vec_id").as("id2"), col("t"), col("key"))
     val a2 =
       if (multiProbe <= 0) a2base
       else {
@@ -300,6 +310,10 @@ object Lsh {
     a1.join(a2, Seq("t", "key"))
       .filter(col("id1") < col("id2"))
       .dropDuplicates("id1", "id2")
+      .select("id1", "id2")
+      .join(e.select(col("vec_id").as("id1"), col("vd"), col("norm")), Seq("id1"))
+      .join(e.select(col("vec_id").as("id2"), col("vd").as("qv"),
+        col("norm").as("qn")), Seq("id2"))
       .withColumn("cos", expr(s"${Similarity.DotF} / (norm * qn)"))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), Parity.r("cos", 4))
@@ -308,17 +322,26 @@ object Lsh {
   /** Probe width at which pair mining provably equals the exact operator
     * on the gate corpus — measured (MeasureRecall): mp=0 recall 0.53, mp=1
     * recall 0.98, mp=2 recall 1.0, full-row equality spec-pinned
-    * (AnnOracleSpec). Deliberately NOT the registered-query config: at
-    * NBits=5, mp=2 probes half the keyspace per table, so the candidate
-    * join degenerates toward all-pairs × tables — measured 116 s at sf0.1
-    * vs 1.2 s for the exact all-pairs twin. Recall-1 threshold mining on a
-    * near-uniform corpus costs more than exact — which is itself the
-    * honest scale finding: the multi-probe dial pays off for pair mining
-    * only at large NBits (constant-size buckets), where a ≤m-flip probe
-    * set is a vanishing fraction of the keyspace. The registered query
-    * stays at mp=0 (rows-only, precision-1 + recall specs). */
+    * (AnnOracleSpec).
+    *
+    * History of the registered config: rounds 4–8 kept the query at mp=0
+    * (rows-only) because mp=2 measured 116 s at sf0.1 vs 1.2 s exact —
+    * but that cost was NOT inherent to the probe width: the old plan
+    * carried four 64-dim double arrays through the 16×-exploded
+    * candidate join and its dropDuplicates. With the round-9 id-only
+    * join-back (arrays attach AFTER pair dedup), mp=2 measures ~6 s at
+    * sf0.1 — so the recall-1 width is now economical, the registered
+    * query runs it, and the operator is sql-oracled against the exact
+    * twin's SQL (the same promotion knn_cosine_lsh earned at its mp=2).
+    * At 100 TB, large NBits (constant-size buckets) remains the
+    * operating point; the dial is unchanged. */
   val PairProbeRecallOne = 2
 
   def embeddingDedupLshQ(embeddings: DataFrame): DataFrame =
-    embeddingDedupLsh(embeddings).orderBy("id1", "id2")
+    embeddingDedupLsh(embeddings, multiProbe = PairProbeRecallOne)
+      .orderBy("id1", "id2")
+
+  /** Valid at [[PairProbeRecallOne]] — AnnOracleSpec pins full-row
+    * equality with the exact miner. */
+  val embeddingDedupLshSql: String = Similarity.embeddingDedupSql
 }

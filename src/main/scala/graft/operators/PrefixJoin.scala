@@ -98,10 +98,154 @@ object PrefixJoin {
       .select("id1", "id2", "n1", "n2", "inter", "jaccard")
   }
 
-  /** Registered form — same projection/rounding/order as
-    * [[Dedup.ngramJaccardQ]]; shares `ngramJaccardSql` as its oracle. */
+  /** Pure-prefix form with the [[Dedup.ngramJaccardQ]] projection; kept
+    * for the regime measurements (StressPrefix) and its spec. */
   def prefixJaccardQ(documents: DataFrame): DataFrame =
     prefixJaccardPairs(documents)
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
+        Parity.r("jaccard", 4))
+      .orderBy("id1", "id2")
+
+  /** Df-BANDED hybrid of the plain inverted index and the prefix filter —
+    * the registered `dedup_prefix` form. The pure forms each own one
+    * regime (PERF.md): the plain index wins on DIFFUSE candidate mass
+    * (its `inter` falls out of the candidate join; the prefix form's df
+    * ranking + array-verify overhead costs ~2.3× there), the prefix
+    * filter wins when hot shingles carry Σ df² (hotonly: candidates 12.5M
+    * → 0). The hybrid splits the shingle index at `dfBand`:
+    *
+    *  - COLD shingles (df ≤ band) keep the plain self-join. Per-key
+    *    candidate volume is bounded by band² (the [[Dedup.HotDfFloor]]
+    *    rationale — ≤ ~1M rows per key can never drown a reducer), so the
+    *    cold join needs neither salting nor maxDf: the band IS the skew
+    *    guard. The pair counts from this join are the exact shared-COLD-
+    *    token counts.
+    *  - HOT shingles (df > band) never enter a full self-join. A
+    *    qualifying pair with NO cold token in common shares o ≥ τ·max(n1,
+    *    n2) tokens that are all hot, so BOTH docs have ≥ ⌈τ·nsh⌉ hot
+    *    tokens ("hot-heavy"). Only those docs get the PPJoin treatment:
+    *    rank their full token sets by global rarity, keep the hot tokens
+    *    inside the `nsh − ⌈τ·nsh⌉ + 1` prefix, and self-join that sliver.
+    *    Every hot-only qualifying pair shares a prefix token (the prefix
+    *    theorem above, and the shared token is necessarily hot), so the
+    *    candidate set stays complete; on corpora with no hot-heavy docs
+    *    (a hot shingle pasted into otherwise-unique docs — the classic
+    *    boilerplate-header shape) the whole branch is EMPTY and the
+    *    quadratic hot mass is skipped outright, without maxDf's recall
+    *    loss.
+    *
+    * `inter` is then assembled exactly: shared-cold counts from the cold
+    * join, plus shared-hot counts probed per CANDIDATE pair against the
+    * per-doc hot-token lists (|pairs| × hot-tokens-per-doc rows — linear
+    * in the candidate set, never Σ_hot df²). Output is row-identical to
+    * [[Dedup.ngramJaccardQ]] (spec-pinned, same oracle). Cost vs plain on
+    * an all-cold corpus: one extra df window + two probes against empty
+    * frames (AQE collapses both to empty broadcasts) — measured ≤1.2×;
+    * on hot-carried corpora the hot mass vanishes from the join entirely.
+    *
+    * The exploded+df frame feeds 5 consumers and the merged pair frame 2
+    * — both localCheckpoint'd per the multi-consumer invariant. */
+  def hybridJaccardPairs(documents: DataFrame,
+                         dfBand: Long = Dedup.HotDfFloor,
+                         broadcastSizes: Boolean = true): DataFrame = {
+    val ceilTau = s"(($ThrNum * nsh + $ThrDen - 1) div $ThrDen)"
+    // df via a window over the shingle partitioning: one exchange, no
+    // agg+join-back (which would shuffle the index by sh twice). The
+    // frame feeds the cold join, the hot probes, and the hot-heavy
+    // stats — checkpoint per the multi-consumer invariant.
+    val exDf = Dedup.shingleExploded(documents)
+      .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .localCheckpoint()
+    val cold = exDf.filter(col("df") <= dfBand).select("doc_id", "sh")
+    val coldPairs = cold.select(col("doc_id").as("id1"), col("sh"))
+      .join(cold.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("ic"))
+    val sizes = Dedup.shingleSets(documents).select(col("doc_id"), col("nsh"))
+    def dim(df: DataFrame): DataFrame = if (broadcastSizes) broadcast(df) else df
+    def assemble(withInter: DataFrame): DataFrame = withInter
+      .join(dim(sizes.select(col("doc_id").as("id1"), col("nsh").as("n1"))), Seq("id1"))
+      .join(dim(sizes.select(col("doc_id").as("id2"), col("nsh").as("n2"))), Seq("id2"))
+      .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (n1 + n2 - inter)"))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .select("id1", "id2", "n1", "n2", "inter", "jaccard")
+    // Bounded driver probe (the hotShingles-sumRow class: one LIMIT-1
+    // action on a materialized frame, never a collect of data): when NO
+    // shingle exceeds the band — the diffuse-corpus regime — the whole
+    // hot apparatus is structurally empty, and building it anyway costs
+    // a pair-frame checkpoint plus probe joins for nothing (measured
+    // 1.75× plain on uniform10x before this gate; ≤1.2× after). The
+    // fast path is then the plain inverted index verbatim: ic IS inter.
+    val hasHot = !exDf.filter(col("df") > dfBand).isEmpty
+    if (!hasHot) return assemble(coldPairs.withColumnRenamed("ic", "inter"))
+    // per-doc (nsh, nhot) dims: feed the hot-heavy gate AND the
+    // feasibility bound below — 1 row per doc, 3 consumers, checkpoint
+    val docDims = exDf.groupBy("doc_id").agg(
+      count(lit(1)).as("nsh"),
+      sum(when(col("df") > dfBand, 1L).otherwise(0L)).as("nhot"))
+      .localCheckpoint()
+    // hot-heavy docs FIRST, rank window only over them: corpora whose
+    // hot shingles sit in non-hot-heavy docs (the boilerplate-header
+    // shape) never pay the per-doc sort either
+    val hotHeavy = docDims.filter(col("nhot") >= expr(ceilTau))
+      .select("doc_id", "nsh")
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val hotPref = exDf.join(hotHeavy, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(byRarity))
+      .filter(col("rnk") <= expr(s"nsh - $ceilTau + 1") && col("df") > dfBand)
+      .select("doc_id", "sh")
+    // 2 consumers (cold-overlap probe + anti) — small frame, cheap
+    val hotCand = hotPref.select(col("doc_id").as("id1"), col("sh"))
+      .join(hotPref.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+      .localCheckpoint()
+    // DISJOINT candidate union — deliberately NOT a full-outer join
+    // against the |coldPairs| frame (that SMJ re-shuffles millions of
+    // pairs to merge a handful): hotCand pairs already found by the
+    // cold join are detected with |hotCand|-sized probes instead, and
+    // the probes are inherently bounded — a hot-heavy doc has at most
+    // ⌊(1−τ)·nsh⌋ + 1 cold tokens by definition.
+    val overlap = hotCand
+      .join(cold.select(col("doc_id").as("id1"), col("sh")), Seq("id1"))
+      .join(cold.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
+      .select("id1", "id2").distinct()
+    val hotOnlyPairs = hotCand.join(overlap, Seq("id1", "id2"), "left_anti")
+      .withColumn("ic", lit(0L))
+    // FEASIBILITY PRUNE before anything touches the pair stream twice:
+    // true inter ≤ ic + min(nhot1, nhot2), and J ≥ τ ⟺ (num+den)·inter
+    // ≥ num·(n1+n2) over exact integers — so a pair failing
+    // (num+den)·(ic + min) ≥ num·(n1+n2) can NEVER qualify and is
+    // dropped here, shrinking the checkpoint + probe + assembly from
+    // |candidates| (millions on a dense corpus) to |near-dups|. The two
+    // dim joins ride the same map-side economics as the plain form's
+    // size join-backs (broadcastSizes dial).
+    val pairs = coldPairs.unionByName(hotOnlyPairs)
+      .join(dim(docDims.select(col("doc_id").as("id1"), col("nsh").as("n1"),
+        col("nhot").as("nh1"))), Seq("id1"))
+      .join(dim(docDims.select(col("doc_id").as("id2"), col("nsh").as("n2"),
+        col("nhot").as("nh2"))), Seq("id2"))
+      .filter(expr(s"($ThrNum + $ThrDen) * (ic + least(nh1, nh2)) >= $ThrNum * (n1 + n2)"))
+      .select("id1", "id2", "ic", "n1", "n2")
+      .localCheckpoint() // 2 consumers: shared-hot probe + final assembly
+    val hot = exDf.filter(col("df") > dfBand).select("doc_id", "sh")
+    val interHot = pairs.select("id1", "id2")
+      .join(hot.select(col("doc_id").as("id1"), col("sh")), Seq("id1"))
+      .join(hot.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("ih"))
+    // n1/n2 already ride the pair frame — no second size join
+    pairs.join(interHot, Seq("id1", "id2"), "left")
+      .withColumn("inter", expr("ic + coalesce(ih, CAST(0 AS BIGINT))"))
+      .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (n1 + n2 - inter)"))
+      .filter(col("jaccard") >= Dedup.JaccardThreshold)
+      .select("id1", "id2", "n1", "n2", "inter", "jaccard")
+  }
+
+  /** Registered form — same projection/rounding/order as
+    * [[Dedup.ngramJaccardQ]]; shares `ngramJaccardSql` as its oracle. */
+  def hybridJaccardQ(documents: DataFrame): DataFrame =
+    hybridJaccardPairs(documents)
       .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
         Parity.r("jaccard", 4))
       .orderBy("id1", "id2")

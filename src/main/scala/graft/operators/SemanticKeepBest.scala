@@ -36,8 +36,17 @@ import Parity.{r, rsql}
   */
 object SemanticKeepBest {
 
-  def semanticKeepBest(embeddings: DataFrame): DataFrame = {
-    val clusters = Similarity.embeddingClusters(embeddings)
+  def semanticKeepBest(embeddings: DataFrame): DataFrame =
+    semanticKeepBestOn(embeddings,
+      Similarity.embeddingClusters(embeddings))
+
+  /** Same selection over a caller-supplied cluster frame — lets the
+    * LSH-built clusters ([[Similarity.embeddingClustersLsh]]) drive the
+    * identical keep-best (cross-checked in AnnOracleSpec: identical
+    * labels ⇒ identical kept members, verified row-for-row). */
+  def semanticKeepBestOn(embeddings: DataFrame,
+                         clusterFrame: DataFrame): DataFrame = {
+    val clusters = clusterFrame
       .select(col("vec_id"), col("cluster_id"))
     val e = embeddings
       .repartition(col("vec_id"))

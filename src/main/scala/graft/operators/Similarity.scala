@@ -238,6 +238,49 @@ object Similarity {
   def embeddingClustersQ(embeddings: DataFrame): DataFrame =
     embeddingClusters(embeddings).orderBy("vec_id")
 
+  /** LSH twin of [[embeddingClusters]] — closes the semantic-cluster
+    * family's scale gap the same way the shingle side closed #38 → #39
+    * (dedup_cluster → dedup_cluster_lsh): the pair stage is
+    * [[Lsh.embeddingDedupLsh]]'s hyperplane-bucket join (Σ bucket², the
+    * 100 TB path) instead of the exact |n|² product; the CC stage is
+    * unchanged.
+    *
+    * Oracle argument (the dedup_cluster_lsh argument, adapted):
+    * connected components need CONNECTIVITY, not every edge — a missed
+    * pair is harmless whenever the component stays connected through
+    * other collisions. [[ClusterProbeGate]] is the measured probe width
+    * where the LSH pair graph induces the IDENTICAL component labeling
+    * on the gate corpus (MeasureRecall CLUSTER rows; spec-pinned
+    * row-identity in AnnOracleSpec — a corpus change that breaks it
+    * fails loudly there), so the registered query shares
+    * [[embeddingClustersSql]]'s recursive-closure oracle verbatim. */
+  def embeddingClustersLsh(embeddings: DataFrame,
+                           threshold: Double = DedupCosThreshold,
+                           multiProbe: Int = 0,
+                           maxIters: Int = 20): DataFrame = {
+    val pairs = Lsh.embeddingDedupLsh(embeddings, threshold, multiProbe)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val edges = pairs
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val vertices = embeddings.select(col("vec_id").as("doc_id"))
+    val (labels, _) = Dedup.propagateMinLabels(vertices, edges, maxIters)
+    labels
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+  }
+
+  /** Probe width at which the LSH pair graph provably induces the exact
+    * component labeling on the gate corpus — measured (MeasureRecall
+    * CLUSTER rows): mp=0 diverges on 27 labels, mp=1 on 1, mp=2 on 0;
+    * pinned end-to-end in AnnOracleSpec. Affordable because the pair
+    * stage's id-only join-back (see [[Lsh.PairProbeRecallOne]]) collapsed
+    * the mp=2 cost from 42 s to ~7 s at sf0.1. */
+  val ClusterProbeGate = 2
+
+  def embeddingClustersLshQ(embeddings: DataFrame): DataFrame =
+    embeddingClustersLsh(embeddings, multiProbe = ClusterProbeGate)
+      .orderBy("vec_id")
+
   /** DuckDB twin: the [[embeddingDedupSql]] pair CTEs + the recursive-CTE
     * transitive closure of [[Dedup.dedupClustersSql]] — min reachable id
     * per vector. */

@@ -49,6 +49,37 @@ object Skew {
     plain.unionByName(salted)
   }
 
+  /** PLAN-DRIVEN salting — closes the report → dial → mechanism loop
+    * executably: [[KeySkew]] reports hot keys, [[SaltingPlan]] sizes
+    * their salt factors, and this consumes that plan frame DIRECTLY
+    * (columns `key`, `salt_ways` — the saltingPlan output contract) so
+    * a user never wires the three by hand. Unlike [[saltedJoinHot]]'s
+    * single salt factor, each hot key is split its OWN `salt_ways`
+    * ways — the ceil-div factor that returns that key's per-task share
+    * to an average reducer's load — so a 100× key gets 32 subkeys while
+    * a 3× key gets 3, and right-side replication stays at
+    * Σ |hot right rows_k| · salt_k instead of |hot right| · max-salt.
+    * Every non-planned key takes the untouched plain join. Result
+    * equals `left.join(right, key)` row-for-row (spec-pinned). The plan
+    * frame is top-K-bounded by construction — always broadcast-sized. */
+  def saltedJoinPlanned(left: DataFrame, right: DataFrame, key: String,
+                        plan: DataFrame): DataFrame = {
+    val hot = broadcast(plan.select(col("key").as(key), col("salt_ways")).distinct())
+    val plain = left.join(hot.select(key), Seq(key), "left_anti")
+      .join(right.join(hot.select(key), Seq(key), "left_anti"), Seq(key))
+    val saltedLeft = left.join(hot, Seq(key))
+      .withColumn("_salt",
+        pmod(xxhash64(struct(left.columns.map(col).toIndexedSeq: _*)),
+          col("salt_ways")).cast("int"))
+      .drop("salt_ways")
+    // per-row bounded sequence inline at the generator (salt_ways ≥ 1 by
+    // the plan's ceil-div construction — no empty-array guard needed)
+    val saltedRight = right.join(hot, Seq(key))
+      .withColumn("_salt", explode(expr("sequence(0, CAST(salt_ways AS INT) - 1)")))
+      .drop("salt_ways")
+    plain.unionByName(saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt"))
+  }
+
   /** Two-stage skew-proof aggregation: partial aggregate on (key, salt),
     * then final aggregate on key. For algebraic aggregates this is exactly
     * the map-side-combine shape, made explicit so a heavy-hitter key is

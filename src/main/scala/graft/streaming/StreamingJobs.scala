@@ -49,8 +49,15 @@ object StreamingJobs {
       else expr("unix_micros(CAST(ts AS TIMESTAMP))"))
   }
 
-  /** Streaming tumbling-window counts with a 2 h watermark. */
-  def windowAggStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming tumbling-window counts. The watermark delay defaults to
+    * 2 h; production sizes it from the data instead —
+    * [[graft.operators.LateArrival.globalLateness]] reports the maximum
+    * arrival lateness vs the global high-watermark (exactly the
+    * statistic `withWatermark` compares against), and WatermarkSpec
+    * pins that a delay read off that audit drops zero events while an
+    * unsized delay provably drops — the audit → dial wiring. */
+  def windowAggStream(spark: SparkSession, dir: String,
+                      delay: String = "2 hours"): DataFrame = {
     val (tsIsLong, _) = eventsTsProbe(spark, dir)
     spark.readStream
       .schema(eventsRawSchema(tsIsLong))
@@ -58,7 +65,7 @@ object StreamingJobs {
       .withColumn("ts",
         if (tsIsLong) expr("timestamp_micros(ts div 1000)")
         else col("ts").cast("timestamp"))
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", delay)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),

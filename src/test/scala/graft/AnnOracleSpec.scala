@@ -162,6 +162,37 @@ class AnnOracleSpec extends AnyFunSuite {
     assert(lsh.sameElements(exact))
   }
 
+  test("embedding-cluster LSH twin: identical labeling at the gate probe width") {
+    // embedding_cluster_lsh shares embedding_cluster's recursive-closure
+    // oracle. Unlike the pair MINER (whose recall-1 width mp=2 costs more
+    // than exact — the documented trade), components need CONNECTIVITY,
+    // not every edge: at ClusterProbeGate the LSH pair graph's missed
+    // edges are all intra-component redundancy, so the labeling is
+    // IDENTICAL — pin it end to end; a corpus change that breaks the
+    // connectivity argument fails here loudly
+    val emb = Tables.embeddings(spark, gateSf)
+    def labels(df: DataFrame): Array[(Long, Long, Boolean)] =
+      df.select("vec_id", "cluster_id", "is_canonical").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val exact = labels(Similarity.embeddingClusters(emb))
+    val lsh = labels(Similarity.embeddingClustersLsh(
+      emb, multiProbe = Similarity.ClusterProbeGate))
+    assert(lsh.sameElements(exact),
+      s"LSH clusters != exact at mp=${Similarity.ClusterProbeGate}")
+    assert(exact.exists(t => !t._3), "no non-singleton cluster — vacuous")
+  }
+
+  test("semantic keep-best over LSH clusters equals the exact-built selection") {
+    // identical labels (pinned above) must force identical kept members —
+    // verify the composition row-for-row, not just by implication
+    val emb = Tables.embeddings(spark, gateSf)
+    def rows(df: DataFrame): Array[String] = df.collect().map(_.toString).sorted
+    val viaExact = rows(graft.operators.SemanticKeepBest.semanticKeepBest(emb))
+    val viaLsh = rows(graft.operators.SemanticKeepBest.semanticKeepBestOn(
+      emb, Similarity.embeddingClustersLsh(emb, multiProbe = Similarity.ClusterProbeGate)))
+    assert(viaLsh.sameElements(viaExact))
+  }
+
   test("maxDf cap: identity when loose, lossy-subset when tight") {
     val docs = Tables.documents(spark, sf)
     def pairSet(df: DataFrame): Set[(Long, Long)] =

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{Callable, CountDownLatch, Executors}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Cdc, VacuumPlan}
+import graft.sources.CommitLog
+
+/** The commit-log table format's protocol contract: atomic versioned
+  * commits, snapshot isolation, optimistic concurrency (one winner per
+  * version, loser retries), copy-on-write MERGE/DELETE replay whose
+  * read-at-version answers equal [[Cdc.snapshotAt]] on the same change
+  * log, retention-bounded vacuum, and the derived change feed driving
+  * [[VacuumPlan]] to the synthetic-log answer. */
+class CommitLogSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_commitlog").toString
+
+  test("append + read round-trip with snapshot isolation and time travel") {
+    val t = tmpTable()
+    assert(CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s")) == 0L)
+    val pinned = CommitLog.read(spark, t) // file list resolved NOW, at v0
+    assert(CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s")) == 1L)
+    assert(pinned.count() == 2, "pinned reader leaked a later commit")
+    assert(CommitLog.read(spark, t).count() == 3)
+    assert(CommitLog.read(spark, t, asOf = Some(0L)).count() == 2)
+  }
+
+  test("two concurrent writers race one version: exactly one wins, loser retries and lands") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((0L, "base")).toDF("id", "s"))
+    val addsA = CommitLog.stage(t, Seq((1L, "A")).toDF("id", "s"))
+    val addsB = CommitLog.stage(t, Seq((2L, "B")).toDF("id", "s"))
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    def racer(adds: Seq[String]) = pool.submit(new Callable[Boolean] {
+      def call(): Boolean = { start.await(); CommitLog.tryCommit(t, 1L, adds, Nil) }
+    })
+    val (fa, fb) = (racer(addsA), racer(addsB))
+    start.countDown()
+    val (wa, wb) = (fa.get(), fb.get())
+    pool.shutdown()
+    assert(wa ^ wb, s"exactly one writer may create version 1: A=$wa B=$wb")
+    // the loser's staged files are still invisible; it retries at the next
+    // version (appends commute) and both writers' rows land
+    val loser = if (wa) addsB else addsA
+    assert(CommitLog.read(spark, t).count() == 2)
+    assert(CommitLog.tryCommit(t, 2L, loser, Nil))
+    assert(CommitLog.read(spark, t).select("id").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L))
+  }
+
+  test("serializable rewrite: a concurrent commit forces Conflict, never a silent rebase") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "x")).toDF("id", "s")) // v0
+    val readFiles = CommitLog.liveFiles(t, 0L)
+    val adds = CommitLog.stage(t, Seq((1L, "x2")).toDF("id", "s"))
+    CommitLog.append(spark, t, Seq((9L, "y")).toDF("id", "s")) // intruder lands v1
+    val lost = CommitLog.replaceFiles(t, 0L, readFiles, adds)
+    assert(lost.isLeft, "rewrite against a stale snapshot must conflict")
+    // optimistic retry: re-read (the rewrite's inputs are unaffected by the
+    // intruder's append of a different key), commit against the new head
+    assert(CommitLog.replaceFiles(t, 1L, readFiles, adds) == Right(2L))
+    assert(CommitLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "x2"), (9L, "y")))
+  }
+
+  /** Replays [[Cdc.changeLog]] as REAL copy-on-write commits: commit 0 =
+    * v1 base inserts over hash-bucketed files, commit 1 = the v2 MERGE
+    * (rewrite only files containing updated keys), commit 2 = the v3
+    * DELETE (rewrite only files containing deleted keys). */
+  private def replay(): (String, DataFrame) = {
+    val docs = Tables.documents(spark, sf)
+    val log = Cdc.changeLog(docs).localCheckpoint()
+    val t = tmpTable()
+    CommitLog.append(spark, t,
+      log.filter($"version" === 1).select("doc_id", "version", "fp")
+        .repartition(4, $"doc_id"))
+    def rewrite(readV: Long, keys: DataFrame, target: DataFrame): Unit = {
+      val cur = CommitLog.read(spark, t, Some(readV))
+        .withColumn("file", regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
+      val affected = cur.join(keys, Seq("doc_id")).select("file").distinct()
+        .as[String].collect().toSeq
+      assert(affected.nonEmpty, "replay fixture produced no affected files")
+      val keysInAffected = cur.filter(col("file").isin(affected: _*)).select("doc_id")
+      val adds = CommitLog.stage(t,
+        target.join(keysInAffected, Seq("doc_id")).repartition(2, $"doc_id"))
+      assert(CommitLog.replaceFiles(t, readV, affected, adds).isRight)
+    }
+    rewrite(0L, log.filter($"version" === 2).select("doc_id"),
+      Cdc.snapshotAt(log, 2L).select("doc_id", "version", "fp"))
+    rewrite(1L, log.filter($"version" === 3).select("doc_id"),
+      Cdc.snapshotAt(log, 3L).select("doc_id", "version", "fp"))
+    (t, log)
+  }
+
+  private def tableState(t: String, v: Long): Set[(Long, Long, String)] =
+    CommitLog.read(spark, t, Some(v)).select("doc_id", "version", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  private def oracleState(log: DataFrame, v: Long): Set[(Long, Long, String)] =
+    Cdc.snapshotAt(log, v).select("doc_id", "version", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("copy-on-write replay: read-at-version equals snapshot_at on the same log") {
+    val (t, log) = replay()
+    (0L to 2L).foreach { v =>
+      val (got, want) = (tableState(t, v), oracleState(log, v + 1))
+      assert(want.nonEmpty, s"oracle empty at ${v + 1} — vacuous")
+      assert(got == want, s"version $v: table ${got.size} vs oracle ${want.size} rows")
+    }
+    // the MERGE commit was a genuine copy-on-write: it removed only files
+    // it rewrote, all of which exist in commit 0's adds
+    val Seq(c0, c1, _) = CommitLog.commits(t, 2L)
+    assert(c1.removes.nonEmpty && c1.removes.toSet.subsetOf(c0.adds.toSet))
+  }
+
+  test("vacuum: retained set derived from the real log; survivors read, horizon enforced") {
+    val (t, log) = replay()
+    val vMax = CommitLog.latestVersion(t)
+    assert(vMax == 2L)
+    // retain-last-1 ⇒ retained files = exactly those live at v_max
+    val retained = CommitLog.liveFiles(t, vMax).toSet
+    val all = CommitLog.commits(t, vMax).flatMap(_.adds).toSet
+    val deletable = CommitLog.vacuumable(t, VacuumPlan.RetainVersions)
+    assert(deletable.toSet == all -- retained)
+    assert(deletable.nonEmpty, "replay produced nothing vacuumable — vacuous")
+    assert(CommitLog.vacuum(t, VacuumPlan.RetainVersions).toSet == deletable.toSet)
+    // the retained snapshot still answers exactly; pre-horizon reads fail
+    assert(tableState(t, vMax) == oracleState(log, vMax + 1))
+    intercept[Exception] { CommitLog.read(spark, t, Some(0L)).collect() }
+  }
+
+  test("vacuum_plan over the DERIVED change feed matches the synthetic-log answer") {
+    val (t, _) = replay()
+    val derived = CommitLog.tableChanges(spark, t, "doc_id")
+      .select(col("doc_id"), (col("version") + 1).as("version"), col("op"))
+    def rows(df: DataFrame) = df
+      .select("version", "n_entries", "n_retained", "n_vacuumable", "n_tombstones_retained")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val got = rows(VacuumPlan.vacuumPlan(derived))
+    val want = rows(VacuumPlan.vacuumPlanQ(Tables.documents(spark, sf)))
+    assert(got == want, s"derived-feed vacuum plan diverges: $got vs $want")
+  }
+}

@@ -52,6 +52,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "dedup_incremental" -> Dedup.dedupIncremental(d),
       "dedup_incremental_noBcast" -> Dedup.dedupIncremental(d, broadcastBatch = false),
       "dedup_incremental_lsh" -> Dedup.dedupIncrementalLsh(d),
+      // round 9: the df-banded hybrid (both code paths — the empty corpus
+      // exercises the no-hot fast path; a banded synthetic would need data)
+      "dedup_prefix_hybrid" -> PrefixJoin.hybridJaccardPairs(d),
+      "distinct_diff_sketch" -> ThetaDiff.thetaDiff(d, d),
       "paragraph_dedup" -> ParagraphDedup.paragraphDedup(d),
       "winnow_fingerprint" -> Winnow.winnowFingerprint(d),
       "vocab_coverage" -> VocabCoverage.vocabCoverage(d),
@@ -243,6 +247,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "embedding_dedup" -> Similarity.embeddingDedup(e),
       "embedding_dedup_incremental" -> Similarity.embeddingDedupIncremental(e),
       "embedding_cluster" -> Similarity.embeddingClusters(e),
+      // round 9
+      "embedding_cluster_lsh" -> Similarity.embeddingClustersLsh(e),
       "semantic_keep_best" -> SemanticKeepBest.semanticKeepBest(e),
       "knn_cosine_lsh" -> Lsh.knnCosineLsh(e),
       "embedding_dedup_lsh" -> Lsh.embeddingDedupLsh(e),

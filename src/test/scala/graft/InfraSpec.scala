@@ -213,6 +213,32 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("planned salt closes the loop: q3/q5 fact join through saltingPlan's frame, row-identical at heavy skew") {
+    import graft.operators.{SaltingPlan, Skew}
+    // skew one REAL orderkey ~100×: replicate its lineitem rows (replicas
+    // keep the key — the adversarial direction for a key-hashed join)
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val hotKey = li.groupBy("l_orderkey").count()
+      .orderBy(col("count").desc, col("l_orderkey")).head().getLong(0)
+    val skewed = li.withColumn("rep", explode(expr(
+        s"sequence(1, CASE WHEN l_orderkey = ${hotKey}L THEN 100 ELSE 1 END)")))
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    // report → dial: the plan frame IS saltingPlan's output, unmodified
+    val plan = SaltingPlan.saltingPlan(skewed, col("l_orderkey")).localCheckpoint()
+    val saltBy = plan.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(saltBy.get(hotKey).exists(_ > 1),
+      s"plan did not split the hot key — fixture vacuous: $saltBy")
+    // dial → mechanism: same rows as the plain join, as a multiset
+    val viaPlan = Skew.saltedJoinPlanned(skewed, orders, "l_orderkey", plan)
+    val direct = skewed.join(orders, Seq("l_orderkey"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("l_orderkey", "l_linenumber", "l_quantity", "rep", "o_totalprice")
+      .count().collect().map(_.toSeq.toVector).toSet
+    assert(direct.count() > 0 && canon(viaPlan) == canon(direct))
+  }
+
   test("temp-view spark.sql runs the oracle SQL dialect for shared queries") {
     // these oracle strings are ANSI enough to run unmodified on Spark —
     // same text, DataFrame plan vs spark.sql plan, identical results

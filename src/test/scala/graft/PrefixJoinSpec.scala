@@ -63,17 +63,63 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(p(10) == 3 && p(5) == 2 && p(4) == 1 && p(1) == 1)
   }
 
+  test("df-banded hybrid is row-identical to the full inverted-index form") {
+    val exact = Dedup.ngramJaccardQ(docs).collect().toSeq
+    val hyb = PrefixJoin.hybridJaccardQ(docs).collect().toSeq
+    assert(hyb == exact, s"hybrid diverges: ${hyb.size} vs ${exact.size} rows")
+    assert(exact.nonEmpty, "gate corpus produces no pairs — identity test is vacuous")
+  }
+
+  test("hybrid: hot-only qualifying pairs flow through the hot-prefix branch") {
+    // 10 identical docs (every bigram df = 10 > band = 3 → ALL hot; every
+    // pair J = 1 and shares ONLY hot tokens — found iff the hot-heavy
+    // prefix branch works), plus near-dup cold docs (unique-ish bigrams,
+    // df ≤ 3 → plain-branch pairs), plus a universal hot bigram pasted
+    // into otherwise-unique docs (hot but NOT hot-heavy → must produce
+    // nothing). The plain form is the oracle for all three at once.
+    val hotDup = (0 until 10).map(i => (100L + i, "alpha beta gamma delta epsilon"))
+    val coldDup = Seq((200L, "p q r s t u v w x y zz"), (201L, "p q r s t u v w x y qq"))
+    val pasted = (0 until 8).map(i => (300L + i, s"common token a$i b$i c$i d$i"))
+    val mix = (hotDup ++ coldDup ++ pasted).toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(mix)
+      .select("id1", "id2", "inter").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hyb = PrefixJoin.hybridJaccardPairs(mix, dfBand = 3L)
+      .select("id1", "id2", "inter").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hyb == exact, s"hybrid diverges at band 3: $hyb vs $exact")
+    // the identical-doc pairs (hot-only) are present: C(10,2) = 45 of them
+    assert(exact.count { case (a, b, _) => a >= 100 && b < 200 } == 45)
+    // the cold near-dup pair is present too (exercises inter = ic + ih = ic)
+    assert(exact.exists { case (a, b, _) => a == 200L && b == 201L })
+  }
+
+  test("hybrid: pasted hot shingle in non-hot-heavy docs yields zero pairs") {
+    // every doc shares "common token" (df = 40 > band) but has only 1 hot
+    // token out of 4 (1 < ⌈0.8·4⌉ = 4 → not hot-heavy): the hot branch is
+    // empty by the hot-heavy bound, the cold join finds nothing, and the
+    // exact answer IS empty (J = 1/7) — the quadratic hot mass is skipped.
+    val n = 40
+    val hot = (0 until n).map(i => (i.toLong, s"common token u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    assert(PrefixJoin.hybridJaccardPairs(hot, dfBand = 3L).count() == 0)
+  }
+
   test("plan: no cartesian/nested-loop join and no corpus-sized broadcast") {
-    val plan = PrefixJoin.prefixJaccardQ(docs).queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in plan")
+    Seq(PrefixJoin.prefixJaccardQ(docs), PrefixJoin.hybridJaccardQ(docs))
+      .foreach { q =>
+        val plan = q.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), "nested loop in plan")
+      }
   }
 
   test("degenerate docs (0/1-word, NULL) are total and pair-free") {
     val deg = Seq((1L, ""), (2L, "one"), (3L, null.asInstanceOf[String]),
       (4L, "a b"), (5L, "a b")).toDF("doc_id", "text")
-    val rows = PrefixJoin.prefixJaccardQ(deg).collect()
-    // only the identical 2-word docs pair up (J = 1)
-    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
+    Seq(PrefixJoin.prefixJaccardQ(deg), PrefixJoin.hybridJaccardQ(deg))
+      .foreach { q =>
+        val rows = q.collect()
+        // only the identical 2-word docs pair up (J = 1)
+        assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
+      }
   }
 }
