@@ -34,6 +34,15 @@ object SparkEntry {
     "q18_large_orders" -> ((s, d) =>
       LargeOrders.q18LargeOrdersQ(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d))),
+    // Q13 shape: per-customer order-count DISTRIBUTION incl. the zero
+    // bucket — orders collapsed per custkey, LEFT join from customer,
+    // histogram (the outer-join-then-histogram decorrelation)
+    "q13_cust_dist" -> ((s, d) =>
+      CustDistribution.q13CustDistQ(Tables.customer(s, d), Tables.orders(s, d))),
+    // Q22 shape: scalar-aggregate balance threshold (integer cross-
+    // multiplied, no division) feeding an anti join on order existence
+    "q22_no_order_custs" -> ((s, d) =>
+      CustDistribution.q22NoOrderCustsQ(Tables.customer(s, d), Tables.orders(s, d))),
     // Q7 shape: directed nation-pair × ship-year trade matrix; one
     // fact-fact orderkey join, every dim leg broadcast
     "q7_trade_volume" -> ((s, d) =>
@@ -640,6 +649,8 @@ object SparkEntry {
     "q19_disjunctive" -> DisjunctiveJoin.q19DisjunctiveSql,
     "q15_top_supplier" -> TopSupplier.topSupplierSql,
     "q18_large_orders" -> LargeOrders.q18LargeOrdersSql,
+    "q13_cust_dist" -> CustDistribution.q13CustDistSql,
+    "q22_no_order_custs" -> CustDistribution.q22NoOrderCustsSql,
     "q17_avg_filter" -> AvgFilter.q17AvgFilterSql,
     "key_skew_report" -> KeySkew.keySkewReportSql,
     "salting_plan" -> SaltingPlan.saltingPlanSql,

@@ -56,8 +56,71 @@ object EquidepthHist {
       .select(col("bucket"), col("boundary_cents"), col("cum_rows"), col("n_rows"))
   }
 
+  /** Range-partitioned SCALE form (round 9) — the deployment rewrite the
+    * Scaladoc above promised and StressRelational's sf1 battery priced
+    * (the window form's global sort is a single-reducer: 4.6× at 10×
+    * volume and the only WindowExec-unpartitioned warning in the
+    * battery; this form removes the ceiling). Two moves:
+    *
+    *  1. VALUE-DOMAIN COLLAPSE first: group to (cents, cnt) — the global
+    *     order then runs over distinct values, not rows (already a big
+    *     cut), and
+    *  2. the [[Curation.tokenBudgetPackRange]] offset algebra:
+    *     repartitionByRange over cents (ties can't split — one row per
+    *     value), per-partition totals → a P-row prefix-sum frame (the
+    *     only unpartitioned window left, over P ≈ shuffle-partitions
+    *     rows — broadcast-fact class), broadcast the offsets back, local
+    *     cumsum per partition. Global cum(v) = offset + local cum.
+    *
+    * Boundary b = the value run CONTAINING global rank
+    * r_b = ((n−1)·b) div B + 1, i.e. `cum ≥ r_b AND cum − cnt < r_b` —
+    * a 16-row broadcast predicate join (the documented zone_map_prune
+    * fact-class nested loop). `cum(v)` = count(rows ≤ v) is exactly the
+    * window form's tie-closure `max(rn)`, so the outputs are
+    * row-identical (spec-pinned at several partition counts — the
+    * tokenBudgetPackRange shared-oracle argument) and the registered
+    * query shares [[equidepthHistSql]]. `pid` is DATA (the offset key):
+    * the checkpoint after repartitionByRange is a CORRECTNESS
+    * requirement (CLAUDE.md invariant). */
+  def equidepthHistRange(lineitem: DataFrame, buckets: Int = NumBuckets,
+                         numParts: Int = 0): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else lineitem.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
+    val vc = lineitem
+      .select(expr("CAST(round(l_extendedprice * 100.0) AS BIGINT)").as("cents"))
+      .groupBy("cents").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(parts, col("cents"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = vc.groupBy("pid").agg(sum("cnt").as("ptotal"))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("offset", coalesce(sum("ptotal").over(wOff), lit(0L)))
+      .select(col("pid").as("o_pid"), col("offset"))
+    val wLocal = Window.partitionBy("pid").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc.join(broadcast(offsets), col("pid") === col("o_pid"))
+      .withColumn("cum", sum("cnt").over(wLocal) + col("offset"))
+      .select("cents", "cnt", "cum")
+    val targets = totals.agg(coalesce(sum("ptotal"), lit(0L)).as("n"))
+      .select(explode(expr(
+        (1 to buckets).map(b =>
+          s"struct($b AS bucket, ((n - 1) * $b) div $buckets + 1 AS r, n)")
+          .mkString("array(", ", ", ")"))).as("s"))
+      .select(col("s.bucket").as("bucket"), col("s.r").as("r"), col("s.n").as("n"))
+    cum.join(broadcast(targets),
+        col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+      .select(col("bucket"), col("cents").as("boundary_cents"),
+        col("cum").as("cum_rows"), col("n").as("n_rows"))
+  }
+
+  /** Registered form — the scale rewrite, sharing the window form's
+    * oracle via the row-identity spec. */
   def equidepthHistQ(lineitem: DataFrame): DataFrame =
-    equidepthHist(lineitem).orderBy("bucket")
+    equidepthHistRange(lineitem).orderBy("bucket")
 
   val equidepthHistSql: String = {
     val b = NumBuckets

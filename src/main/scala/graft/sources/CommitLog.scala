@@ -73,7 +73,7 @@ object CommitLog {
     else {
       val s = Files.list(d)
       try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.endsWith(".json"))
+        .filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
         .map(_.stripSuffix(".json").toLong).foldLeft(-1L)(math.max)
       finally s.close()
     }
@@ -89,14 +89,82 @@ object CommitLog {
         lines.collect { case RemoveRe(f) => f }.toVector)
     }
 
-  /** Data files live at version asOf, in first-added order. */
-  def liveFiles(table: String, asOf: Long): Seq[String] = {
+  // ------------------------------------------------- log checkpointing
+
+  private def checkpointFile(table: String, v: Long): Path =
+    logDir(table).resolve(f"$v%020d.checkpoint.json")
+
+  /** Latest checkpoint at or below asOf, if any. */
+  private def latestCheckpoint(table: String, asOf: Long): Option[Long] = {
+    val d = logDir(table)
+    if (!Files.isDirectory(d)) None
+    else {
+      val s = Files.list(d)
+      try {
+        val cps = s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".checkpoint.json"))
+          .map(_.stripSuffix(".checkpoint.json").toLong)
+          .filter(_ <= asOf).toSeq
+        if (cps.isEmpty) None else Some(cps.max)
+      } finally s.close()
+    }
+  }
+
+  /** Write a checkpoint of the live-file state AT `version` — the log-
+    * compaction growth path: after N commits, replaying N JSON files per
+    * read is the bottleneck, so a checkpoint materializes the folded
+    * state and readers replay only the suffix (the Delta `_checkpoint`
+    * design). Safe to write at any time by anyone — it duplicates
+    * derivable state, so a torn/competing checkpoint write can at worst
+    * be ignored; correctness never depends on it (tryCommit's
+    * CREATE_NEW stays the only coordination point). */
+  def checkpoint(table: String, version: Long = -1L): Long = {
+    val v = if (version >= 0) version else latestVersion(table)
+    require(v >= 0, s"commit-log table $table has no commits")
+    val body = liveFilesFull(table, v).map(f => s"""{"add":"$f"}""")
+      .mkString("", "\n", "\n")
+    val tmp = logDir(table).resolve(s".cp_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, checkpointFile(table, v),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Full fold from commit 0 — used when no checkpoint exists and by
+    * [[checkpoint]] itself (which must not read its own kind). */
+  private def liveFilesFull(table: String, asOf: Long): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     commits(table, asOf).foreach { c =>
       c.removes.foreach(live.remove)
       c.adds.foreach(live.add)
     }
     live.toVector
+  }
+
+  /** Data files live at version asOf, in first-added order. Starts from
+    * the newest checkpoint ≤ asOf when one exists and replays only the
+    * commit suffix — O(suffix), not O(asOf). */
+  def liveFiles(table: String, asOf: Long): Seq[String] =
+    latestCheckpoint(table, asOf) match {
+      case None => liveFilesFull(table, asOf)
+      case Some(cp) =>
+        val lines = Files.readAllLines(checkpointFile(table, cp)).asScala
+        val live = scala.collection.mutable.LinkedHashSet.empty[String]
+        lines.collect { case AddRe(f) => f }.foreach(live.add)
+        ((cp + 1) to asOf).foreach { v =>
+          val c = commits0(table, v)
+          c.removes.foreach(live.remove)
+          c.adds.foreach(live.add)
+        }
+        live.toVector
+    }
+
+  private def commits0(table: String, v: Long): Commit = {
+    val lines = Files.readAllLines(commitFile(table, v)).asScala
+    Commit(v,
+      lines.collect { case AddRe(f) => f }.toVector,
+      lines.collect { case RemoveRe(f) => f }.toVector)
   }
 
   /** Snapshot-isolated read. `asOf = None` pins the latest version AT

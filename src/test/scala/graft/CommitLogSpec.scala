@@ -138,6 +138,24 @@ class CommitLogSpec extends AnyFunSuite {
     intercept[Exception] { CommitLog.read(spark, t, Some(0L)).collect() }
   }
 
+  test("log checkpoint: same state at every version, fewer commit reads after it") {
+    val (t, log) = replay()
+    val before = (0L to 2L).map(v => CommitLog.liveFiles(t, v))
+    assert(CommitLog.checkpoint(t, 1L) == 1L)
+    // reads at/after the checkpoint fold from it; reads before it replay
+    // the raw log — all three versions must answer identically
+    (0L to 2L).foreach { v =>
+      assert(CommitLog.liveFiles(t, v) == before(v.toInt),
+        s"checkpoint changed version $v's file list")
+    }
+    // and the data answers are untouched (the v2 snapshot reads through
+    // the checkpointed fold)
+    assert(tableState(t, 2L) == oracleState(log, 3L))
+    // a later checkpoint at head supersedes for head reads
+    CommitLog.checkpoint(t)
+    assert(CommitLog.liveFiles(t, 2L) == before(2))
+  }
+
   test("vacuum_plan over the DERIVED change feed matches the synthetic-log answer") {
     val (t, _) = replay()
     val derived = CommitLog.tableChanges(spark, t, "doc_id")

@@ -222,6 +222,7 @@ class EmptyInputSpec extends AnyFunSuite {
         StructField("o_orderpriority", StringType))))
     val ops: Seq[(String, DataFrame)] = Seq(
       "equidepth_hist" -> EquidepthHist.equidepthHist(emptyLineitem),
+      "equidepth_hist_range" -> EquidepthHist.equidepthHistRange(emptyLineitem),
       "column_outliers" -> ColumnOutliers.columnOutliers(emptyLineitem),
       "q4_late_exists" -> LateExists.q4LateExists(emptyOrders, emptyLineitem),
       // round-8 continuation (5th session)

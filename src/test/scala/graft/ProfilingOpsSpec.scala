@@ -31,6 +31,20 @@ class ProfilingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth range form is row-identical to the window form at several partition counts") {
+    // the scale rewrite (offset algebra over the value domain) must be a
+    // pure plan change: same rows whatever the range-partition width —
+    // the tokenBudgetPackRange shared-oracle argument
+    val li = Tables.lineitem(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("bucket")
+      .collect().map(_.toString).toSeq
+    val window = rows(EquidepthHist.equidepthHist(li))
+    Seq(1, 3, 8, 32).foreach { p =>
+      assert(rows(EquidepthHist.equidepthHistRange(li, numParts = p)) == window,
+        s"range form diverged at numParts=$p")
+    }
+  }
+
   test("planted outliers: fences in the doubled domain, boundary-exclusive") {
     import spark.implicits._
     // 11 values 0..10 (q1=2.5->idx ((10)*25)//100=2 -> v=2; q3 idx 7 -> 7;

@@ -89,4 +89,77 @@ class RelationalClassicsSpec extends AnyFunSuite {
     assert(plan.contains("EqualTo(p_brand,Brand#2)") && plan.contains("Or("),
       plan.take(2000))
   }
+
+  test("q13 planted: zero-order customers land in the zero bucket") {
+    import spark.implicits._
+    val cust = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val ord = Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("o_orderkey", "o_custkey")
+    val out = graft.operators.CustDistribution.q13CustDistQ(cust, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // two customers with no orders, one with 1, one with 2; ordering
+    // custdist DESC then c_count DESC
+    assert(out == Seq((0L, 2L), (2L, 1L), (1L, 1L)))
+  }
+
+  test("q13 gate: histogram masses recount and cover every customer") {
+    val out = graft.operators.CustDistribution
+      .q13CustDistQ(Tables.customer(spark, sf), Tables.orders(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._2).sum == Tables.customer(spark, sf).count(),
+      "histogram must partition the customer set")
+    val orderMass = out.map { case (c, n) => c * n }.sum
+    assert(orderMass == Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey")).count(),
+      "Σ count·custdist must equal the joined order mass")
+  }
+
+  test("q22 planted: integer cross-product cut; recency (not lifetime) decides the anti join") {
+    import spark.implicits._
+    // positive balances 10.00 and 20.00 → avg 15.00; negative ignored in
+    // the average but still below the cut; cust 2 (20.00) is above but
+    // ordered RECENTLY → excluded; cust 4 (30.00) is above and its only
+    // order predates the cutoff → KEPT (the recency semantics — a
+    // lifetime anti join would drop it)
+    val cust = Seq(
+      (1L, 7L, 10.00), (2L, 7L, 20.00), (3L, 8L, -5.00), (4L, 8L, 30.00))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val ord = Seq((100L, 2L, "1999-01-01"), (101L, 4L, "1996-05-05"))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = graft.operators.CustDistribution.q22NoOrderCustsQ(cust, ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((8L, 1L, 3000L)))
+    // boundary: bal exactly equal to the average is NOT above it
+    val cust2 = Seq((1L, 7L, 10.00), (2L, 7L, 20.00), (5L, 9L, 15.00))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val out2 = graft.operators.CustDistribution
+      .q22NoOrderCustsQ(cust2, ord).collect()
+    assert(!out2.exists(_.getLong(0) == 9L), "avg-equal balance leaked past the strict cut")
+  }
+
+  test("q22 gate: non-vacuous at gate scale and recounted from plain Scala") {
+    import org.apache.spark.sql.functions._
+    // driver-gate SF: at sf0.001 every customer has a recent order, so
+    // the non-vacuity claim lives where the gate actually runs
+    val sf = "/root/testdata/sf0.01"
+    val cust = Tables.customer(spark, sf)
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT) AS c_nationkey",
+        "CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (n, s) = (pos.length.toLong, pos.sum)
+    val recent = Tables.orders(spark, sf)
+      .filter(expr(s"CAST(o_orderdate AS DATE) >= DATE '${graft.operators.CustDistribution.RecencyCutoff}'"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expected = cust.filter(c => c._3 * n > s && !recent(c._1))
+      .groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (nk, cs) => (nk, cs.length.toLong, cs.map(_._3).sum) }
+    val out = graft.operators.CustDistribution
+      .q22NoOrderCustsQ(Tables.customer(spark, sf), Tables.orders(spark, sf))
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "numcust", "totacctbal_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == expected)
+    assert(out.nonEmpty, "q22 vacuous at gate scale — cutoff needs re-planting")
+  }
 }
