@@ -364,6 +364,10 @@ object SparkEntry {
     "char_diversity" -> ((s, d) => CharDiversity.charDiversityQ(Tables.documents(s, d))),
     // round 8 cont.: exact rank-selected per-source token-length quantiles
     "length_quantiles" -> ((s, d) => LengthQuantiles.lengthQuantilesQ(Tables.documents(s, d))),
+    // sampled-quantile sketch twin: fp-hash-θ sample + the same exact
+    // rank selection — engine-neutral (sql-oracled, unlike t-digest),
+    // 3σ RANK guarantee spec-pinned; the per-source sort shrinks by 1/p
+    "quantile_sketch" -> ((s, d) => QuantileSketch.quantileSketchQ(Tables.documents(s, d))),
     // round 8: sub-document dedup — fixed-token-window paragraphs,
     // per-window duplicate-of-earlier verdicts, per-doc dup-fraction gate
     "paragraph_dedup" -> ((s, d) => ParagraphDedup.paragraphDedupQ(Tables.documents(s, d))),
@@ -635,6 +639,7 @@ object SparkEntry {
     "semantic_keep_best" -> SemanticKeepBest.semanticKeepBestSql,
     "char_diversity" -> CharDiversity.charDiversitySql,
     "length_quantiles" -> LengthQuantiles.lengthQuantilesSql,
+    "quantile_sketch" -> QuantileSketch.quantileSketchSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBestSql,

@@ -156,6 +156,44 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.liveFiles(t, 2L) == before(2))
   }
 
+  test("MERGE INTO against the real format: cdc_apply's surviving rows are the table's next snapshot") {
+    // #119's relational MERGE becomes an actual transaction: commit 0 =
+    // the keyed snapshot (doc_id, fp); commit 1 = copy-on-write of the
+    // files containing changed keys. The resulting table state must be
+    // exactly cdcApply's non-deleted (doc_id, fp) — the semantics and
+    // the storage protocol agreeing on the same batch.
+    val docs = Tables.documents(spark, sf)
+    val changes = Cdc.changeBatch(docs).localCheckpoint()
+    val t = tmpTable()
+    val fpExpr = "md5(lower(trim(regexp_replace(coalesce(text, ''), '\\\\s+', ' '))))"
+    CommitLog.append(spark, t,
+      docs.select(col("doc_id"), expr(fpExpr).as("fp")).repartition(4, $"doc_id"))
+    // copy-on-write MERGE: affected files = those holding updated or
+    // deleted keys (inserts only add); rewrite them with the post-merge
+    // rows for their keys, and stage the inserted keys alongside
+    val cur = CommitLog.read(spark, t, Some(0L))
+      .withColumn("file", regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1))
+    val touched = changes.filter($"op" =!= "insert").select("doc_id")
+    val affected = cur.join(touched, Seq("doc_id")).select("file").distinct()
+      .as[String].collect().toSeq
+    val keysInAffected = cur.filter(col("file").isin(affected: _*)).select("doc_id")
+    val merged = Cdc.cdcApply(docs, changes)
+      .select(col("doc_id"), col("fp"), col("status")).localCheckpoint()
+    val rewritten = merged.join(keysInAffected, Seq("doc_id")).select("doc_id", "fp")
+    val inserted = merged.filter($"status" === "inserted").select("doc_id", "fp")
+    val adds = CommitLog.stage(t, rewritten.unionByName(inserted).repartition(2, $"doc_id"))
+    assert(CommitLog.replaceFiles(t, 0L, affected, adds).isRight)
+    val tableState = CommitLog.read(spark, t).select("doc_id", "fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val mergeAnswer = merged.select("doc_id", "fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(mergeAnswer.nonEmpty && tableState == mergeAnswer,
+      s"table ${tableState.size} vs merge ${mergeAnswer.size}")
+    // and the batch genuinely exercised all three verbs
+    val ops = changes.select("op").distinct().as[String].collect().toSet
+    assert(ops == Set("insert", "update", "delete"))
+  }
+
   test("vacuum_plan over the DERIVED change feed matches the synthetic-log answer") {
     val (t, _) = replay()
     val derived = CommitLog.tableChanges(spark, t, "doc_id")

@@ -56,6 +56,7 @@ class EmptyInputSpec extends AnyFunSuite {
       // exercises the no-hot fast path; a banded synthetic would need data)
       "dedup_prefix_hybrid" -> PrefixJoin.hybridJaccardPairs(d),
       "distinct_diff_sketch" -> ThetaDiff.thetaDiff(d, d),
+      "quantile_sketch" -> QuantileSketch.quantileSketch(d),
       "paragraph_dedup" -> ParagraphDedup.paragraphDedup(d),
       "winnow_fingerprint" -> Winnow.winnowFingerprint(d),
       "vocab_coverage" -> VocabCoverage.vocabCoverage(d),
