@@ -172,6 +172,9 @@ object SparkEntry {
       Similarity.embeddingClustersLshQ(Tables.embeddings(s, d))),
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
+    // native twin: Catalyst's own SessionWindow node, projected back to
+    // the same contract (+1 µs boundary mapping, spec-pinned identical)
+    "sessionize_native" -> ((s, d) => Sessionize.sessionizeNativeQ(Tables.events(s, d))),
     // gap-dial sensitivity: session counts at each candidate gap in ONE
     // window pass (360-min row cross-derives against sessionize by spec)
     "session_gap_sweep" -> ((s, d) =>
@@ -585,6 +588,7 @@ object SparkEntry {
     "embedding_cluster" -> Similarity.embeddingClustersSql,
     "embedding_cluster_lsh" -> Similarity.embeddingClustersSql,
     "sessionize" -> Sessionize.sessionizeSql,
+    "sessionize_native" -> Sessionize.sessionizeSql,
     "session_gap_sweep" -> SessionGapSweep.sessionGapSweepSql,
     "event_funnel" -> Funnel.eventFunnelSql,
     "funnel_latency" -> FunnelLatency.funnelLatencySql,

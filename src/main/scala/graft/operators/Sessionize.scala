@@ -66,6 +66,54 @@ object Sessionize {
         col("n_types"), r("sum_value", 2))
       .orderBy("user_id", "session_seq")
 
+  /** NATIVE twin (round 9) — the same sessions through Spark's own
+    * `session_window` aggregate instead of the lag/running-sum window
+    * algebra above: Catalyst's dedicated SessionWindow node does the
+    * merge, and the output is projected back to this operator's exact
+    * contract. Two mappings make the twin bit-identical (spec-pinned,
+    * shares [[sessionizeSql]]):
+    *
+    *  - BOUNDARY: the hand-rolled rule keeps an event in-session at
+    *    `t − prev ≤ gap` (strictly-greater splits). `session_window`'s
+    *    end is INCLUSIVE — an event at exactly `prev + gap` merges
+    *    (pinned by the boundary fixture in SessionNativeSpec) — so the
+    *    native gap is `GapUs` verbatim: both forms split strictly
+    *    beyond the gap.
+    *  - EDGES: session_window.start = min event ts; .end = max event
+    *    ts + gap, so `session_end_us = unix_micros(end) − GapUs`.
+    *    `session_seq` (not carried by the native node) is a per-user
+    *    row_number over window start — partitions are session-sized.
+    */
+  def sessionizeNative(events: DataFrame): DataFrame = {
+    val nativeGap = GapUs
+    val seq = Window.partitionBy("user_id").orderBy(col("session_start_us"))
+    events
+      .select(col("user_id"), col("ts"), col("event_type"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("c"))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$nativeGap microseconds").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("event_type").as("n_types"),
+        sum("c").as("sum_c"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        (unix_micros(col("w.end")) - nativeGap).as("session_end_us"),
+        col("n_events"), col("n_types"), col("sum_c"))
+      .withColumn("session_seq", row_number().over(seq).cast("long"))
+      .withColumn("duration_sec",
+        expr("CAST(session_end_us - session_start_us AS DOUBLE) / 1000000.0"))
+      .withColumn("sum_value", expr("CAST(sum_c AS DOUBLE) / 100.0"))
+  }
+
+  /** Registered form — same projection/order as [[sessionizeQ]], same
+    * oracle. */
+  def sessionizeNativeQ(events: DataFrame): DataFrame =
+    sessionizeNative(events)
+      .select(col("user_id"), col("session_seq"), col("session_start_us"),
+        col("session_end_us"), r("duration_sec", 6), col("n_events"),
+        col("n_types"), r("sum_value", 2))
+      .orderBy("user_id", "session_seq")
+
   /** Shared CTE chain ending in `sess` — nested by [[sessionizeSql]] and
     * [[IntervalJoin.intervalJoinSql]] so the session definition cannot
     * drift between the rollup and the containment-join consumer. */

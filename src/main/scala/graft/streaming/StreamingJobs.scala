@@ -412,6 +412,84 @@ object StreamingJobs {
     closed.iterator
   }
 
+  /** [[SessEvent]] plus the watermark-bearing timestamp column (the
+    * event-time column must survive into the Dataset for
+    * EventTimeTimeout). */
+  case class SessEventWm(user_id: Long, t_us: Long, c: Option[Long],
+                         ts: java.sql.Timestamp)
+
+  /** [[sessionizeFn]] plus watermark-driven closure: on EventTimeTimeout
+    * (the watermark passed open-session end + gap) the open session is
+    * emitted and the state removed. */
+  def sessionizeWmFn(gapUs: Long)(
+      userId: Long,
+      events: Iterator[SessEventWm],
+      state: GroupState[SessState]): Iterator[ClosedSession] = {
+    def sumValue(s: SessState): Option[Double] =
+      if (s.nC == 0) None else Some(s.sumC / 100.0)
+    if (state.hasTimedOut) {
+      val cur = state.get
+      state.remove()
+      Iterator.single(ClosedSession(userId, cur.startUs, cur.lastUs,
+        cur.nEvents, sumValue(cur)))
+    } else {
+      val sorted = events.toArray.sortBy(_.t_us)
+      var cur = state.getOption.orNull
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      for (e <- sorted) {
+        val c = e.c.getOrElse(0L)
+        val nc = if (e.c.isDefined) 1L else 0L
+        if (cur == null) cur = SessState(e.t_us, e.t_us, 1, c, nc)
+        else if (e.t_us - cur.lastUs > gapUs) {
+          closed += ClosedSession(userId, cur.startUs, cur.lastUs,
+            cur.nEvents, sumValue(cur))
+          cur = SessState(e.t_us, e.t_us, 1, c, nc)
+        } else cur = SessState(math.min(cur.startUs, e.t_us),
+          math.max(cur.lastUs, e.t_us),
+          cur.nEvents + 1, cur.sumC + c, cur.nC + nc)
+      }
+      if (cur != null) {
+        state.update(cur)
+        // close when the EVENT-TIME watermark strictly passes end + gap:
+        // at that point no event that could extend this session can
+        // still arrive (it would be later than the watermark permits)
+        state.setTimeoutTimestamp(cur.lastUs / 1000 + gapUs / 1000 + 1)
+      }
+      closed.iterator
+    }
+  }
+
+  /** WATERMARK-CLOSED sessionization — the audit-wired upgrade of
+    * [[sessionizeStream]]: the NoTimeout form can never close a user's
+    * FINAL session (closure needs a later event from the same user), so
+    * tail sessions sit in state forever and the batch twin's last row
+    * per user is structurally unreachable. Here the watermark — `delay`
+    * sized from [[graft.operators.LateArrival.globalLateness]]
+    * (WatermarkSpec derives it and pins both directions) — drives
+    * EventTimeTimeout eviction: a session closes exactly when the
+    * watermark passes its end + gap, i.e. when the audit certifies no
+    * extending event can still arrive. Emitted set = batch sessions
+    * closed by a successor PLUS final sessions the watermark has passed
+    * — nothing dropped, nothing closed early (spec-pinned). */
+  def sessionizeStreamWm(spark: SparkSession, dir: String, delay: String,
+                         gapUs: Long = Sessionize.GapUs): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val (tsIsLong, _) = eventsTsProbe(spark, dir)
+    spark.readStream
+      .schema(eventsRawSchema(tsIsLong))
+      .parquet(dir)
+      .withColumn("ts",
+        if (tsIsLong) expr("timestamp_micros(ts div 1000)")
+        else col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .select(col("user_id"), expr("unix_micros(ts)").as("t_us"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("c"), col("ts"))
+      .as[SessEventWm]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        sessionizeWmFn(gapUs))
+  }
+
   /** Streaming sessionization over the same file source. */
   def sessionizeStream(spark: SparkSession, dir: String,
                        gapUs: Long = Sessionize.GapUs): Dataset[ClosedSession] = {

@@ -97,6 +97,70 @@ class WatermarkSpec extends AnyFunSuite {
       s"unsized watermark failed to drop the late event: $got0")
   }
 
+  test("watermarked sessionize: audit-derived delay closes batch-identically, tail sessions included") {
+    import graft.operators.Sessionize
+    val events = Tables.events(spark, sf)
+    val delaySec = LateArrival.globalLateness(events).collect()
+      .map(_.getAs[Long]("max_behind_us")).max / 1000000 + 1
+    // arrival-ordered 4-chunk replay (the real-events pattern below)
+    val src = Files.createTempDirectory("graft-wmsess-src").toString
+    val out = Files.createTempDirectory("graft-wmsess-out").toString
+    val ckpt = Files.createTempDirectory("graft-wmsess-ckpt").toString
+    val ordered = events.orderBy("event_id")
+      .select(col("event_id"), unix_micros(col("ts")).as("t_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .collect()
+    ordered.grouped(math.max(ordered.length / 4, 1)).foreach { c =>
+      val rows = c.map(r => Row(r.getLong(0), r.getLong(1) * 1000L, r.getLong(2),
+        r.getString(3), r.getAs[java.lang.Double](4), "{}"))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1),
+        StreamingJobs.eventsRawSchema(tsIsLong = true))
+        .write.mode("append").parquet(src)
+      val q = StreamingJobs.sessionizeStreamWm(spark, src, s"$delaySec seconds")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    type Sess = (Long, Long, Long, Long, java.lang.Double)
+    val streamed: Set[Sess] = spark.read.parquet(out)
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[java.lang.Double](4))).toSet
+    val batch = Sessionize.sessionize(events)
+    val lastSeq = batch.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("session_seq").as("mx"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Sess] = df
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[java.lang.Double](4))).toSet
+    val withSucc = rows(batch.join(lastSeq, Seq("user_id"))
+      .filter(col("session_seq") =!= col("mx")))
+    val finals = rows(batch.join(lastSeq, Seq("user_id"))
+      .filter(col("session_seq") === col("mx")))
+    val wmMs = (ordered.map(_.getLong(1)).max - delaySec * 1000000L) / 1000L
+    def timeoutMs(endUs: Long) =
+      endUs / 1000 + Sessionize.GapUs / 1000 + 1
+    // (a) every streamed row is a REAL batch session, bit for bit
+    assert(streamed.subsetOf(withSucc ++ finals),
+      s"phantom sessions: ${(streamed -- withSucc -- finals).take(3)}")
+    // (b) nothing closed by a successor is lost
+    assert(withSucc.subsetOf(streamed),
+      s"lost closed sessions: ${(withSucc -- streamed).take(3)}")
+    // (c) every final session safely past the watermark was emitted —
+    //     the NoTimeout twin structurally cannot do this
+    val due = finals.filter(s => timeoutMs(s._3) + 2 <= wmMs)
+    assert(due.subsetOf(streamed), s"tail sessions not closed: ${(due -- streamed).take(3)}")
+    assert(due.nonEmpty, "no tail session due — vacuous")
+    // (d) nothing closed EARLY: a streamed final session's timeout had
+    //     (within ms-boundary tolerance) passed the watermark
+    (streamed -- withSucc).foreach { s =>
+      assert(timeoutMs(s._3) <= wmMs + 2, s"session closed before its time: $s")
+    }
+  }
+
   test("real gate events: audit-derived delay reproduces the batch twin on all closed windows") {
     // The driver's events are arrival-ordered (measured: global lateness
     // is 0 at every SF), so here the audit honestly reports "in order"
