@@ -274,6 +274,41 @@ object CommitLog {
     del
   }
 
+  /** RESTORE (the Delta verb): roll the table's LIVE state back to what
+    * it was at `toVersion` — as a NEW commit, never by rewriting
+    * history: the restore removes the files the target version doesn't
+    * reference and re-adds the ones it does (data files are immutable
+    * and still on disk as long as vacuum hasn't passed them). Time
+    * travel through the bad versions keeps working, and the restore
+    * itself is serializable (commits at head+1 or conflicts like any
+    * rewrite). Returns the new version, or a [[Conflict]] if another
+    * writer moved the head. */
+  def restore(table: String, toVersion: Long): Either[Conflict, Long] = {
+    val head = latestVersion(table)
+    require(toVersion >= 0 && toVersion <= head,
+      s"restore target $toVersion outside [0, $head]")
+    val target = liveFiles(table, toVersion)
+    val current = liveFiles(table, head)
+    val removes = current.filterNot(target.toSet)
+    val adds = target.filterNot(current.toSet)
+    replaceFiles(table, head, removes, adds)
+  }
+
+  /** OPTIMIZE (small-file compaction) through the log: rewrite the
+    * current live files into `targetFiles` larger ones as one
+    * serializable commit. Content-identical by construction (one read,
+    * one write of the same rows); PRE-compaction versions remain
+    * readable until vacuum passes them — the r8 compaction InfraSpec
+    * row, now owned by the table format instead of bare parquet. */
+  def compact(spark: SparkSession, table: String,
+              targetFiles: Int = 1): Either[Conflict, Long] = {
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    val current = liveFiles(table, head)
+    val adds = stage(table, read(spark, table, Some(head)).repartition(targetFiles))
+    replaceFiles(table, head, current, adds)
+  }
+
   /** Row-level change feed DERIVED from consecutive snapshots (the CDF
     * read). The minimal format stores only file actions, so changes are
     * reconstructed with one full-outer key join per version step —

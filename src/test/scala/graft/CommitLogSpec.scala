@@ -194,6 +194,33 @@ class CommitLogSpec extends AnyFunSuite {
     assert(ops == Set("insert", "update", "delete"))
   }
 
+  test("RESTORE rolls live state back as a new commit; history stays readable") {
+    val (t, log) = replay()
+    // restore to the post-merge state (version 1), undoing the deletes
+    assert(CommitLog.restore(t, 1L) == Right(3L))
+    assert(tableState(t, 3L) == oracleState(log, 2L),
+      "restored head must equal the target version's state")
+    // the bad version is still time-travelable, and the restore is a
+    // COMMIT — the pre-restore head is intact too
+    assert(tableState(t, 2L) == oracleState(log, 3L))
+    // restore recomputes against the live head, so it composes with
+    // later commits (its serializability is replaceFiles', already
+    // pinned by the stale-rewrite test above)
+    CommitLog.append(spark, t, Seq((999999L, 1L, "ff")).toDF("doc_id", "version", "fp"))
+    assert(CommitLog.restore(t, 0L).isRight)
+  }
+
+  test("OPTIMIZE compacts live files into one, content-identical, old versions intact") {
+    val (t, log) = replay()
+    val before = tableState(t, 2L)
+    val filesBefore = CommitLog.liveFiles(t, 2L).size
+    assert(filesBefore > 1, "nothing to compact — vacuous")
+    assert(CommitLog.compact(spark, t).isRight)
+    assert(CommitLog.liveFiles(t, 3L).size == 1)
+    assert(tableState(t, 3L) == before, "compaction changed table content")
+    assert(tableState(t, 2L) == oracleState(log, 3L), "pre-compaction version broken")
+  }
+
   test("vacuum_plan over the DERIVED change feed matches the synthetic-log answer") {
     val (t, _) = replay()
     val derived = CommitLog.tableChanges(spark, t, "doc_id")
