@@ -103,6 +103,27 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(PrefixJoin.hybridJaccardPairs(hot, dfBand = 3L).count() == 0)
   }
 
+  test("hybrid dispatcher: all-cold corpus skips the hot apparatus; banded corpus plans it") {
+    // the LIMIT-1 driver probe is load-bearing — on an all-cold corpus
+    // the returned plan must contain NO rank window (row_number only
+    // exists in the hot-heavy prefix branch; the df window is count())
+    val cold = (0 until 40).map(i => (i.toLong, s"u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    // the rank window itself sits behind checkpoints (LogicalRDD in the
+    // final tree), so the observable dispatcher evidence is the hot
+    // PROBE stage: the fast path never plans the ih aggregation
+    val coldPlan = PrefixJoin.hybridJaccardPairs(cold)
+      .queryExecution.analyzed.toString
+    assert(!coldPlan.contains("ih#"),
+      "all-cold corpus still planned the hot probe stage")
+    // and with hot shingles present the probe stage IS planned
+    val hot = (0 until 10).map(i => (100L + i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val hotPlan = PrefixJoin.hybridJaccardPairs(hot, dfBand = 3L)
+      .queryExecution.analyzed.toString
+    assert(hotPlan.contains("ih#"), "hot corpus lost the probe stage")
+  }
+
   test("plan: no cartesian/nested-loop join and no corpus-sized broadcast") {
     Seq(PrefixJoin.prefixJaccardQ(docs), PrefixJoin.hybridJaccardQ(docs))
       .foreach { q =>
