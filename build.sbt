@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes to stdout RAW (no sbt `[info] ` prefix):
+// the driver tails stdout for Bench's one-line JSON summary, and the
+// logger prefix breaks its parse (BENCH_r09.json "parsed": null even
+// though the line was present).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -173,7 +173,8 @@ object SparkEntry {
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
     // native twin: Catalyst's own SessionWindow node, projected back to
-    // the same contract (+1 µs boundary mapping, spec-pinned identical)
+    // the same contract (gap passed verbatim — session_window's inclusive
+    // end IS the hand-rolled '> gap' split; spec-pinned identical)
     "sessionize_native" -> ((s, d) => Sessionize.sessionizeNativeQ(Tables.events(s, d))),
     // gap-dial sensitivity: session counts at each candidate gap in ONE
     // window pass (360-min row cross-derives against sessionize by spec)

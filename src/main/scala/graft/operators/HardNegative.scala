@@ -9,8 +9,9 @@ import Parity.r
 /** Hard-negative mining over the embedding corpus — the contrastive-
   * training data op: for each query vector, the top-k most-similar
   * vectors whose LABEL DIFFERS (reference similarity surface:
-  * eeg_features.py:71-84; the cross-label restriction is the standard
-  * triplet/contrastive mining step layered on it). "Hardest" negatives =
+  * test_train.py:108-113's cosine gallery scoring; the cross-label
+  * restriction is the standard triplet/contrastive mining step layered
+  * on it). "Hardest" negatives =
   * highest-cosine cross-label neighbors; these are the pairs a
   * contrastive objective learns most from.
   *

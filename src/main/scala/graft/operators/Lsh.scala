@@ -293,6 +293,12 @@ object Lsh {
     // makes the candidate stream ~16× the corpus-bucket product). The
     // per-pair cosine and output rows are unchanged (same verify
     // expression, same rounding).
+    // `e` feeds two join-back consumers (and lshBuckets re-derives the
+    // norms separately) WITHOUT a localCheckpoint — a deliberate
+    // qualitySelect-style exception to the multi-consumer invariant:
+    // upstream is a bare scan+map, and materializing a corpus-sized
+    // frame of 64-dim arrays to save two cheap map passes is the wrong
+    // trade at 100 TB (economics only; correctness is unaffected).
     val e = Similarity.withNorm(embeddings)
       .select(col("vec_id"), col("vd"), col("norm"))
     val b = lshBuckets(embeddings).select(col("vec_id"), col("t"), col("key"))

@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
 /** Prefix-filtered exact Jaccard self-join (PPJoin-class candidate
   * generation) — the sub-quadratic upgrade of [[Dedup.ngramJaccardPairs]]
   * for corpora whose candidate cost Σ df(s)² is dominated by frequent
-  * shingles. (Reference near-dup surface: eeg_features.py:71-84's
-  * pairwise pandas similarity, re-expressed at corpus scale.)
+  * shingles. (Reference pairwise-similarity surface: test_train.py:108-113
+  * scores every prediction against a gallery by cosine — the all-pairs
+  * intent this family re-expresses at corpus scale.)
   *
   * Principle (Bayardo et al. "Scaling Up All Pairs", Xiao et al. PPJoin —
   * public literature): order every document's shingle set by ONE global

@@ -46,9 +46,11 @@ import org.apache.spark.sql.functions._
   * is a driver-side fold over file NAMES, never data; data-file listing
   * is explicit in the log (no directory scans over 100 TB of parquet);
   * reads hand Spark a closed file list so partition pruning and column
-  * pruning work unchanged. A production format adds checkpoint
-  * compaction of the log itself once commits reach thousands; out of
-  * scope at this size and noted here as the known growth path.
+  * pruning work unchanged. Log growth is handled by [[checkpoint]]
+  * (the Delta `_checkpoint` design): a checkpoint materializes the
+  * folded live-file state at a version, and [[liveFiles]] replays only
+  * the commit suffix past the newest checkpoint — O(suffix) per read
+  * instead of O(commits).
   */
 object CommitLog {
 
@@ -66,6 +68,31 @@ object CommitLog {
   private val AddRe = """\{"add":"([^"]+)"\}""".r
   private val RemoveRe = """\{"remove":"([^"]+)"\}""".r
 
+  /** Parse one commit line, FAILING LOUDLY on anything that matches
+    * neither action pattern — a malformed or future-extended line must
+    * not yield a silently wrong snapshot (the commits() contract). Blank
+    * trailing lines are tolerated (every writer ends the file with \n). */
+  private def parseActions(lines: Iterable[String],
+                           where: Path): (Vector[String], Vector[String]) = {
+    val adds = Vector.newBuilder[String]
+    val removes = Vector.newBuilder[String]
+    lines.foreach {
+      case AddRe(f) => adds += f
+      case RemoveRe(f) => removes += f
+      case l if l.trim.isEmpty => ()
+      case l => throw new IllegalStateException(
+        s"unparseable action line in $where: '$l'")
+    }
+    (adds.result(), removes.result())
+  }
+
+  /** Data-file names are embedded in JSON string literals without
+    * escaping; [[stage]] generates uuid-part-NNNNN names so this never
+    * fires in normal operation — it guards a hand-built commit. */
+  private def requireSafeName(f: String): Unit =
+    require(!f.exists(c => c == '"' || c == '\\' || c < ' '),
+      s"data file name contains a JSON-breaking character: '$f'")
+
   /** Latest committed version, -1 for a table with no commits. */
   def latestVersion(table: String): Long = {
     val d = logDir(table)
@@ -82,12 +109,7 @@ object CommitLog {
   /** Commits 0..asOf, parsed. Missing commit file = corrupt/vacuumed-log
     * table → fail loudly. */
   def commits(table: String, asOf: Long): Seq[Commit] =
-    (0L to asOf).map { v =>
-      val lines = Files.readAllLines(commitFile(table, v)).asScala
-      Commit(v,
-        lines.collect { case AddRe(f) => f }.toVector,
-        lines.collect { case RemoveRe(f) => f }.toVector)
-    }
+    (0L to asOf).map(commits0(table, _))
 
   // ------------------------------------------------- log checkpointing
 
@@ -149,9 +171,12 @@ object CommitLog {
     latestCheckpoint(table, asOf) match {
       case None => liveFilesFull(table, asOf)
       case Some(cp) =>
-        val lines = Files.readAllLines(checkpointFile(table, cp)).asScala
+        val cpFile = checkpointFile(table, cp)
+        val (cpAdds, cpRemoves) =
+          parseActions(Files.readAllLines(cpFile).asScala, cpFile)
+        require(cpRemoves.isEmpty, s"checkpoint $cpFile contains removes")
         val live = scala.collection.mutable.LinkedHashSet.empty[String]
-        lines.collect { case AddRe(f) => f }.foreach(live.add)
+        cpAdds.foreach(live.add)
         ((cp + 1) to asOf).foreach { v =>
           val c = commits0(table, v)
           c.removes.foreach(live.remove)
@@ -161,10 +186,9 @@ object CommitLog {
     }
 
   private def commits0(table: String, v: Long): Commit = {
-    val lines = Files.readAllLines(commitFile(table, v)).asScala
-    Commit(v,
-      lines.collect { case AddRe(f) => f }.toVector,
-      lines.collect { case RemoveRe(f) => f }.toVector)
+    val f = commitFile(table, v)
+    val (adds, removes) = parseActions(Files.readAllLines(f).asScala, f)
+    Commit(v, adds, removes)
   }
 
   /** Snapshot-isolated read. `asOf = None` pins the latest version AT
@@ -209,6 +233,7 @@ object CommitLog {
     * the create-exclusive race for that version number. */
   def tryCommit(table: String, version: Long,
                 adds: Seq[String], removes: Seq[String]): Boolean = {
+    (adds ++ removes).foreach(requireSafeName)
     Files.createDirectories(logDir(table))
     val body = (removes.map(f => s"""{"remove":"$f"}""") ++
       adds.map(f => s"""{"add":"$f"}""")).mkString("", "\n", "\n")
@@ -257,6 +282,10 @@ object CommitLog {
     * (`version > v_max - RetainVersions`, plus everything the retained
     * snapshots themselves still reference). */
   def vacuumable(table: String, retainVersions: Long): Seq[String] = {
+    // retain = 0 would empty the retained window and delete every live
+    // data file out from under the current snapshot — the same guard as
+    // Delta's retention-duration check
+    require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val vMax = latestVersion(table)
     require(vMax >= 0, s"commit-log table $table has no commits")
     val retained = ((vMax - retainVersions + 1).max(0L) to vMax)
@@ -264,12 +293,43 @@ object CommitLog {
     commits(table, vMax).flatMap(_.adds).distinct.filterNot(retained)
   }
 
-  /** Physically delete the vacuumable files. Readers pinned inside the
-    * retention window are unaffected (their file lists survive); reads
-    * at vacuumed-away versions fail on the missing files — the Delta
-    * time-travel-horizon contract. */
-  def vacuum(table: String, retainVersions: Long): Seq[String] = {
-    val del = vacuumable(table, retainVersions)
+  private val PartFileRe = """[0-9a-f]{8}-part-\d{5}\.parquet""".r
+
+  /** Staged-but-never-committed data files (a replaceFiles/compact that
+    * lost its race and whose caller didn't clean up) are referenced by NO
+    * commit, so [[vacuumable]] — which folds the log — can't see them.
+    * This lists them from the one directory scan vacuum already implies.
+    * Age-gated (file mtime older than `minAgeMs`) so a CONCURRENT stage
+    * mid-commit is never swept: its files are seconds old, an orphan from
+    * a lost race has been sitting since the race. */
+  def orphanFiles(table: String, minAgeMs: Long): Seq[String] = {
+    val dir = Paths.get(table)
+    if (!Files.isDirectory(dir)) return Nil
+    val vMax = latestVersion(table)
+    val referenced: Set[String] =
+      if (vMax < 0) Set.empty
+      else commits(table, vMax).flatMap(_.adds).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => PartFileRe.matches(p.getFileName.toString))
+      .filter(p => !referenced(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .map(_.getFileName.toString).toVector.sorted
+    finally s.close()
+  }
+
+  /** Physically delete the vacuumable files, plus (when `sweepOrphans`)
+    * any staged-but-never-committed leftovers older than `orphanMinAgeMs`
+    * — without the sweep, repeated optimistic-retry conflicts leak disk
+    * forever. Readers pinned inside the retention window are unaffected
+    * (their file lists survive); reads at vacuumed-away versions fail on
+    * the missing files — the Delta time-travel-horizon contract. */
+  def vacuum(table: String, retainVersions: Long,
+             sweepOrphans: Boolean = true,
+             orphanMinAgeMs: Long = 10L * 60 * 1000): Seq[String] = {
+    val del = vacuumable(table, retainVersions) ++
+      (if (sweepOrphans) orphanFiles(table, orphanMinAgeMs) else Nil)
     del.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
     del
   }
@@ -288,6 +348,13 @@ object CommitLog {
     require(toVersion >= 0 && toVersion <= head,
       s"restore target $toVersion outside [0, $head]")
     val target = liveFiles(table, toVersion)
+    // the horizon-enforcement edge: a prior vacuum may have dropped files
+    // only the target version references — committing the restore anyway
+    // would manufacture a corrupt HEAD (not just a failing time-travel
+    // read), so check existence BEFORE committing and fail loudly
+    val gone = target.filterNot(f => Files.exists(Paths.get(table, f)))
+    require(gone.isEmpty,
+      s"restore target $toVersion references vacuumed data files: ${gone.mkString(", ")}")
     val current = liveFiles(table, head)
     val removes = current.filterNot(target.toSet)
     val adds = target.filterNot(current.toSet)
@@ -306,7 +373,12 @@ object CommitLog {
     require(head >= 0, s"commit-log table $table has no commits")
     val current = liveFiles(table, head)
     val adds = stage(table, read(spark, table, Some(head)).repartition(targetFiles))
-    replaceFiles(table, head, current, adds)
+    val res = replaceFiles(table, head, current, adds)
+    // a lost race leaves the staged rewrite referenced by nothing: clean
+    // it up here so retry loops don't leak (vacuum's orphan sweep is the
+    // backstop for callers that crash before reaching this line)
+    if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    res
   }
 
   /** Row-level change feed DERIVED from consecutive snapshots (the CDF

@@ -221,6 +221,56 @@ class CommitLogSpec extends AnyFunSuite {
     assert(tableState(t, 2L) == oracleState(log, 3L), "pre-compaction version broken")
   }
 
+  test("vacuum × restore interplay: inside the horizon restores exactly; past it fails loudly without committing") {
+    // direction 1: the vacuum RETAINED the target's files (retain-last-2
+    // keeps every file any of v1/v2 references) — restore works and the
+    // restored head answers exactly
+    val (t, log) = replay()
+    CommitLog.vacuum(t, 2L)
+    assert(CommitLog.restore(t, 1L) == Right(3L))
+    assert(tableState(t, 3L) == oracleState(log, 2L))
+    // direction 2: a retain-last-1 vacuum DROPPED files only v1
+    // references (the v2 delete-rewrite removed them from the live set) —
+    // the restore must fail BEFORE committing, never manufacture a head
+    // over missing files
+    val (t2, _) = replay()
+    val dropped = CommitLog.vacuum(t2, 1L).toSet
+    assert(CommitLog.liveFiles(t2, 1L).exists(dropped), "fixture vacuous: v1 lost no files")
+    val headBefore = CommitLog.latestVersion(t2)
+    intercept[IllegalArgumentException] { CommitLog.restore(t2, 1L) }
+    assert(CommitLog.latestVersion(t2) == headBefore, "failed restore must not commit")
+    // restoring to the (fully retained) head itself still works
+    assert(CommitLog.restore(t2, headBefore).isRight)
+  }
+
+  test("orphan sweep: staged-but-never-committed files are vacuumed, age-gated") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    val orphan = CommitLog.stage(t, Seq((2L, "b")).toDF("id", "s"))
+    // the log fold can't see them, and fresh files survive the age gate
+    // (a concurrent stage mid-commit must never be swept)
+    assert(CommitLog.vacuumable(t, 1L).isEmpty)
+    assert(CommitLog.orphanFiles(t, minAgeMs = 60000L).isEmpty,
+      "fresh staged files must survive the age gate")
+    val swept = CommitLog.vacuum(t, 1L, orphanMinAgeMs = 0L)
+    assert(swept.toSet == orphan.toSet, s"sweep got $swept, want $orphan")
+    assert(CommitLog.read(spark, t).count() == 1, "committed data touched")
+  }
+
+  test("guards: retain >= 1 enforced, malformed action lines loud, JSON-breaking names rejected") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    intercept[IllegalArgumentException] { CommitLog.vacuumable(t, 0L) }
+    intercept[IllegalArgumentException] {
+      CommitLog.tryCommit(t, 1L, Seq("evil\"name.parquet"), Nil)
+    }
+    // a future-extended/malformed action must not yield a silently wrong
+    // snapshot: write a non-add/remove line as commit 1 and read through it
+    Files.writeString(java.nio.file.Paths.get(t, "_graft_log", f"${1L}%020d.json"),
+      "{\"metaData\":{\"id\":\"x\"}}\n")
+    intercept[IllegalStateException] { CommitLog.liveFiles(t, 1L) }
+  }
+
   test("vacuum_plan over the DERIVED change feed matches the synthetic-log answer") {
     val (t, _) = replay()
     val derived = CommitLog.tableChanges(spark, t, "doc_id")

@@ -7,8 +7,10 @@ import graft.operators.Sessionize
 
 /** The native session_window twin's contract: bit-identical rows to the
   * hand-rolled window algebra on the gate corpus, and the µs boundary
-  * semantics pinned on planted exact-gap fixtures (the +1 µs mapping
-  * between "merge at < gap" and "split at > gap"). */
+  * semantics pinned on planted exact-gap fixtures (the gap is passed to
+  * session_window VERBATIM: its inclusive session end — merge at ≤ gap is
+  * false, i.e. split strictly greater — coincides with the hand-rolled
+  * "split at > gap" rule, so no boundary adjustment is needed). */
 class SessionNativeSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
