@@ -129,6 +129,14 @@ object SparkEntry {
     "feature_wide" -> ((s, d) => SignalOps.featureWideQ(Tables.events(s, d))),
     "feature_unpivot" -> ((s, d) => SignalOps.featureUnpivotQ(Tables.events(s, d))),
     "signal_fir_bandpass" -> ((s, d) => SignalOps.firBandpassQ(Tables.events(s, d))),
+    // round 10: the reference's cross-modal train/eval (test_train.py:66-113)
+    // engine-side — closed-form ridge (exact integer Gram sums, shared-text
+    // 3x3 adjugate solve) from trial features to a fixed-gallery embedding,
+    // plus the cosine top-1 retrieval readout
+    "embedding_regression" -> ((s, d) =>
+      EmbeddingRegression.embeddingRegressionQ(Tables.events(s, d))),
+    "retrieval_eval" -> ((s, d) =>
+      EmbeddingRegression.retrievalEvalQ(Tables.events(s, d))),
     // §C text
     "text_stats" -> ((s, d) => TextOps.textStatsQ(Tables.documents(s, d))),
     "text_quality" -> ((s, d) => TextOps.textQualityQ(Tables.documents(s, d))),
@@ -572,6 +580,8 @@ object SparkEntry {
     "feature_wide" -> SignalOps.featureWideSql,
     "feature_unpivot" -> SignalOps.featureUnpivotSql,
     "signal_fir_bandpass" -> SignalOps.firBandpassSql,
+    "embedding_regression" -> EmbeddingRegression.embeddingRegressionSql,
+    "retrieval_eval" -> EmbeddingRegression.retrievalEvalSql,
     "text_stats" -> TextOps.textStatsSql,
     "text_quality" -> TextOps.textQualitySql,
     "lang_id" -> TextOps.langIdSql,
