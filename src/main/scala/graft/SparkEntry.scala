@@ -466,6 +466,11 @@ object SparkEntry {
     // under latest-per-key + time-travel-window retention
     "vacuum_plan" -> ((s, d) => VacuumPlan.vacuumPlanQ(Tables.documents(s, d))),
     "scd2_build" -> ((s, d) => Cdc.scd2BuildQ(Tables.documents(s, d))),
+    // round 10: the STORAGE protocol itself in the gate — a real on-disk
+    // commit-log table built from the corpus (append/replace/checkpoint/
+    // restore/optimize), every version's read-at answers oracled directly
+    "commitlog_read_at" -> ((s, d) =>
+      CommitLogRead.commitLogReadQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -699,6 +704,7 @@ object SparkEntry {
     "snapshot_at" -> Cdc.snapshotAtSql,
     "vacuum_plan" -> VacuumPlan.vacuumPlanSql,
     "scd2_build" -> Cdc.scd2BuildSql,
+    "commitlog_read_at" -> CommitLogRead.commitLogReadSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

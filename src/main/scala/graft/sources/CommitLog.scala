@@ -372,6 +372,10 @@ object CommitLog {
     val head = latestVersion(table)
     require(head >= 0, s"commit-log table $table has no commits")
     val current = liveFiles(table, head)
+    // a table whose commits reference no data files (all-empty appends)
+    // compacts to an empty commit — read() would hand back a schemaless
+    // frame that parquet can't re-write
+    if (current.isEmpty) return replaceFiles(table, head, Nil, Nil)
     val adds = stage(table, read(spark, table, Some(head)).repartition(targetFiles))
     val res = replaceFiles(table, head, current, adds)
     // a lost race leaves the staged rewrite referenced by nothing: clean
