@@ -126,6 +126,15 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"repeat":$repeat,"sf":"$sfDir","slowest":$slow,"queries_file":"$outPath"}"""
     println(compact)
     System.out.flush()
+    // r09's driver artifact still recorded "parsed": null even with the
+    // compact line present mid-tail — re-emit it AFTER spark.stop() so it
+    // is the last application output on BOTH streams (nothing but sbt's
+    // own [success] line can follow), maximizing the chance the driver's
+    // tail parser sees an unprefixed JSON line wherever it reads.
     spark.stop()
+    println(compact)
+    System.out.flush()
+    System.err.println(compact)
+    System.err.flush()
   }
 }

@@ -162,6 +162,9 @@ object SparkEntry {
     // cost on diffuse corpora, prefix-form win where hot shingles carry
     // Σ df² (the r8 91 s pure-prefix price at gate shape is gone)
     "dedup_prefix" -> ((s, d) => PrefixJoin.hybridJaccardQ(Tables.documents(s, d))),
+    // round 10: the hybrid's band dial derived from the observed shingle-df
+    // distribution (report + plan in one frame, salting_plan pattern)
+    "prefix_band_plan" -> ((s, d) => BandPlan.prefixBandPlanQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
     "hard_negative_mine" -> ((s, d) => HardNegative.hardNegativesQ(Tables.embeddings(s, d))),
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedupQ(Tables.embeddings(s, d))),
@@ -597,6 +600,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_threshold_sweep" -> ThresholdSweep.dedupThresholdSweepSql,
     "dedup_prefix" -> Dedup.ngramJaccardSql,
+    "prefix_band_plan" -> BandPlan.prefixBandPlanSql,
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
     "hard_negative_mine" -> HardNegative.hardNegativesSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,
