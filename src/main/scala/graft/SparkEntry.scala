@@ -383,6 +383,9 @@ object SparkEntry {
     // rank selection — engine-neutral (sql-oracled, unlike t-digest),
     // 3σ RANK guarantee spec-pinned; the per-source sort shrinks by 1/p
     "quantile_sketch" -> ((s, d) => QuantileSketch.quantileSketchQ(Tables.documents(s, d))),
+    // round 10: the heavy-hitters member of the sketch family — per-source
+    // top-K terms by document frequency estimated over the θ doc sample
+    "freq_sketch" -> ((s, d) => FreqSketch.freqSketchQ(Tables.documents(s, d))),
     // round 8: sub-document dedup — fixed-token-window paragraphs,
     // per-window duplicate-of-earlier verdicts, per-doc dup-fraction gate
     "paragraph_dedup" -> ((s, d) => ParagraphDedup.paragraphDedupQ(Tables.documents(s, d))),
@@ -664,6 +667,7 @@ object SparkEntry {
     "char_diversity" -> CharDiversity.charDiversitySql,
     "length_quantiles" -> LengthQuantiles.lengthQuantilesSql,
     "quantile_sketch" -> QuantileSketch.quantileSketchSql,
+    "freq_sketch" -> FreqSketch.freqSketchSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBestSql,

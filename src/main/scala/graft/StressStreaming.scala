@@ -1,0 +1,148 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.LateArrival
+import graft.streaming.StreamingJobs
+
+/** Scratch measurement: the §D STREAMING twins at 10× gate volume — the
+  * last family with no 10× battery ([[StressRelational]] covered the
+  * classics, [[StressEvents]] the batch event family, StressCuration the
+  * corpus operators). Each job replays an arrival-ordered corpus in
+  * [[Chunks]] micro-batch chunks (the WatermarkSpec harness: append chunk
+  * files, drain with AvailableNow on one checkpoint, repeat), at 1× and
+  * at 10×, and reports what a wall clock can't see from batch mode:
+  *
+  *  - `exec_s`    Σ triggerExecution across every micro-batch (the pure
+  *                processing wall, query-(re)start overhead excluded)
+  *  - `state_rows` max state-store rows across batches (the blowup
+  *                signal: flatMapGroups keeps ONE record per user;
+  *                dropDuplicates one per distinct content key — so
+  *                events-keyed state must grow ~10× with the user
+  *                universe while dedup state tracks DISTINCT mass, which
+  *                the replicated corpus keeps flat by construction)
+  *  - `max_batch_s` slowest single micro-batch (a one-reducer batch
+  *                shows here long before it shows in the total)
+  *
+  * 10× corpora: events replicate with user/event_id shifted by r·10⁶
+  * (disjoint user universes, timestamps UNCHANGED — so arrival order by
+  * ts interleaves the replicas: every chunk carries 10× the traffic of
+  * the same time slice, the honest scale-up shape for a stream);
+  * documents replicate doc_id·10+r with texts unchanged (StressCuration's
+  * corpus — volume 10×, distinct content 1×). Stream-static twins
+  * (cdc_apply) re-list their static side at each chunk's query start,
+  * per the documented refresh contract. */
+object StressStreaming {
+
+  private val Off = 1000000L
+  private val Reps = 10
+  private val Chunks = 6
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_stream10x"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- pre-materialize arrival-ordered chunks at both scales --------
+    def writeChunks(df: DataFrame, orderCols: Seq[String], root: String): Unit = {
+      if (new java.io.File(s"$root/c0/_SUCCESS").exists()) return
+      val w = Window.orderBy(orderCols.map(col): _*)
+      val chunked = df.withColumn("c", ntile(Chunks).over(w)).localCheckpoint()
+      (1 to Chunks).foreach { k =>
+        chunked.filter(col("c") === k).drop("c")
+          .repartition(4).write.mode("overwrite").parquet(s"$root/c${k - 1}")
+      }
+    }
+    val ev1 = Tables.events(spark, baseDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ev10 = ev1.withColumn("r", explode(expr(s"sequence(0, ${Reps - 1})")))
+      .select((col("event_id") + col("r") * Off).as("event_id"), col("ts"),
+        (col("user_id") + col("r") * Off).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val doc1 = spark.read.parquet(s"$baseDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val doc10 = doc1.withColumn("r", explode(expr(s"sequence(0, ${Reps - 1})")))
+      .select((col("doc_id") * 10 + col("r")).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    writeChunks(ev1, Seq("ts", "event_id"), s"$workDir/ev1")
+    writeChunks(ev10, Seq("ts", "event_id"), s"$workDir/ev10")
+    writeChunks(doc1, Seq("doc_id"), s"$workDir/doc1")
+    writeChunks(doc10, Seq("doc_id"), s"$workDir/doc10")
+
+    val wmDelay = {
+      val us = LateArrival.globalLateness(Tables.events(spark, baseDir))
+        .agg(max("max_behind_us")).collect()(0).getLong(0)
+      s"${us / 1000000 + 1} seconds"
+    }
+
+    // ---- the battery ---------------------------------------------------
+    // each entry: name, chunk root pair (1x, 10x), job constructor
+    val jobs: Seq[(String, (String, String), (SparkSession, String) => DataFrame)] = Seq(
+      ("window_agg", ("ev1", "ev10"),
+        (s, d) => StreamingJobs.windowAggStream(s, d)),
+      ("event_dedup", ("ev1", "ev10"),
+        (s, d) => StreamingJobs.eventDedupStream(s, d)),
+      ("sessionize", ("ev1", "ev10"),
+        (s, d) => StreamingJobs.sessionizeStream(s, d).toDF),
+      ("sessionize_wm", ("ev1", "ev10"),
+        (s, d) => StreamingJobs.sessionizeStreamWm(s, d, wmDelay).toDF),
+      ("asof_join", ("ev1", "ev10"),
+        (s, d) => StreamingJobs.asofJoinStream(s, d).toDF),
+      ("attribution", ("ev1", "ev10"),
+        (s, d) => StreamingJobs.attributionStream(s, d).toDF),
+      ("dedup_exact", ("doc1", "doc10"),
+        (s, d) => StreamingJobs.dedupExactStream(s, d)),
+      ("cdc_apply", ("doc1", "doc10"),
+        (s, d) => StreamingJobs.cdcApplyStream(s, d)))
+
+    case class Run(execS: Double, stateRows: Long, maxBatchS: Double, batches: Int)
+
+    def replay(name: String, chunkRoot: String,
+               mk: (SparkSession, String) => DataFrame): Run = {
+      val src = Files.createTempDirectory(s"graft-ss-src-$name").toString
+      val out = Files.createTempDirectory(s"graft-ss-out-$name").toString
+      val ckpt = Files.createTempDirectory(s"graft-ss-ck-$name").toString
+      var execMs = 0L; var state = 0L; var maxBatchMs = 0L; var batches = 0
+      (0 until Chunks).foreach { k =>
+        spark.read.parquet(s"$workDir/$chunkRoot/c$k")
+          .write.mode("append").parquet(src)
+        val q = mk(spark, src)
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(600000)
+        q.recentProgress.foreach { p =>
+          val ms = Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue()).getOrElse(0L)
+          if (p.numInputRows > 0 || ms > maxBatchMs) {
+            execMs += ms; maxBatchMs = math.max(maxBatchMs, ms); batches += 1
+          }
+          state = math.max(state, p.stateOperators.map(_.numRowsTotal).sum)
+        }
+      }
+      Run(execMs / 1e3, state, maxBatchMs / 1e3, batches)
+    }
+
+    jobs.foreach { case (name, (r1, r10), mk) =>
+      val a = replay(name, r1, mk)
+      val b = replay(name, r10, mk)
+      println(f"STREAM job=$name chunks=$Chunks " +
+        f"exec1=${a.execS}%.2f exec10=${b.execS}%.2f factor=${b.execS / math.max(a.execS, 0.01)}%.1f " +
+        f"state1=${a.stateRows} state10=${b.stateRows} " +
+        f"maxbatch1=${a.maxBatchS}%.2f maxbatch10=${b.maxBatchS}%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -56,6 +56,7 @@ class EmptyInputSpec extends AnyFunSuite {
       // exercises the no-hot fast path; a banded synthetic would need data)
       "dedup_prefix_hybrid" -> PrefixJoin.hybridJaccardPairs(d),
       "prefix_band_plan" -> BandPlan.prefixBandPlan(d),
+      "freq_sketch" -> FreqSketch.freqSketch(d),
       // round 10: the commit-log gate query builds a real on-disk table —
       // an all-empty-appends script must still run every verb and answer
       "commitlog_read_at" -> CommitLogRead.commitLogReadQ(d),
