@@ -386,6 +386,16 @@ object SparkEntry {
     // round 10: the heavy-hitters member of the sketch family — per-source
     // top-K terms by document frequency estimated over the θ doc sample
     "freq_sketch" -> ((s, d) => FreqSketch.freqSketchQ(Tables.documents(s, d))),
+    // round 10: per-source (quality, length) skyline — one sorted window
+    // pass; the oracle keeps the definitional quadratic NOT EXISTS
+    "pareto_front" -> ((s, d) => ParetoFront.paretoFrontQ(Tables.documents(s, d))),
+    // round 10: weighted PageRank over the shared-shingle source graph —
+    // iterative mass propagation, exact-integer recurrence on both engines
+    "source_pagerank" -> ((s, d) => SourceRank.sourcePagerankQ(Tables.documents(s, d))),
+    // round 10: DLT/Deequ-style declarative data-quality contract —
+    // fixed rule set, one scan, exact integer pass rates
+    "expectations_report" -> ((s, d) =>
+      Expectations.expectationsReportQ(Tables.documents(s, d))),
     // round 8: sub-document dedup — fixed-token-window paragraphs,
     // per-window duplicate-of-earlier verdicts, per-doc dup-fraction gate
     "paragraph_dedup" -> ((s, d) => ParagraphDedup.paragraphDedupQ(Tables.documents(s, d))),
@@ -668,6 +678,9 @@ object SparkEntry {
     "length_quantiles" -> LengthQuantiles.lengthQuantilesSql,
     "quantile_sketch" -> QuantileSketch.quantileSketchSql,
     "freq_sketch" -> FreqSketch.freqSketchSql,
+    "pareto_front" -> ParetoFront.paretoFrontSql,
+    "source_pagerank" -> SourceRank.sourcePagerankSql,
+    "expectations_report" -> Expectations.expectationsReportSql,
     "paragraph_dedup" -> ParagraphDedup.paragraphDedupSql,
     "corpus_sample" -> Sampling.corpusSampleSql,
     "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBestSql,

@@ -30,8 +30,9 @@ object SourceOverlap {
 
   /** Distinct (source, shingle): shingle expression INLINE at the
     * generator (the §invariants explode rule — shared text with
-    * [[Dedup.shingleExploded]] so the two definitions cannot drift). */
-  private def sourceShingles(documents: DataFrame): DataFrame =
+    * [[Dedup.shingleExploded]] so the two definitions cannot drift).
+    * Shared with [[SourceRank]], whose edge weights are these pairs. */
+  private[operators] def sourceShingles(documents: DataFrame): DataFrame =
     documents
       .select(col("source"), expr("split(lower(trim(text)), '\\\\s+')").as("w"))
       .select(col("source"), explode(expr(Dedup.ShingleArrayExpr)).as("shingle"))

@@ -490,6 +490,43 @@ object StreamingJobs {
         sessionizeWmFn(gapUs))
   }
 
+  /** NATIVE streaming sessionization — Catalyst's own `session_window`
+    * aggregate in append mode, the streaming face of
+    * [[graft.operators.Sessionize.sessionizeNative]] and the declarative
+    * twin of [[sessionizeStreamWm]]: the state store, merge logic and
+    * watermark eviction all come from the engine (no
+    * flatMapGroupsWithState). A session emits when the watermark passes
+    * its window end (= last event + gap — the same closure instant
+    * [[sessionizeWmFn]] schedules via EventTimeTimeout), so after an
+    * arrival-ordered replay drains, the two forms' closed sets are
+    * row-identical (spec-pinned; tail sessions the watermark never
+    * passed stay open in BOTH). Column mapping is the batch native
+    * twin's: start = window.start, last = unix_micros(window.end) − gap;
+    * sum_value NULL when no event carried a value (SUM over all-NULL),
+    * matching the hand-rolled Option. */
+  def sessionizeStreamNative(spark: SparkSession, dir: String, delay: String,
+                             gapUs: Long = Sessionize.GapUs): DataFrame = {
+    val (tsIsLong, _) = eventsTsProbe(spark, dir)
+    spark.readStream
+      .schema(eventsRawSchema(tsIsLong))
+      .parquet(dir)
+      .withColumn("ts",
+        if (tsIsLong) expr("timestamp_micros(ts div 1000)")
+        else col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .withColumn("c",
+        when(col("value").isNotNull,
+          expr("CAST(round(value * 100.0) AS BIGINT)")))
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapUs microseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sum_c"))
+      .select(col("user_id"),
+        expr("unix_micros(sw.start)").as("session_start_us"),
+        expr(s"unix_micros(sw.end) - $gapUs").as("session_end_us"),
+        col("n_events"),
+        expr("CAST(sum_c AS DOUBLE) / 100.0").as("sum_value"))
+  }
+
   /** Streaming sessionization over the same file source. */
   def sessionizeStream(spark: SparkSession, dir: String,
                        gapUs: Long = Sessionize.GapUs): Dataset[ClosedSession] = {

@@ -57,6 +57,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "dedup_prefix_hybrid" -> PrefixJoin.hybridJaccardPairs(d),
       "prefix_band_plan" -> BandPlan.prefixBandPlan(d),
       "freq_sketch" -> FreqSketch.freqSketch(d),
+      "pareto_front" -> ParetoFront.paretoFront(d),
+      "source_pagerank" -> SourceRank.sourcePagerank(d),
       // round 10: the commit-log gate query builds a real on-disk table —
       // an all-empty-appends script must still run every verb and answer
       "commitlog_read_at" -> CommitLogRead.commitLogReadQ(d),
