@@ -166,6 +166,10 @@ object SparkEntry {
     // distribution (report + plan in one frame, salting_plan pattern)
     "prefix_band_plan" -> ((s, d) => BandPlan.prefixBandPlanQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
+    // round 10: top principal axis via integer power iteration — the
+    // iterative fixed point over vectors (pagerank's dims-for-nodes twin)
+    "embedding_principal" -> ((s, d) =>
+      EmbeddingPrincipal.embeddingPrincipalQ(Tables.embeddings(s, d))),
     "hard_negative_mine" -> ((s, d) => HardNegative.hardNegativesQ(Tables.embeddings(s, d))),
     "embedding_dedup" -> ((s, d) => Similarity.embeddingDedupQ(Tables.embeddings(s, d))),
     // round 8 (closing): the embedding-side incremental admission — batch
@@ -615,6 +619,7 @@ object SparkEntry {
     "dedup_prefix" -> Dedup.ngramJaccardSql,
     "prefix_band_plan" -> BandPlan.prefixBandPlanSql,
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
+    "embedding_principal" -> EmbeddingPrincipal.embeddingPrincipalSql,
     "hard_negative_mine" -> HardNegative.hardNegativesSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,
     "embedding_dedup_incremental" -> Similarity.embeddingDedupIncrementalSql,

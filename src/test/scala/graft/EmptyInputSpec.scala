@@ -268,6 +268,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "knn_label_purity" -> KnnPurity.knnLabelPurity(e),
       // round-8 continuation (5th session)
       "embedding_profile" -> EmbeddingProfile.embeddingProfile(e),
+      "embedding_principal" -> EmbeddingPrincipal.embeddingPrincipal(e),
       "embedding_quantize_audit" -> EmbeddingQuantize.embeddingQuantizeAudit(e))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
