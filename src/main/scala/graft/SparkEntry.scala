@@ -491,6 +491,10 @@ object SparkEntry {
     // restore/optimize), every version's read-at answers oracled directly
     "commitlog_read_at" -> ((s, d) =>
       CommitLogRead.commitLogReadQ(Tables.documents(s, d))),
+    // round 10: DESCRIBE HISTORY over the same verb-script table — verbs
+    // derived from the LOG's action shapes, row counts from pruned reads
+    "commitlog_history" -> ((s, d) =>
+      CommitLogRead.commitLogHistoryQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -731,6 +735,7 @@ object SparkEntry {
     "vacuum_plan" -> VacuumPlan.vacuumPlanSql,
     "scd2_build" -> Cdc.scd2BuildSql,
     "commitlog_read_at" -> CommitLogRead.commitLogReadSql,
+    "commitlog_history" -> CommitLogRead.commitLogHistorySql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

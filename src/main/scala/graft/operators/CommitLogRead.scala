@@ -34,7 +34,9 @@ import graft.sources.CommitLog
   */
 object CommitLogRead {
 
-  def commitLogReadQ(documents: DataFrame): DataFrame = {
+  /** Builds the six-version verb-script table from the corpus and returns
+    * its path — shared by the read-at query and [[commitLogHistoryQ]]. */
+  private[graft] def buildScriptTable(documents: DataFrame): String = {
     val spark = documents.sparkSession
     val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
     val table = Files.createTempDirectory("graft_cl_q").resolve("t").toString
@@ -54,12 +56,50 @@ object CommitLogRead {
     CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 2)) // v3
     must(CommitLog.restore(table, 1L)) // v4
     must(CommitLog.compact(spark, table, targetFiles = 2)) // v5
+    table
+  }
+
+  def commitLogReadQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = buildScriptTable(documents)
     (0L to 5L).map { v =>
       val df = CommitLog.read(spark, table, Some(v))
       val withSchema = if (df.columns.isEmpty) base.limit(0) else df
       withSchema.select(lit(v).as("version"), col("doc_id"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .orderBy("version", "doc_id")
+  }
+
+  /** DESCRIBE HISTORY for the same verb-script table (the Delta surface
+    * delta_bronze.py's `DeltaTable.history()` implies): one row per
+    * commit — the verb from the SCRIPT (the log stores actions, not
+    * operation names; the classifier below derives what IS derivable),
+    * the log's own add/remove action counts, and the live ROW count at
+    * that version (a distributed count over the version's pruned file
+    * list, no directory walk). Verb classification from the log alone:
+    * adds-only = APPEND, removes+adds = REPLACE (v2 delete, v5
+    * optimize), removes+re-adds of historical files = RESTORE — emitted
+    * as the derived `action` column so the oracle (which knows the
+    * script) checks the classifier too. n_adds/n_removes are FILE
+    * counts, partitioning-dependent — deliberately NOT emitted; row
+    * counts are the engine-neutral surface. */
+  def commitLogHistoryQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val table = buildScriptTable(documents)
+    (0L to 5L).map { v =>
+      val c = CommitLog.commits(table, v).last
+      val action =
+        if (c.removes.isEmpty) "append"
+        else if (c.adds.forall(f => CommitLog.commits(table, v - 1)
+          .exists(_.adds.contains(f)))) "restore"
+        else "replace"
+      val df = CommitLog.read(spark, table, Some(v))
+      val n = if (df.columns.isEmpty) spark.range(0).toDF("doc_id") else df
+      n.agg(count(lit(1)).as("n_live_rows"))
+        .select(lit(v).as("version"), lit(action).as("action"), col("n_live_rows"))
+    }.reduce(_ unionByName _)
+      .orderBy("version")
   }
 
   /** The same six versioned row sets derived directly from `documents`:
@@ -85,4 +125,33 @@ object CommitLogRead {
       |SELECT version, doc_id, source, n_chars
       |FROM v
       |ORDER BY version, doc_id""".stripMargin
+
+  /** History oracle: the same six versioned row sets AGGREGATED, the verb
+    * per version a literal from the known script — so the engine-side
+    * log-derived action classifier is checked against ground truth. */
+  val commitLogHistorySql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), v AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, * FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), * FROM base WHERE doc_id % 3 <= 1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), * FROM base WHERE doc_id % 3 <= 1 AND doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), * FROM base
+      |  WHERE (doc_id % 3 <= 1 AND doc_id % 2 = 1) OR doc_id % 3 = 2
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT), * FROM base WHERE doc_id % 3 <= 1
+      |  UNION ALL
+      |  SELECT CAST(5 AS BIGINT), * FROM base WHERE doc_id % 3 <= 1
+      |), c AS (
+      |  SELECT version, count(*) AS n FROM v GROUP BY version
+      |), spine(version, action) AS (
+      |  VALUES (CAST(0 AS BIGINT), 'append'), (1, 'append'), (2, 'replace'),
+      |         (3, 'append'), (4, 'restore'), (5, 'replace')
+      |)
+      |SELECT s.version, s.action, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_live_rows
+      |FROM spine s LEFT JOIN c USING (version)
+      |ORDER BY version""".stripMargin
 }

@@ -271,6 +271,31 @@ class CommitLogSpec extends AnyFunSuite {
     intercept[IllegalStateException] { CommitLog.liveFiles(t, 1L) }
   }
 
+  test("history classifier: verbs derived from the log alone match the script; empty corpus total") {
+    import graft.operators.CommitLogRead
+    // small corpus: the classifier must label v2 replace (removes + fresh
+    // adds), v4 restore (removes + re-adds of HISTORICAL files), v5
+    // replace (optimize stages fresh files)
+    val docs = (0L until 12L).map(i => (i, s"s${i % 3}", 10L + i))
+      .toDF("doc_id", "source", "n_chars")
+    val got = CommitLogRead.commitLogHistoryQ(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._2).toSeq ==
+      Seq("append", "append", "replace", "append", "restore", "replace"), s"verbs: ${got.toSeq}")
+    // live row counts replay the script: 4 thirds-0; +4 thirds-1; odd-only;
+    // + thirds-2; restore(v1); optimize == v4
+    assert(got.map(_._3).toSeq == Seq(4L, 8L, 4L, 8L, 8L, 8L), s"counts: ${got.toSeq}")
+    // empty corpus: an empty append still STAGES a (zero-row) parquet
+    // file, so the log carries real adds/removes and the classifier
+    // reads the same verb sequence as the script — measured, not the
+    // all-append degenerate one might expect — with every count 0
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    val e = CommitLogRead.commitLogHistoryQ(empty).collect()
+    assert(e.length == 6 && e.forall(_.getLong(2) == 0L))
+    assert(e.map(_.getString(1)).toSeq ==
+      Seq("append", "append", "replace", "append", "restore", "replace"))
+  }
+
   test("vacuum_plan over the DERIVED change feed matches the synthetic-log answer") {
     val (t, _) = replay()
     val derived = CommitLog.tableChanges(spark, t, "doc_id")
