@@ -161,7 +161,33 @@ object StressCuration {
       time(s"threshold_sweep_maxdf_$tag") {
         ThresholdSweep.dedupThresholdSweep(docs, maxDf = Some(1000L))
       }
+      // round 10: the session's corpus-scaled additions — the θ-sampled
+      // heavy hitters (map-side sample kill + vocab-bounded top-K), the
+      // window skyline (one per-source sort), the shared-shingle
+      // pagerank (catalog-bounded edges, K broadcast rounds), the
+      // one-scan expectations contract, and the df-band calibrator
+      // (histogram windows after one shingle exchange)
+      time(s"freq_sketch_$tag") { graft.operators.FreqSketch.freqSketch(docs) }
+      time(s"pareto_front_$tag") { graft.operators.ParetoFront.paretoFront(docs) }
+      time(s"source_pagerank_$tag") { graft.operators.SourceRank.sourcePagerank(docs) }
+      time(s"expectations_$tag") { graft.operators.Expectations.expectationsReport(docs) }
+      time(s"band_plan_$tag") { graft.operators.BandPlan.prefixBandPlan(docs) }
     }
+
+    // round 10: embeddings-side — the power iteration at 10× vectors
+    // (replicas perturb one milli-component so quantized vectors are not
+    // byte-identical; the principal axis is unchanged in the limit)
+    val emb = Tables.embeddings(spark, baseDir)
+    val emb10 = emb.withColumn("r", explode(expr("sequence(0, 9)")))
+      .select((col("vec_id") * lit(10L) + col("r")).as("vec_id"),
+        expr("transform(embedding, (e, i) -> CAST(e + CASE WHEN i = r % size(embedding) THEN 0.001 ELSE 0.0 END AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    val e10 = materialize(emb10, "emb10x")
+    for ((tag, e) <- Seq("1x" -> emb, "10x" -> e10))
+      time(s"embedding_principal_$tag") {
+        graft.operators.EmbeddingPrincipal.embeddingPrincipal(e)
+      }
 
     spark.stop()
   }
