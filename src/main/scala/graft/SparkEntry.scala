@@ -65,6 +65,23 @@ object SparkEntry {
     // back); exact-cents max equality, integer-µs ship window
     "q15_top_supplier" -> ((s, d) =>
       TopSupplier.topSupplierQ(Tables.lineitem(s, d), Tables.supplier(s, d))),
+    // round 10: the remaining decorrelation classics, adapted to this
+    // schema with their plan shapes intact (operators/TpchGaps.scala)
+    "q2_min_cost_supplier" -> ((s, d) => TpchGaps.q2MinCostSupplier(
+      Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q8_market_share" -> ((s, d) => TpchGaps.q8MarketShare(
+      Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d), Tables.supplier(s, d), Tables.part(s, d))),
+    "q9_product_profit" -> ((s, d) => TpchGaps.q9ProductProfit(
+      Tables.lineitem(s, d), Tables.orders(s, d), Tables.part(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d))),
+    "q11_important_parts" -> ((s, d) => TpchGaps.q11ImportantParts(Tables.lineitem(s, d))),
+    "q12_ship_delay" -> ((s, d) => TpchGaps.q12ShipDelay(
+      Tables.lineitem(s, d), Tables.orders(s, d))),
+    "q16_supplier_variety" -> ((s, d) => TpchGaps.q16SupplierVariety(
+      Tables.lineitem(s, d), Tables.part(s, d))),
+    "q21_sole_delay" -> ((s, d) => TpchGaps.q21SoleDelay(
+      Tables.lineitem(s, d), Tables.supplier(s, d))),
     "q17_avg_filter" -> ((s, d) =>
       AvgFilter.q17AvgFilter(Tables.lineitem(s, d), Tables.part(s, d))),
     // join-key skew diagnostic: top-K heaviest keys + hot verdicts —
@@ -703,6 +720,13 @@ object SparkEntry {
     "q14_promo_share" -> PromoShare.q14PromoShareSql,
     "q19_disjunctive" -> DisjunctiveJoin.q19DisjunctiveSql,
     "q15_top_supplier" -> TopSupplier.topSupplierSql,
+    "q2_min_cost_supplier" -> TpchGaps.q2MinCostSupplierSql,
+    "q8_market_share" -> TpchGaps.q8MarketShareSql,
+    "q9_product_profit" -> TpchGaps.q9ProductProfitSql,
+    "q11_important_parts" -> TpchGaps.q11ImportantPartsSql,
+    "q12_ship_delay" -> TpchGaps.q12ShipDelaySql,
+    "q16_supplier_variety" -> TpchGaps.q16SupplierVarietySql,
+    "q21_sole_delay" -> TpchGaps.q21SoleDelaySql,
     "q18_large_orders" -> LargeOrders.q18LargeOrdersSql,
     "q13_cust_dist" -> CustDistribution.q13CustDistSql,
     "q22_no_order_custs" -> CustDistribution.q22NoOrderCustsSql,
