@@ -61,6 +61,11 @@ object EmbeddingPrincipal {
         .groupBy("vec_id").agg(sum(expr("x * v")).as("dot"))
       val u = ex.join(dots, Seq("vec_id"))
         .groupBy("dim").agg(sum(expr("x * dot")).as("u"))
+        // 2 consumers per round (the v rebuild AND the max fact): without
+        // this 64-row checkpoint the round-k plan contains round k-1's
+        // TWICE and the lineage doubles per round — measured 2899 plan
+        // nodes at K=6 (the multi-consumer invariant, iterated)
+        .localCheckpoint()
       val m = u.agg(max(abs(col("u"))).as("m"))
       v = dims.join(u, Seq("dim"), "left")
         .crossJoin(broadcast(m))
