@@ -694,6 +694,61 @@ object StreamingJobs {
           .otherwise(lit("updated")).as("status"))
   }
 
+  // ------------------------------------------- stream-stream range join
+
+  /** STREAM-STREAM inner join — the one Structured Streaming join class
+    * the §D suite lacked (stream-static and keyed-state twins exist):
+    * purchases ⋈ clicks by user within a trailing attribution window
+    * (`click_ts ∈ [purch_ts − window, purch_ts]`), BOTH sides unbounded.
+    * The engine keeps both join states; the two watermarks + the range
+    * condition bound click-state retention to window + delay (the
+    * documented state-cleanup contract of stream-stream joins) — without
+    * the range bound the click state would grow forever. An INNER join
+    * emits a pair as soon as both sides have arrived (watermarks gate
+    * eviction, not emission), so after an arrival-ordered replay drains,
+    * the emitted pair set equals the batch twin's exactly
+    * ([[batchClickPurchasePairs]]; StreamStreamJoinSpec pins it). */
+  def clickPurchaseJoinStream(spark: SparkSession, dir: String, delay: String,
+                              windowUs: Long = 3600000000L): DataFrame = {
+    val (tsIsLong, _) = eventsTsProbe(spark, dir)
+    def side(tpe: String, idAs: String, tsAs: String) = spark.readStream
+      .schema(eventsRawSchema(tsIsLong))
+      .parquet(dir)
+      .withColumn("ts",
+        if (tsIsLong) expr("timestamp_micros(ts div 1000)")
+        else col("ts").cast("timestamp"))
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"), col("event_id").as(idAs), col("ts").as(tsAs))
+    val clicks = side("click", "click_id", "click_ts")
+      .withWatermark("click_ts", delay)
+    val purchases = side("purchase", "purch_id", "purch_ts")
+      .withColumnRenamed("user_id", "p_user_id")
+      .withWatermark("purch_ts", delay)
+    purchases.join(clicks,
+      expr(s"""p_user_id = user_id
+              |AND click_ts >= purch_ts - INTERVAL ${windowUs / 1000000} SECONDS
+              |AND click_ts <= purch_ts""".stripMargin))
+      .select(col("p_user_id").as("user_id"), col("purch_id"), col("click_id"),
+        expr("unix_micros(purch_ts)").as("purch_us"),
+        expr("unix_micros(click_ts)").as("click_us"))
+  }
+
+  /** Batch twin of [[clickPurchaseJoinStream]] — same frames, same range
+    * join, over the full table. */
+  def batchClickPurchasePairs(events: org.apache.spark.sql.DataFrame,
+                              windowUs: Long = 3600000000L): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("unix_micros(ts)").as("click_us"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purch_id"),
+        expr("unix_micros(ts)").as("purch_us"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_us") >= col("purch_us") - windowUs &&
+        col("click_us") <= col("purch_us"))
+      .select("user_id", "purch_id", "click_id", "purch_us", "click_us")
+  }
+
   // --------------------------------- streaming last-touch attribution
 
   case class TouchEvent(user_id: Long, event_id: Long, t_us: Long,
