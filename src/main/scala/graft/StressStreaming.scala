@@ -105,7 +105,15 @@ object StressStreaming {
       ("dedup_exact", ("doc1", "doc10"),
         (s, d) => StreamingJobs.dedupExactStream(s, d)),
       ("cdc_apply", ("doc1", "doc10"),
-        (s, d) => StreamingJobs.cdcApplyStream(s, d)))
+        (s, d) => StreamingJobs.cdcApplyStream(s, d)),
+      // round-10 addition: the stream-stream range join — two unbounded
+      // sides, per-side join state; the range condition is what keeps
+      // state bounded, and the 10× replicas multiply BOTH sides
+      ("ss_join", ("ev1", "ev10"),
+        (s, d) => StreamingJobs.clickPurchaseJoinStream(s, d, wmDelay)))
+
+    val only: Option[Seq[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSeq) else None
 
     case class Run(execS: Double, stateRows: Long, maxBatchS: Double, batches: Int)
 
@@ -136,12 +144,15 @@ object StressStreaming {
     }
 
     jobs.foreach { case (name, (r1, r10), mk) =>
+      if (only.exists(fs => !fs.exists(name.contains))) ()
+      else {
       val a = replay(name, r1, mk)
       val b = replay(name, r10, mk)
       println(f"STREAM job=$name chunks=$Chunks " +
         f"exec1=${a.execS}%.2f exec10=${b.execS}%.2f factor=${b.execS / math.max(a.execS, 0.01)}%.1f " +
         f"state1=${a.stateRows} state10=${b.stateRows} " +
         f"maxbatch1=${a.maxBatchS}%.2f maxbatch10=${b.maxBatchS}%.2f")
+      }
     }
     spark.stop()
   }
