@@ -82,6 +82,20 @@ object SparkEntry {
       Tables.lineitem(s, d), Tables.part(s, d))),
     "q21_sole_delay" -> ((s, d) => TpchGaps.q21SoleDelay(
       Tables.lineitem(s, d), Tables.supplier(s, d))),
+    // theta-sampled join-cardinality estimate: sizes lineitem ⋈ orders
+    // without executing it (map-side key sample, per-key count frames,
+    // HT scale-up — the broadcast-vs-shuffle decision input)
+    "join_size_estimate" -> ((s, d) =>
+      JoinEstimate.joinSizeEstimateQ(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // Q6: the pushdown classic — all three predicates reach the scan
+    // (midpoint double literals for the discount band, no round() in
+    // the filter); one partial agg, one row out
+    "q6_forecast_revenue" -> ((s, d) => TpchGaps.q6ForecastRevenue(Tables.lineitem(s, d))),
+    // Q20: nested-subquery classic — strict-majority suppliers per
+    // filtered part (window decorrelation; oracle keeps the correlated
+    // IN + scalar-subquery form)
+    "q20_part_promotion" -> ((s, d) => TpchGaps.q20PartPromotion(
+      Tables.lineitem(s, d), Tables.part(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
     "q17_avg_filter" -> ((s, d) =>
       AvgFilter.q17AvgFilter(Tables.lineitem(s, d), Tables.part(s, d))),
     // join-key skew diagnostic: top-K heaviest keys + hot verdicts —
@@ -727,6 +741,9 @@ object SparkEntry {
     "q12_ship_delay" -> TpchGaps.q12ShipDelaySql,
     "q16_supplier_variety" -> TpchGaps.q16SupplierVarietySql,
     "q21_sole_delay" -> TpchGaps.q21SoleDelaySql,
+    "q6_forecast_revenue" -> TpchGaps.q6ForecastRevenueSql,
+    "join_size_estimate" -> JoinEstimate.joinSizeEstimateSql,
+    "q20_part_promotion" -> TpchGaps.q20PartPromotionSql,
     "q18_large_orders" -> LargeOrders.q18LargeOrdersSql,
     "q13_cust_dist" -> CustDistribution.q13CustDistSql,
     "q22_no_order_custs" -> CustDistribution.q22NoOrderCustsSql,

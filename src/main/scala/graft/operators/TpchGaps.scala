@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions._
   *  - [[q12ShipDelay]] (Q12): conditional priority counts per shipping
   *    DELAY bucket (integer-µs day arithmetic stands in for the
   *    receipt-vs-commit comparison the schema lacks).
+  *  - [[q6ForecastRevenue]] (Q6): the pushdown classic — every
+  *    predicate (ship window, discount band, quantity cap) is a plain
+  *    scan-pushable comparison; one partial-agg, one row out. The
+  *    discount band uses MIDPOINT double literals (0.045/0.075) so the
+  *    discrete hundredths grid decides each row identically in both
+  *    engines with no round() blocking pushdown.
+  *  - [[q20PartPromotion]] (Q20): the nested-subquery classic —
+  *    suppliers who shipped a strict majority of some filtered part's
+  *    volume in the window, semi-joined to a nation-filtered supplier
+  *    list. Engine side decorrelates the correlated scalar
+  *    (per-part total) to one window; the ORACLE keeps the correlated
+  *    IN + scalar-subquery form — agreement proves the decorrelation.
   *  - [[q16SupplierVariety]] (Q16): DISTINCT supplier counts per
   *    (brand, type, size) with an excluded brand — the distinct-agg
   *    after join shape.
@@ -234,6 +246,73 @@ object TpchGaps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1
       |ORDER BY delay_bucket""".stripMargin
+
+  // ----------------------------------------------------------- Q6 shape
+
+  def q6ForecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01'") &&
+        col("l_discount") >= 0.045 && col("l_discount") <= 0.075 &&
+        col("l_quantity") < 24.0)
+      .agg(
+        sum(expr("CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT)"))
+          .as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+
+  val q6ForecastRevenueSql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100.0) AS BIGINT)) AS BIGINT) AS revenue_cents,
+      |       CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= CAST(0.045 AS DOUBLE) AND l_discount <= CAST(0.075 AS DOUBLE)
+      |  AND l_quantity < CAST(24 AS DOUBLE)""".stripMargin
+
+  // ---------------------------------------------------------- Q20 shape
+
+  def q20PartPromotion(lineitem: DataFrame, part: DataFrame,
+                       supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val shipped = lineitem
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01'"))
+      .join(broadcast(part.filter(col("p_name").like("%rod%"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("q").as("sq"))
+    val perPart = Window.partitionBy("l_partkey")
+    val dominant = shipped
+      .withColumn("tq", sum(col("sq")).over(perPart))
+      .filter(col("sq") * 2 > col("tq"))
+      .select("l_suppkey").distinct()
+    supplier
+      .join(broadcast(nation.filter(col("n_name").like("NATION_1%"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_name", "s_suppkey")
+  }
+
+  /** Oracle keeps Q20's nested correlated form (IN + correlated scalar
+    * subquery) — agreement proves the engine's window decorrelation. */
+  val q20PartPromotionSql: String =
+    """WITH shipped AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%rod%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name LIKE 'NATION_1%'
+      |  AND s_suppkey IN (
+      |    SELECT a.l_suppkey FROM shipped a
+      |    WHERE 2 * a.sq > (SELECT sum(b.sq) FROM shipped b
+      |                      WHERE b.l_partkey = a.l_partkey))
+      |ORDER BY s_name, s_suppkey""".stripMargin
 
   // ---------------------------------------------------------- Q16 shape
 

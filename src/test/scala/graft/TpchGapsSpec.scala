@@ -61,6 +61,38 @@ class TpchGapsSpec extends AnyFunSuite {
     assert(kept == Seq(1L), s"skewed corpus kept: $kept")
   }
 
+  test("q6: midpoint discount band decides the hundredths grid exactly; quantity cap strict") {
+    val l = li(Seq(
+      (1L, 1L, 1L, 1.0, 100.0, 0.04, "1996-06-01"),  // below band -> out
+      (2L, 1L, 1L, 1.0, 100.0, 0.05, "1996-06-01"),  // band edge -> in (5c)
+      (3L, 1L, 1L, 1.0, 100.0, 0.07, "1996-06-01"),  // band edge -> in (7c)
+      (4L, 1L, 1L, 1.0, 100.0, 0.08, "1996-06-01"),  // above band -> out
+      (5L, 1L, 1L, 24.0, 100.0, 0.06, "1996-06-01"), // qty 24 -> out (strict <)
+      (6L, 1L, 1L, 23.0, 100.0, 0.06, "1996-06-01"), // qty 23 -> in (6c)
+      (7L, 1L, 1L, 1.0, 100.0, 0.06, "1995-12-31"))) // before window -> out
+    val got = TpchGaps.q6ForecastRevenue(l).collect()(0)
+    assert((got.getLong(0), got.getLong(1)) == (500L + 700L + 600L, 3L),
+      s"q6 verdicts: $got")
+  }
+
+  test("q20: strict-majority supplier only — 50/50 tie excluded, sole supplier included") {
+    val l = li(Seq(
+      (1L, 1L, 1L, 6.0, 10.0, 0.0, "1996-06-01"),  // part 1: S1 ships 6
+      (2L, 1L, 2L, 4.0, 10.0, 0.0, "1996-06-01"),  // part 1: S2 ships 4 -> S1 majority
+      (3L, 2L, 1L, 5.0, 10.0, 0.0, "1996-06-01"),  // part 2: exact 50/50 -> neither
+      (4L, 2L, 2L, 5.0, 10.0, 0.0, "1996-06-01"),
+      (5L, 3L, 3L, 1.0, 10.0, 0.0, "1996-06-01"),  // part 3: sole supplier -> majority
+      (6L, 4L, 2L, 9.0, 10.0, 0.0, "1995-06-01"))) // part 4: outside window -> ignored
+    val part = (1L to 4L).map(k => (k, "steel rod", "B", "STANDARD", 10, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val sup = Seq((1L, "S#1", 11), (2L, "S#2", 11), (3L, "S#3", 11))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nat = Seq((11L, "NATION_11", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val got = TpchGaps.q20PartPromotion(l, part, sup, nat).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L), s"majority suppliers: $got")
+  }
+
   test("q2: min unit cost wins per part; exact-cents tie keeps both suppliers") {
     val l = li(Seq(
       (1L, 1L, 1L, 2.0, 10.0, 0.0, "2020-01-01"),  // unit 500c
