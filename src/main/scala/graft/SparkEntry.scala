@@ -513,6 +513,11 @@ object SparkEntry {
     // key-keyed fingerprint join, VERSION AS OF as a log-window query
     "cdc_apply" -> ((s, d) => Cdc.cdcApplyQ(Tables.documents(s, d))),
     "snapshot_at" -> ((s, d) => Cdc.snapshotAtQ(Tables.documents(s, d))),
+    // incremental view maintenance: per-source agg view refreshed by
+    // δ(batch) + batch-sized before-image probe — never a base rescan;
+    // oracle recomputes the post-batch state directly
+    "incremental_view_maintain" -> ((s, d) =>
+      Ivm.incrementalViewMaintainQ(Tables.documents(s, d))),
     // …and the maintenance side: what a VACUUM could remove per version
     // under latest-per-key + time-travel-window retention
     "vacuum_plan" -> ((s, d) => VacuumPlan.vacuumPlanQ(Tables.documents(s, d))),
@@ -773,6 +778,7 @@ object SparkEntry {
     "distinct_diff_sketch" -> ThetaDiff.thetaDiffSql,
     "cdc_apply" -> Cdc.cdcApplySql,
     "snapshot_at" -> Cdc.snapshotAtSql,
+    "incremental_view_maintain" -> Ivm.incrementalViewMaintainSql,
     "vacuum_plan" -> VacuumPlan.vacuumPlanSql,
     "scd2_build" -> Cdc.scd2BuildSql,
     "commitlog_read_at" -> CommitLogRead.commitLogReadSql,
