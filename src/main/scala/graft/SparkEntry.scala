@@ -327,6 +327,10 @@ object SparkEntry {
     // duplication TOPOLOGY: degree histogram of the near-dup pair graph
     // (the one-page readout that picks the salting/maxDf dials)
     "dedup_degree" -> ((s, d) => DedupDegree.dedupDegreeQ(Tables.documents(s, d))),
+    // triangle census of the same pair graph: degree-ordered orientation
+    // (each triangle counted once, out-degree O(√m)); oracle counts via
+    // the naive ordered 3-way self-join — agreement proves the identity
+    "dedup_triangles" -> ((s, d) => Triangles.dedupTrianglesQ(Tables.documents(s, d))),
     // …attributed to the mixture axis: per-source dup-doc rate with
     // within/cross-source partner split
     "source_dup_rate" -> ((s, d) => SourceDupRate.sourceDupRateQ(Tables.documents(s, d))),
@@ -699,6 +703,7 @@ object SparkEntry {
     "pii_redact" -> PiiRedact.piiRedactSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
     "dedup_degree" -> DedupDegree.dedupDegreeSql,
+    "dedup_triangles" -> Triangles.dedupTrianglesSql,
     "source_dup_rate" -> SourceDupRate.sourceDupRateSql,
     "knn_cosine_lsh" -> Lsh.knnCosineLshSql,
     // round 9: promoted — the id-only join-back made the recall-1 probe
