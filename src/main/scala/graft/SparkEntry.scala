@@ -589,6 +589,9 @@ object SparkEntry {
     // round 8 (continuation 2): ranked document RETRIEVAL — fixed
     // multi-term query scored by quantized-integer tf·idf, top-K cut
     "keyword_search" -> ((s, d) => KeywordSearch.keywordSearchQ(Tables.documents(s, d))),
+    // …and the Okapi upgrade: integer-quantized BM25 (tf saturation +
+    // length normalization; one shared div-formula text both engines)
+    "bm25_rank" -> ((s, d) => Bm25.bm25RankQ(Tables.documents(s, d))),
     // …and canonical-URL resolution: the same-resource-many-spellings
     // rollup (case/utm/fragment/trailing-slash variants, fixture-planted)
     "url_canonicalize" -> ((s, _) => UrlCanon.urlCanonicalizeQ(s)),
@@ -753,6 +756,7 @@ object SparkEntry {
     "q21_sole_delay" -> TpchGaps.q21SoleDelaySql,
     "q6_forecast_revenue" -> TpchGaps.q6ForecastRevenueSql,
     "join_size_estimate" -> JoinEstimate.joinSizeEstimateSql,
+    "bm25_rank" -> Bm25.bm25RankSql,
     "q20_part_promotion" -> TpchGaps.q20PartPromotionSql,
     "q18_large_orders" -> LargeOrders.q18LargeOrdersSql,
     "q13_cust_dist" -> CustDistribution.q13CustDistSql,
