@@ -151,6 +151,9 @@ object SparkEntry {
     // round 7: JSONL document ingest — explicit schema (no inference
     // pass), PERMISSIVE corrupt-line handling, nested-meta flatten
     "jsonl_ingest" -> ((s, _) => JsonlIngest.jsonlIngestQ(s)),
+    // ORC round-trip: corpus → on-disk ORC → read-back row identity
+    // (the other native columnar format; DuckDB checks vs the parquet)
+    "orc_roundtrip" -> ((s, d) => OrcRoundtrip.orcRoundtripQ(Tables.documents(s, d))),
     "bronze_ingest" -> ((s, d) => SignalOps.bronzeIngestQ(Tables.events(s, d))),
     "silver_zscore" -> ((s, d) => SignalOps.silverZscoreQ(Tables.events(s, d))),
     "gold_trial_stats" -> ((s, d) => SignalOps.goldTrialStatsQ(Tables.events(s, d))),
@@ -643,6 +646,7 @@ object SparkEntry {
     "streaming_window_agg" -> Relational.streamingWindowAggSql,
     "csv_ingest" -> CsvIngest.csvIngestSql,
     "jsonl_ingest" -> JsonlIngest.jsonlIngestSql,
+    "orc_roundtrip" -> OrcRoundtrip.orcRoundtripSql,
     "bronze_ingest" -> SignalOps.bronzeIngestSql,
     "silver_zscore" -> SignalOps.silverZscoreSql,
     "gold_trial_stats" -> SignalOps.goldTrialStatsSql,
