@@ -39,9 +39,9 @@ object Ivm {
 
   val ValDigits = 4
 
-  private val FpExpr =
+  private[graft] val FpExpr =
     "md5(lower(trim(regexp_replace(coalesce(text, ''), '\\\\s+', ' '))))"
-  private val KeyExpr =
+  private[graft] val KeyExpr =
     "substring(md5(concat('graft-cdc:', CAST(doc_id AS STRING))), 1, 1)"
 
   private val HexDigits = "0123456789abcdef"

@@ -694,6 +694,76 @@ object StreamingJobs {
           .otherwise(lit("updated")).as("status"))
   }
 
+  /** upd_seq counts refreshes applied to the group (0 = seeded base,
+    * k = k micro-batches touched it) — the spec's latest-row selector
+    * and a DESCRIBE-HISTORY-ish refresh version. */
+  case class ViewState(n_docs: Long, fp_mass: Long, upd_seq: Long)
+  case class ViewRow(source: String, n_docs: Long, fp_mass: Long, upd_seq: Long)
+
+  /** STATEFUL IVM twin — the per-source aggregate view of
+    * [[graft.operators.Ivm]] maintained as STREAMING STATE: the change
+    * feed arrives continuously, each change is turned into its
+    * (dn, dv) delta (inserts self-contained; deletes/updates fetch the
+    * before-image via a stateless stream-static key join — the batch
+    * operator's probe, verbatim), and a keyed mapGroupsWithState folds
+    * deltas into the view. The state is SEEDED from the batch base view
+    * through the INITIAL-STATE overload — the exact production shape:
+    * bootstrap the materialized view once, then keep it fresh from the
+    * stream without ever rescanning the base. Update mode: each
+    * micro-batch emits the refreshed rows for sources it touched; the
+    * latest emission per source after the replay drains equals the
+    * batch [[graft.operators.Ivm.incrementalViewMaintainQ]] row set
+    * (for sources still live — the batch form drops net-zero groups;
+    * spec-pinned, including a CHUNKED replay where deltas accumulate
+    * across micro-batches). State: one 2-long record per source —
+    * grows with the group universe, not the stream. */
+  def ivmStream(spark: SparkSession, dir: String,
+                filesPerTrigger: Int = 0): Dataset[ViewRow] = {
+    import spark.implicits._
+    import graft.operators.Ivm
+    val statics = spark.read.schema(documentsRawSchema).parquet(dir)
+    val rows = statics.select(col("doc_id"), col("source"),
+      expr(Ivm.FpExpr).as("fp"))
+    val before = rows.select(col("doc_id"), col("source").as("old_source"),
+      expr(Ivm.hexValExpr("fp")).as("old_val"))
+    val initial = Ivm.viewOf(rows)
+      .selectExpr("source", "n_docs", "fp_mass", "CAST(0 AS BIGINT) AS upd_seq")
+      .as[ViewRow]
+      .groupByKey(_.source)
+      .mapValues(r => ViewState(r.n_docs, r.fp_mass, 0L))
+    val reader0 = spark.readStream.schema(documentsRawSchema)
+    val reader =
+      if (filesPerTrigger > 0) reader0.option("maxFilesPerTrigger", filesPerTrigger)
+      else reader0
+    val changes = Ivm.syntheticBatch(
+      reader.parquet(dir)
+        .select(col("doc_id"), col("source"), expr(Ivm.FpExpr).as("fp"))
+        .withColumn("k", expr(Ivm.KeyExpr)))
+    val mutations = changes.filter(col("op") =!= "insert")
+      .join(before, Seq("doc_id"))
+      .select(col("old_source").as("source"),
+        when(col("op") === "delete", -1L).otherwise(0L).as("dn"),
+        when(col("op") === "delete", -col("old_val"))
+          .otherwise(expr(Ivm.hexValExpr("fp")) - col("old_val")).as("dv"))
+    val inserts = changes.filter(col("op") === "insert")
+      .select(col("src").as("source"), lit(1L).as("dn"),
+        expr(Ivm.hexValExpr("fp")).as("dv"))
+    mutations.unionAll(inserts)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout, initial) {
+        (source: String, deltas: Iterator[(String, Long, Long)],
+         state: GroupState[ViewState]) =>
+          val s0 = state.getOption.getOrElse(ViewState(0L, 0L, 0L))
+          val (dn, dv) = deltas.foldLeft((0L, 0L)) { case ((a, b), d) =>
+            (a + d._2, b + d._3)
+          }
+          val s1 = ViewState(s0.n_docs + dn, s0.fp_mass + dv, s0.upd_seq + 1)
+          state.update(s1)
+          ViewRow(source, s1.n_docs, s1.fp_mass, s1.upd_seq)
+      }
+  }
+
   // ------------------------------------------- stream-stream range join
 
   /** STREAM-STREAM inner join — the one Structured Streaming join class

@@ -470,6 +470,37 @@ class StreamingSpec extends AnyFunSuite {
       "corpus must exercise all three change verdicts")
   }
 
+  test("stateful IVM stream: seeded view + chunked delta replay equals the batch operator") {
+    // base view seeded via the INITIAL-STATE overload; the change feed
+    // replays in 3 micro-batches (one chunk file per trigger) so deltas
+    // ACCUMULATE across batches on live state — latest emission per
+    // source must equal the batch incremental_view_maintain row set.
+    val docs = Tables.documents(spark, sf)
+    val dir = Files.createTempDirectory("graft-stream-ivm").toString
+    (0 to 2).foreach { c =>
+      docs.filter(col("doc_id") % 3 === c).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val q = StreamingJobs.ivmStream(spark, dir, filesPerTrigger = 1)
+      .writeStream.format("memory").queryName("ivm_stream")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("ivm_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(emitted.map(_._4).max >= 2, "replay did not span multiple micro-batches")
+    val latest = emitted.groupBy(_._1).map { case (src, rows) =>
+      val last = rows.maxBy(_._4)
+      (src, last._2, last._3)
+    }.filter(_._2 > 0).toSet
+    // batch operator over the SAME 3-chunk table (identical row set)
+    val batch = graft.operators.Ivm
+      .incrementalViewMaintainQ(spark.read.parquet(dir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(latest == batch,
+      s"stream view ≠ batch: only-stream=${(latest -- batch).take(3)} " +
+        s"only-batch=${(batch -- latest).take(3)}")
+  }
+
   test("streaming attribution rollup matches the batch operator per channel") {
     // keyed state: one last-touch record per user; purchases emit final
     // attributed rows at arrival. The batch operator ships the channel
