@@ -317,6 +317,9 @@ object SparkEntry {
     // watermark-sizing diagnostic behind the streaming twins' contracts
     "late_arrival_audit" -> ((s, d) => LateArrival.lateArrivalAuditQ(Tables.events(s, d))),
     "rate_spike" -> ((s, d) => RateSpike.rateSpikeQ(Tables.events(s, d))),
+    // Theil–Sen robust trend: median pairwise slope per type — one
+    // data-volume agg, then horizon²-bounded pair/median stages
+    "robust_trend" -> ((s, d) => RobustTrend.robustTrendQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // …and its business twin: last-touch conversion attribution (LOCF
     // carries the touch TYPE; explicit _none channel for cold purchases)
@@ -820,6 +823,7 @@ object SparkEntry {
     "event_dedup_report" -> EventDedup.eventDedupReportSql,
     "late_arrival_audit" -> LateArrival.lateArrivalAuditSql,
     "rate_spike" -> RateSpike.rateSpikeSql,
+    "robust_trend" -> RobustTrend.robustTrendSql,
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
     "q4_late_exists" -> LateExists.q4LateExistsSql,
     "equidepth_hist" -> EquidepthHist.equidepthHistSql,

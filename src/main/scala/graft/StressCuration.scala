@@ -172,6 +172,17 @@ object StressCuration {
       time(s"source_pagerank_$tag") { graft.operators.SourceRank.sourcePagerank(docs) }
       time(s"expectations_$tag") { graft.operators.Expectations.expectationsReport(docs) }
       time(s"band_plan_$tag") { graft.operators.BandPlan.prefixBandPlan(docs) }
+      // round 10 (closing session): the IVM refresh (batch-sized probe +
+      // |groups| merge — should be flat in the view merge, linear in the
+      // probe), BM25 (keyword_search's shape + one map-side length pass),
+      // the triangle census (inherits the pair miner's Σ df², then the
+      // orientation-bounded wedge join — pairs grow ~45× on the near-dup
+      // replicas, the adversarial direction), and the ORC round-trip
+      // (pure write+scan, the format tax measured directly)
+      time(s"ivm_$tag") { graft.operators.Ivm.incrementalViewMaintainQ(docs) }
+      time(s"bm25_$tag") { graft.operators.Bm25.bm25Rank(docs) }
+      time(s"triangles_$tag") { graft.operators.Triangles.dedupTrianglesQ(docs) }
+      time(s"orc_roundtrip_$tag") { graft.operators.OrcRoundtrip.orcRoundtripQ(docs) }
     }
 
     // round 10: embeddings-side — the power iteration at 10× vectors

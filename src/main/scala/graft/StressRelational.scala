@@ -37,7 +37,10 @@ object StressRelational {
     "q10_returned_topk", "q14_promo_share", "q15_top_supplier",
     "q17_avg_filter", "q18_large_orders", "q19_disjunctive",
     "window_topk_per_group", "rollup_agg", "cube_agg", "semi_anti_join",
-    "incremental_new_keys", "equidepth_hist", "rfm_segment")
+    "incremental_new_keys", "equidepth_hist", "rfm_segment",
+    // round 10 (closing session): the set-completing classics + the
+    // join-size sketch (map-side sample kill before two count exchanges)
+    "q6_forecast_revenue", "q20_part_promotion", "join_size_estimate")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
