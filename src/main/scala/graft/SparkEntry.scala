@@ -361,6 +361,9 @@ object SparkEntry {
     // round 8: PII detect + redact (emails / IPv4 / phones) — the
     // pre-release scrub pass, over a committed PII-planting fixture
     "pii_redact" -> ((s, _) => PiiRedact.piiRedactQ(s)),
+    // release-side privacy audit: quasi-id equivalence-class census,
+    // per-stratum below-k rollup (one map-combinable groupBy, no joins)
+    "k_anonymity_audit" -> ((s, d) => KAnonymity.kAnonymityAuditQ(Tables.documents(s, d))),
     // beyond the SURVEY §2 inventory: second scale paths for similarity
     "embedding_dedup_lsh" -> ((s, d) => Lsh.embeddingDedupLshQ(Tables.embeddings(s, d))),
     "knn_cosine_ivf" -> ((s, d) => Ivf.knnCosineIvfQ(Tables.embeddings(s, d))),
@@ -711,6 +714,7 @@ object SparkEntry {
     "audio_header_decode" -> AudioHeaders.audioHeaderDecodeSql,
     "video_header_decode" -> VideoHeaders.videoHeaderDecodeSql,
     "pii_redact" -> PiiRedact.piiRedactSql,
+    "k_anonymity_audit" -> KAnonymity.kAnonymityAuditSql,
     "dedup_minhash_lsh" -> Lsh.minhashLshSql,
     "dedup_degree" -> DedupDegree.dedupDegreeSql,
     "dedup_triangles" -> Triangles.dedupTrianglesSql,
