@@ -129,7 +129,14 @@ class EmptyInputSpec extends AnyFunSuite {
       "dedup_threshold_sweep" -> ThresholdSweep.dedupThresholdSweep(d),
       "vocab_growth_curve" -> VocabGrowth.vocabGrowthCurve(d),
       "source_dup_rate" -> SourceDupRate.sourceDupRate(d),
-      "vacuum_plan" -> VacuumPlan.vacuumPlan(Cdc.changeLog(d)))
+      "vacuum_plan" -> VacuumPlan.vacuumPlan(Cdc.changeLog(d)),
+      // round 10 (closing session); dedup_triangles and join_size_estimate
+      // emit 1-row summaries on empty input by design — their own specs
+      // pin the all-zero row, so they are not in this n==0 list
+      "incremental_view_maintain" -> Ivm.incrementalViewMaintainQ(d),
+      "bm25_rank" -> Bm25.bm25Rank(d),
+      "k_anonymity_audit" -> KAnonymity.kAnonymityAudit(d),
+      "orc_roundtrip" -> OrcRoundtrip.orcRoundtripQ(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
@@ -182,6 +189,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "assoc_rules" -> AssocRules.assocRules(empty),
       "event_interarrival" -> Interarrival.eventInterarrival(empty),
       "rate_spike" -> RateSpike.rateSpike(empty),
+      "robust_trend" -> RobustTrend.robustTrend(empty),
       "session_concurrency" -> SessionConcurrency.sessionConcurrency(empty),
       "user_ltv" -> UserLtv.userLtv(empty),
       "attribution_lasttouch" -> Attribution.attributionLastTouch(empty),
