@@ -568,6 +568,9 @@ object SparkEntry {
     // manifest (counts, token mass, key range, ordered-id checksum)
     "dup_passages" -> ((s, d) => DupPassages.dupPassagesQ(Tables.documents(s, d))),
     "shard_manifest" -> ((s, d) => ShardManifest.shardManifestQ(Tables.documents(s, d))),
+    // …and the OPTIMIZE planner over it: shards → ~equal-mass output
+    // file groups (prefix-sum div data-derived target; tiny-frame window)
+    "compaction_plan" -> ((s, d) => CompactionPlan.compactionPlanQ(Tables.documents(s, d))),
     // …and vocabulary APPLICATION: every token position mapped to its
     // learned vocab id (UNK=-1) via one broadcast join of the K-row vocab
     "tokenize_ids" -> ((s, d) => TokenizeIds.tokenizeIdsQ(Tables.documents(s, d))),
@@ -812,6 +815,7 @@ object SparkEntry {
     "source_divergence" -> SourceDivergence.sourceDivergenceSql,
     "dup_passages" -> DupPassages.dupPassagesSql,
     "shard_manifest" -> ShardManifest.shardManifestSql,
+    "compaction_plan" -> CompactionPlan.compactionPlanSql,
     "tokenize_ids" -> TokenizeIds.tokenizeIdsSql,
     "tokenizer_fertility" -> TokenizerFertility.tokenizerFertilitySql,
     "dup_span_merge" -> DupSpans.dupSpanMergeSql,
