@@ -320,6 +320,9 @@ object SparkEntry {
     // Theil–Sen robust trend: median pairwise slope per type — one
     // data-volume agg, then horizon²-bounded pair/median stages
     "robust_trend" -> ((s, d) => RobustTrend.robustTrendQ(Tables.events(s, d))),
+    // exact-integer CUSUM level-shift argmax per type (the step
+    // question robust_trend's drift and rate_spike's days leave open)
+    "change_point" -> ((s, d) => ChangePoint.changePointQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // …and its business twin: last-touch conversion attribution (LOCF
     // carries the touch TYPE; explicit _none channel for cold purchases)
@@ -832,6 +835,7 @@ object SparkEntry {
     "late_arrival_audit" -> LateArrival.lateArrivalAuditSql,
     "rate_spike" -> RateSpike.rateSpikeSql,
     "robust_trend" -> RobustTrend.robustTrendSql,
+    "change_point" -> ChangePoint.changePointSql,
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
     "q4_late_exists" -> LateExists.q4LateExistsSql,
     "equidepth_hist" -> EquidepthHist.equidepthHistSql,
