@@ -584,6 +584,7 @@ object SparkEntry {
     // round 8 (continuation): maximal duplicate-span merge — adjacent
     // duplicated windows fused into surgical-removal extents (islands)
     "dup_span_merge" -> ((s, d) => DupSpans.dupSpanMergeQ(Tables.documents(s, d))),
+    "dedup_substring" -> ((s, d) => SubstringDedup.substringDedupQ(Tables.documents(s, d))),
     // …and window-granularity language composition: the mixed-document
     // detector the whole-doc lang_id label needs as a trust gate
     "lang_mix" -> ((s, d) => LangMix.langMixQ(Tables.documents(s, d))),
@@ -822,6 +823,7 @@ object SparkEntry {
     "tokenize_ids" -> TokenizeIds.tokenizeIdsSql,
     "tokenizer_fertility" -> TokenizerFertility.tokenizerFertilitySql,
     "dup_span_merge" -> DupSpans.dupSpanMergeSql,
+    "dedup_substring" -> SubstringDedup.substringDedupSql,
     "lang_mix" -> LangMix.langMixSql,
     "paragraph_clean" -> ParagraphClean.paragraphCleanSql,
     "bigram_pmi" -> Collocations.bigramPmiSql,

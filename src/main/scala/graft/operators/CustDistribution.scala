@@ -71,6 +71,11 @@ object CustDistribution {
   val RecencyCutoff = "1999-01-01"
 
   def q22NoOrderCusts(customer: DataFrame, orders: DataFrame): DataFrame = {
+    // `cust` feeds two consumers (the 1-row average fact + the probe) BY
+    // DESIGN without a checkpoint: it is a pure column projection over
+    // the base scan, so each consumer is one pushed-down map pass — the
+    // qualitySelect two-pass exception (materializing a table-wide frame
+    // to save a map pass is the wrong trade at 100 TB)
     val cust = customer.select(col("c_custkey"), col("c_nationkey"),
       expr("CAST(round(c_acctbal * 100.0) AS BIGINT)").as("bal_cents"))
     val avgFact = cust.filter(col("bal_cents") > 0)

@@ -161,6 +161,50 @@ object Dedup {
         Parity.r("jaccard", 4))
       .orderBy("id1", "id2")
 
+  // --- persisted pair index (round 12) -------------------------------------
+  //
+  // Six of the bench's slowest-8 (ngram_jaccard, cluster, keep_best,
+  // threshold_sweep, split_leakage, source_dup_rate) independently re-run
+  // the SAME Σ df² inverted-index join over the same corpus — the τ=0
+  // exact pair stream is their shared sufficient statistic. At 100 TB the
+  // right shape is mine-once-consume-many: materialize the index ONCE,
+  // persist it bucketed by id1, and feed every consumer from the stored
+  // frame (ParagraphDedup/LSH-index InfraSpec precedent). Every from-index
+  // form below is row-identical to its inline twin BY CONSTRUCTION (the
+  // inline forms all end in a jaccard-threshold filter over exactly these
+  // five columns) and spec-pinned in InfraSpec; amortized cost in PERF.md.
+
+  /** The τ=0 exact pair index: every candidate pair sharing ≥1 shingle,
+    * with its sufficient statistics (id1, id2, inter, n1, n2). Persist
+    * this bucketed by id1; jaccard at ANY threshold is a map over it. */
+  def pairIndex(documents: DataFrame): DataFrame =
+    ngramJaccardPairs(documents, threshold = 0.0)
+      .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"))
+
+  /** Thresholded pair stream from a (persisted) [[pairIndex]] frame —
+    * row-identical to `ngramJaccardPairs(docs, threshold)` without the
+    * Σ df² mine: one map + filter over the stored stats. */
+  def pairsFromIndex(index: DataFrame,
+                     threshold: Double = JaccardThreshold): DataFrame =
+    index
+      .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (n1 + n2 - inter)"))
+      .filter(col("jaccard") >= threshold)
+
+  /** [[dedupClusters]] fed from a persisted [[pairIndex]]. */
+  def dedupClustersFromIndex(documents: DataFrame, index: DataFrame,
+                             threshold: Double = JaccardThreshold,
+                             maxIters: Int = 20,
+                             saltNeighborMin: Option[Int] = None): DataFrame =
+    clustersFromPairs(documents, pairsFromIndex(index, threshold), maxIters,
+      saltNeighborMin)
+
+  /** [[dedupClusterKeepBest]] fed from a persisted [[pairIndex]]. */
+  def dedupClusterKeepBestFromIndex(documents: DataFrame, index: DataFrame,
+                                    threshold: Double = JaccardThreshold): DataFrame =
+    keepBestOverLabels(documents,
+      dedupClustersFromIndex(documents, index, threshold)
+        .select("doc_id", "cluster_id"))
+
   /** Min-label propagation with POINTER JUMPING over a symmetrized edge
     * list: each round every vertex takes the min label among itself and
     * its neighbors, then compresses `label ← label(label)` (valid because
@@ -300,8 +344,14 @@ object Dedup {
     * cluster — clusters are tiny (pair-graph components), so the window
     * partition is never a hot reducer. */
   def dedupClusterKeepBest(documents: DataFrame,
-                           threshold: Double = JaccardThreshold): DataFrame = {
-    val labels = dedupClusters(documents, threshold).select("doc_id", "cluster_id")
+                           threshold: Double = JaccardThreshold): DataFrame =
+    keepBestOverLabels(documents,
+      dedupClusters(documents, threshold).select("doc_id", "cluster_id"))
+
+  /** Shared tail of the keep-best forms: quality map pass + one
+    * FIRST_VALUE window over the given (doc_id, cluster_id) labels. */
+  private def keepBestOverLabels(documents: DataFrame,
+                                 labels: DataFrame): DataFrame = {
     val scored = TextOps.textQuality(documents)
       .withColumn("qs4", expr("CAST(round(quality_score * 10000.0) AS BIGINT)"))
       .select(col("doc_id"), col("qs4"), col("quality_score"))

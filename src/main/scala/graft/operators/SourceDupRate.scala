@@ -25,9 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object SourceDupRate {
 
-  def sourceDupRate(documents: DataFrame): DataFrame = {
+  def sourceDupRate(documents: DataFrame): DataFrame =
+    rateOverPairs(documents, Lsh.minhashLshPairs(documents).select("id1", "id2"))
+
+  /** The attribution fed from a persisted [[Dedup.pairIndex]]: verified
+    * pairs become a map+filter over the stored stats (round-12 mine-once
+    * economics). Row-identical to the shipping LSH form wherever LSH
+    * recall is 1 — the operator's own oracle already rides that
+    * equivalence ([[DedupDegree]] precedent); InfraSpec pins it. */
+  def sourceDupRateFromIndex(documents: DataFrame, index: DataFrame): DataFrame =
+    rateOverPairs(documents,
+      Dedup.pairsFromIndex(index).select("id1", "id2"))
+
+  private def rateOverPairs(documents: DataFrame,
+                            verified: DataFrame): DataFrame = {
     val spine = documents.select(col("doc_id"), col("source"))
-    val pairs = Lsh.minhashLshPairs(documents).select("id1", "id2")
+    val pairs = verified
       .join(spine.select(col("doc_id").as("id1"), col("source").as("s1")), Seq("id1"))
       .join(spine.select(col("doc_id").as("id2"), col("source").as("s2")), Seq("id2"))
     val touched = pairs.select(col("id1").as("doc_id"), col("s1").as("source"),

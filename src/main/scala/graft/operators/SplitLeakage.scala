@@ -44,8 +44,18 @@ object SplitLeakage {
   /** Near-dup pairs (Jaccard ≥ threshold) whose members sit in different
     * splits: (id1, split1, id2, split2, n1, n2, inter, jaccard). */
   def splitLeakage(documents: DataFrame,
-                   threshold: Double = Dedup.JaccardThreshold): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(documents, threshold)
+                   threshold: Double = Dedup.JaccardThreshold): DataFrame =
+    leakageOverPairs(documents, Dedup.ngramJaccardPairs(documents, threshold))
+
+  /** The audit fed from a persisted [[Dedup.pairIndex]] — the Σ df² mine
+    * is replaced by a map+filter over the stored stats (round-12
+    * mine-once economics; row-identity in InfraSpec). */
+  def splitLeakageFromIndex(documents: DataFrame, index: DataFrame,
+                            threshold: Double = Dedup.JaccardThreshold): DataFrame =
+    leakageOverPairs(documents, Dedup.pairsFromIndex(index, threshold))
+
+  private def leakageOverPairs(documents: DataFrame,
+                               pairs: DataFrame): DataFrame = {
     val sp = TextOps.corpusSplit(documents).select(col("doc_id"), col("split"))
     pairs
       .join(sp.select(col("doc_id").as("id1"), col("split").as("split1")), Seq("id1"))

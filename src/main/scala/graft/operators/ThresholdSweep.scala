@@ -36,9 +36,19 @@ object ThresholdSweep {
 
   def dedupThresholdSweep(documents: DataFrame,
                           maxDf: Option[Long] = None,
-                          saltCandidates: Option[Int] = None): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(documents, threshold = 0.0,
-        maxDf = maxDf, saltCandidates = saltCandidates)
+                          saltCandidates: Option[Int] = None): DataFrame =
+    sweepOverPairs(Dedup.ngramJaccardPairs(documents, threshold = 0.0,
+      maxDf = maxDf, saltCandidates = saltCandidates))
+
+  /** The sweep fed from a persisted [[Dedup.pairIndex]] — the τ=0 stats
+    * ARE the index rows, so the whole operator becomes one 1-row
+    * aggregate over the stored frame (round-12 mine-once economics;
+    * row-identity in InfraSpec). */
+  def dedupThresholdSweepFromIndex(index: DataFrame): DataFrame =
+    sweepOverPairs(index)
+
+  private def sweepOverPairs(pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame
       .select(col("inter").cast("long").as("inter"),
         expr("CAST(n1 + n2 - inter AS BIGINT)").as("u"))
     val aggCols = CutsT10.flatMap(t => Seq(

@@ -64,13 +64,19 @@ object TpchGaps {
 
   def q2MinCostSupplier(lineitem: DataFrame, part: DataFrame,
                         supplier: DataFrame, nation: DataFrame): DataFrame = {
+    // the correlated min-cost subquery decorrelated as a WINDOW-min over
+    // the (part, supp) aggregate — one consumer of `cost`, so no
+    // localCheckpoint is needed (the groupBy+join-back form read the
+    // lineitem aggregation twice); the oracle keeps the two-CTE
+    // subquery form, so agreement proves the decorrelation
     val cost = lineitem
       .select(col("l_partkey"), col("l_suppkey"),
         expr("CAST(round(l_extendedprice / l_quantity * 100.0) AS BIGINT)").as("unit_cents"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(min("unit_cents").as("min_unit_cents"))
-    val best = cost.groupBy("l_partkey").agg(min("min_unit_cents").as("best_cents"))
-    cost.join(best, Seq("l_partkey"))
+    cost
+      .withColumn("best_cents", min("min_unit_cents")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
       .filter(col("min_unit_cents") === col("best_cents"))
       .join(broadcast(part.filter(col("p_size") >= 30)),
         col("l_partkey") === col("p_partkey"))
@@ -186,9 +192,13 @@ object TpchGaps {
   // ---------------------------------------------------------- Q11 shape
 
   def q11ImportantParts(lineitem: DataFrame): DataFrame = {
+    // |parts|-sized agg consumed TWICE (1-row total + the threshold
+    // filter) — checkpoint per the multi-consumer invariant, or the
+    // lineitem aggregation runs once per consumer
     val value = lineitem
       .select(col("l_partkey"), expr(RevCents).as("cents"))
       .groupBy("l_partkey").agg(sum("cents").as("value_cents"))
+      .localCheckpoint()
     val tot = value.agg(sum("value_cents").as("total_cents"),
       count(lit(1)).as("n_parts"))
     // threshold = the MEAN part value (integer cross-multiplied, ≥ so the

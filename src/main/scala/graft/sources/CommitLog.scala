@@ -250,7 +250,15 @@ object CommitLog {
     * Appends commute with every concurrent commit, so losing the race
     * just means trying the next number — no recompute needed. */
   def append(spark: SparkSession, table: String, df: DataFrame,
-             maxRetries: Int = 50): Long = {
+             maxRetries: Int = 50): Long =
+    appendWithRetries(spark, table, df, maxRetries)._1
+
+  /** [[append]] plus the number of commit races lost along the way —
+    * the observability hook the N-writer stress spec reports on (a lost
+    * race burns a retry, never a version number and never the staged
+    * files). */
+  def appendWithRetries(spark: SparkSession, table: String, df: DataFrame,
+                        maxRetries: Int = 50): (Long, Int) = {
     val adds = stage(table, df)
     var v = latestVersion(table) + 1
     var tries = 0
@@ -259,7 +267,7 @@ object CommitLog {
       require(tries <= maxRetries, s"append lost $maxRetries commit races on $table")
       v = math.max(v + 1, latestVersion(table) + 1)
     }
-    v
+    (v, tries)
   }
 
   /** Copy-on-write rewrite (the storage half of MERGE / DELETE /

@@ -779,7 +779,30 @@ object StreamingJobs {
     * the emitted pair set equals the batch twin's exactly
     * ([[batchClickPurchasePairs]]; StreamStreamJoinSpec pins it). */
   def clickPurchaseJoinStream(spark: SparkSession, dir: String, delay: String,
-                              windowUs: Long = 3600000000L): DataFrame = {
+                              windowUs: Long = 3600000000L): DataFrame =
+    clickPurchaseJoined(spark, dir, delay, windowUs, "inner")
+
+  /** LEFT-OUTER stream-stream range join (round 12) — the remaining
+    * Structured Streaming join contract after the inner twin: every
+    * purchase emits, attributed clicks attached where they exist, one
+    * NULL-click row where none does. The semantics worth pinning (public
+    * Spark contract): MATCHED pairs emit as soon as both sides arrive —
+    * exactly the inner join's emission — but an UNMATCHED purchase's
+    * NULL row is withheld until the global watermark passes the last
+    * instant a matching click could still arrive (its own purch_ts, the
+    * top of the trailing window); only then is "no match" final rather
+    * than "no match yet". Consequence: the NULL rows surface one
+    * micro-batch AFTER the watermark passes (eviction uses the previous
+    * batch's watermark), and a drained replay whose watermark has moved
+    * past every purchase equals the batch LEFT JOIN row-for-row
+    * (StreamStreamOuterSpec pins both the withheld-then-emitted timing
+    * on a planted fixture and full batch parity at gate). */
+  def clickPurchaseOuterJoinStream(spark: SparkSession, dir: String, delay: String,
+                                   windowUs: Long = 3600000000L): DataFrame =
+    clickPurchaseJoined(spark, dir, delay, windowUs, "left_outer")
+
+  private def clickPurchaseJoined(spark: SparkSession, dir: String, delay: String,
+                                  windowUs: Long, joinType: String): DataFrame = {
     val (tsIsLong, _) = eventsTsProbe(spark, dir)
     def side(tpe: String, idAs: String, tsAs: String) = spark.readStream
       .schema(eventsRawSchema(tsIsLong))
@@ -797,7 +820,7 @@ object StreamingJobs {
     purchases.join(clicks,
       expr(s"""p_user_id = user_id
               |AND click_ts >= purch_ts - INTERVAL ${windowUs / 1000000} SECONDS
-              |AND click_ts <= purch_ts""".stripMargin))
+              |AND click_ts <= purch_ts""".stripMargin), joinType)
       .select(col("p_user_id").as("user_id"), col("purch_id"), col("click_id"),
         expr("unix_micros(purch_ts)").as("purch_us"),
         expr("unix_micros(click_ts)").as("click_us"))
@@ -817,6 +840,24 @@ object StreamingJobs {
       .filter(col("click_us") >= col("purch_us") - windowUs &&
         col("click_us") <= col("purch_us"))
       .select("user_id", "purch_id", "click_id", "purch_us", "click_us")
+  }
+
+  /** Batch twin of [[clickPurchaseOuterJoinStream]]: purchases LEFT JOIN
+    * clicks on the same key + range condition. */
+  def batchClickPurchaseOuterPairs(events: org.apache.spark.sql.DataFrame,
+                                   windowUs: Long = 3600000000L): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        expr("unix_micros(ts)").as("click_us"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purch_id"),
+        expr("unix_micros(ts)").as("purch_us"))
+    purchases.join(clicks,
+      purchases("user_id") === clicks("user_id") &&
+        col("click_us") >= col("purch_us") - windowUs &&
+        col("click_us") <= col("purch_us"), "left_outer")
+      .select(purchases("user_id"), col("purch_id"), col("click_id"),
+        col("purch_us"), col("click_us"))
   }
 
   // --------------------------------- streaming last-touch attribution

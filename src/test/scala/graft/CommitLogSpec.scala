@@ -271,6 +271,78 @@ class CommitLogSpec extends AnyFunSuite {
     intercept[IllegalStateException] { CommitLog.liveFiles(t, 1L) }
   }
 
+  test("N-writer stress: 8 racing appenders + 1 compactor — linearizable history, zero lost commits") {
+    // CREATE_NEW's exclusivity claim at its real concurrency (round 12):
+    // 8 appender threads × 5 commits race each other AND a compactor
+    // that keeps rewriting the whole table. Linearizable history =
+    // versions are contiguous 0..vMax with a unique winner each (the
+    // filesystem enforces it; this proves the retry protocols preserve
+    // it under contention), each thread's own versions are in program
+    // order, and no commit — append or compaction — is lost or doubled.
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((0L, 0L)).toDF("writer", "seq"))
+    val writers = 8
+    val perWriter = 5
+    val pool = Executors.newFixedThreadPool(writers + 1)
+    val start = new CountDownLatch(1)
+    val appendersLive = new java.util.concurrent.atomic.AtomicInteger(writers)
+    val appendRetries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val compactorConflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    def appender(w: Int) = pool.submit(new Callable[Seq[Long]] {
+      def call(): Seq[Long] = {
+        start.await()
+        val vs = (1 to perWriter).map { s =>
+          val (v, tries) = CommitLog.appendWithRetries(spark, t,
+            Seq(((w + 1).toLong, s.toLong)).toDF("writer", "seq"))
+          appendRetries.addAndGet(tries)
+          v
+        }
+        appendersLive.decrementAndGet()
+        vs
+      }
+    })
+    val compactor = pool.submit(new Callable[Seq[Long]] {
+      def call(): Seq[Long] = {
+        start.await()
+        val won = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var finalDone = false
+        while (!finalDone) {
+          val quiesced = appendersLive.get() == 0
+          CommitLog.compact(spark, t) match {
+            case Right(v) => won += v; if (quiesced) finalDone = true
+            case Left(_) => compactorConflicts.incrementAndGet()
+          }
+        }
+        won.toSeq
+      }
+    })
+    val futs = (0 until writers).map(appender)
+    start.countDown()
+    val appendVersions = futs.map(_.get())
+    val compactVersions = compactor.get()
+    pool.shutdown()
+
+    // zero lost commits: every returned version is a distinct slot, and
+    // the history is gapless 0..vMax — nothing overwritten, nothing burned
+    val all = appendVersions.flatten ++ compactVersions :+ 0L
+    val vMax = CommitLog.latestVersion(t)
+    assert(all.distinct.size == all.size, s"two writers report the same version: $all")
+    assert(all.toSet == (0L to vMax).toSet,
+      s"history has gaps or unaccounted commits: vMax=$vMax, returned=${all.sorted}")
+    // per-thread program order is version order (linearizability witness)
+    appendVersions.foreach(vs => assert(vs == vs.sorted, s"out-of-order session: $vs"))
+    assert(compactVersions == compactVersions.sorted && compactVersions.nonEmpty)
+    // content: the final snapshot holds the base row + all 40 appended
+    // rows exactly once, through every interleaved compaction
+    val rows = CommitLog.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = ((0L, 0L) +: (for (w <- 1 to writers; s <- 1 to perWriter)
+      yield (w.toLong, s.toLong))).sorted
+    assert(rows == expected, s"rows lost or doubled: got ${rows.size}, want ${expected.size}")
+    info(s"appends=${writers * perWriter} appendRetries=${appendRetries.get()} " +
+      s"compactions=${compactVersions.size} compactorConflicts=${compactorConflicts.get()}")
+  }
+
   test("history classifier: verbs derived from the log alone match the script; empty corpus total") {
     import graft.operators.CommitLogRead
     // small corpus: the classifier must label v2 replace (removes + fresh

@@ -136,7 +136,12 @@ class EmptyInputSpec extends AnyFunSuite {
       "incremental_view_maintain" -> Ivm.incrementalViewMaintainQ(d),
       "bm25_rank" -> Bm25.bm25Rank(d),
       "k_anonymity_audit" -> KAnonymity.kAnonymityAudit(d),
-      "orc_roundtrip" -> OrcRoundtrip.orcRoundtripQ(d))
+      "orc_roundtrip" -> OrcRoundtrip.orcRoundtripQ(d),
+      // round 12
+      "dedup_substring" -> SubstringDedup.substringDedup(d),
+      "pair_index" -> Dedup.pairIndex(d),
+      "threshold_sweep_from_index" ->
+        ThresholdSweep.dedupThresholdSweepFromIndex(Dedup.pairIndex(d)))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")

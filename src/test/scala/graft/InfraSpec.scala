@@ -213,6 +213,64 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted pair index feeds all six exact-pair consumers row-identically, no re-mining") {
+    // The round-12 mine-once-consume-many row: six of the bench's
+    // slowest-8 (ngram_jaccard, cluster, keep_best, threshold_sweep,
+    // split_leakage, source_dup_rate) each independently re-run the SAME
+    // Σ df² inverted-index join. At 100 TB the τ=0 pair index is mined
+    // ONCE, persisted bucketed by id1, and every consumer reads the
+    // stored stats — this spec pins (a) row identity of every from-index
+    // form vs its registered inline twin and (b) that no from-index plan
+    // contains the miner's xxhash64 signature (nothing re-mines).
+    // Amortized cost at sf0.1: StressPairIndex → PERF.md.
+    import graft.operators.{Dedup, Parity, SourceDupRate, SplitLeakage, ThresholdSweep}
+    val docs = Tables.documents(spark, sf)
+    try {
+      Dedup.pairIndex(docs)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "id1").sortBy("id1", "id2")
+        .saveAsTable("graft_pair_idx")
+      val idx = spark.table("graft_pair_idx")
+
+      // thresholding the stored stats is exchange-free (bucketed scan + map)
+      val thresholded = Dedup.pairsFromIndex(idx)
+      assert(!thresholded.queryExecution.executedPlan.toString.contains("Exchange"),
+        "pairsFromIndex over the bucketed table must not shuffle")
+
+      val fromIndex: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "dedup_ngram_jaccard" -> Dedup.pairsFromIndex(idx)
+          .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
+            Parity.r("jaccard", 4))
+          .orderBy("id1", "id2"),
+        "dedup_cluster" -> Dedup.dedupClustersFromIndex(docs, idx).orderBy("doc_id"),
+        "dedup_cluster_keep_best" ->
+          Dedup.dedupClusterKeepBestFromIndex(docs, idx).orderBy("doc_id"),
+        "dedup_threshold_sweep" ->
+          ThresholdSweep.dedupThresholdSweepFromIndex(idx).orderBy("tau_pct"),
+        "split_leakage" -> SplitLeakage.splitLeakageFromIndex(docs, idx)
+          .select(col("id1"), col("split1"), col("id2"), col("split2"),
+            col("n1"), col("n2"), col("inter"), Parity.r("jaccard", 4))
+          .orderBy("id1", "id2"),
+        "source_dup_rate" ->
+          SourceDupRate.sourceDupRateFromIndex(docs, idx).orderBy("source"))
+      fromIndex.foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("xxhash64"),
+          s"$name from-index plan re-mines the pair stream:\n$plan")
+        val a = df.collect().map(_.toString).sorted
+        val b = SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted
+        assert(a.nonEmpty && a.sameElements(b),
+          s"$name from-index diverges from the registered query " +
+            s"(${a.length} vs ${b.length} rows)")
+      }
+      // non-vacuity: the inline miner itself DOES carry the signature
+      assert(Dedup.ngramJaccardPairs(docs).queryExecution.executedPlan
+        .toString.contains("xxhash64"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pair_idx")
+    }
+  }
+
   test("planned salt closes the loop: q3/q5 fact join through saltingPlan's frame, row-identical at heavy skew") {
     import graft.operators.{SaltingPlan, Skew}
     // skew one REAL orderkey ~100×: replicate its lineitem rows (replicas

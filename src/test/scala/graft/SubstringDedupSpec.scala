@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DupSpans, SubstringDedup}
+
+/** Suffix-granularity exact-substring dedup: alignment-free maximal
+  * duplicated runs ≥ 8 tokens, including exactly the cases the stride-8
+  * window grid structurally misses; on grid-aligned duplicates the
+  * windowed form is the oracle (token bounds agree). */
+class SubstringDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def spans(docs: org.apache.spark.sql.DataFrame) =
+    SubstringDedup.substringDedupQ(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+
+  test("off-grid 10-token run: found exactly where the window grid misses it") {
+    // doc 1 carries the shared run r1..r10 at token 5 (straddles the
+    // 8-token grid: covers no full grid window); doc 2 carries it at
+    // token 1. Every filler token is corpus-unique.
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 a5 a6 a7 a8 a9 a10"),
+      (2L, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 b1 b2 b3 b4 b5 b6"))
+      .toDF("doc_id", "text")
+    // 10-token run = 3 duplicated stride-1 gram positions; maximal spans
+    // recover the full extents: doc 1 tokens [5,14], doc 2 tokens [1,10]
+    assert(spans(docs) == Seq(
+      (1L, 5L, 7L, 3L, 5L, 14L),
+      (2L, 1L, 3L, 3L, 1L, 10L)))
+    // the grid form misses it entirely: no grid-aligned window of doc 1
+    // lies inside tokens 5..14, and doc 2's windows differ from doc 1's
+    assert(DupSpans.dupSpanMerge(docs).count() == 0,
+      "fixture vacuous: the window grid caught the straddling run")
+  }
+
+  test("grid-aligned duplicate: the windowed form is the oracle for token bounds") {
+    val t16 = (1 to 16).map(i => s"c$i").mkString(" ")
+    val docs = Seq((3L, t16), (4L, t16)).toDF("doc_id", "text")
+    // all 9 gram positions duplicated in BOTH docs (a suffix array flags
+    // every occurrence; the window form flags only duplicates-of-earlier)
+    assert(spans(docs) == Seq(
+      (3L, 1L, 9L, 9L, 1L, 16L),
+      (4L, 1L, 9L, 9L, 1L, 16L)))
+    val grid = DupSpans.dupSpanMerge(docs).collect()
+    assert(grid.length == 1 && grid.head.getLong(0) == 4L)
+    // DupSpans tokens are 0-based half-open [start, end); ours 1-based
+    // inclusive — same extent
+    assert(grid.head.getAs[Int]("start_token") + 1 == 1 &&
+      grid.head.getAs[Int]("end_token") == 16)
+  }
+
+  test("within-doc repetition counts: both occurrences reported as separate spans") {
+    val run = (1 to 8).map(i => s"x$i").mkString(" ")
+    val docs = Seq((5L, s"$run y1 $run")).toDF("doc_id", "text")
+    assert(spans(docs) == Seq(
+      (5L, 1L, 1L, 1L, 1L, 8L),
+      (5L, 10L, 10L, 1L, 10L, 17L)))
+  }
+
+  test("overlapping self-similar run merges to one maximal span") {
+    val docs = Seq((6L, Seq.fill(9)("z").mkString(" "))).toDF("doc_id", "text")
+    assert(spans(docs) == Seq((6L, 1L, 2L, 2L, 1L, 9L)))
+  }
+
+  test("short, empty and null docs are total and emit nothing") {
+    val docs = Seq((7L, "only seven tokens are in here now"),
+      (8L, ""), (9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(spans(docs).isEmpty)
+    assert(spans(Seq.empty[(Long, String)].toDF("doc_id", "text")).isEmpty)
+  }
+
+  test("gate corpus: every duplicated FULL grid window lies inside a suffix span") {
+    // stride-1 detection dominates the grid window-by-window (a duplicated
+    // full window's 8-gram is duplicated corpus-wide); NOT span-by-span —
+    // adjacent grid windows duplicated in different places merge in the
+    // grid form without their straddling grams being duplicated, and a
+    // short tail window has no 8-gram at all, so those are skipped.
+    val docs = Tables.documents(spark, sf)
+    val sub = spans(docs)
+    assert(sub.nonEmpty, "no duplicated >=8-token runs at gate SF")
+    val byDoc = sub.groupBy(_._1)
+    val width = graft.operators.ParagraphDedup.ParaWindowTokens
+    DupSpans.dupSpanMerge(docs).collect().foreach { g =>
+      val doc = g.getLong(0)
+      val endTok = g.getAs[Int]("end_token").toLong
+      val (s0, s1) = (g.getAs[Number]("span_start").longValue,
+        g.getAs[Number]("span_end").longValue)
+      (s0 to s1).foreach { w =>
+        val ws = w * width + 1
+        val we = math.min(w * width + width, endTok)
+        if (we - ws + 1 == width)
+          assert(byDoc.get(doc).exists(_.exists(s => s._5 <= ws && we <= s._6)),
+            s"grid window [$ws,$we] of doc $doc not covered by any suffix span")
+      }
+    }
+  }
+}
