@@ -323,6 +323,7 @@ object SparkEntry {
     // exact-integer CUSUM level-shift argmax per type (the step
     // question robust_trend's drift and rate_spike's days leave open)
     "change_point" -> ((s, d) => ChangePoint.changePointQ(Tables.events(s, d))),
+    "change_point_2" -> ((s, d) => ChangePoint.changePoint2Q(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // …and its business twin: last-touch conversion attribution (LOCF
     // carries the touch TYPE; explicit _none channel for cold purchases)
@@ -585,6 +586,8 @@ object SparkEntry {
     // duplicated windows fused into surgical-removal extents (islands)
     "dup_span_merge" -> ((s, d) => DupSpans.dupSpanMergeQ(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => SubstringDedup.substringDedupQ(Tables.documents(s, d))),
+    "substring_clean" -> ((s, d) => SubstringDedup.substringCleanQ(Tables.documents(s, d))),
+    "substring_incremental" -> ((s, d) => SubstringDedup.substringIncrementalQ(Tables.documents(s, d))),
     // …and window-granularity language composition: the mixed-document
     // detector the whole-doc lang_id label needs as a trust gate
     "lang_mix" -> ((s, d) => LangMix.langMixQ(Tables.documents(s, d))),
@@ -824,6 +827,8 @@ object SparkEntry {
     "tokenizer_fertility" -> TokenizerFertility.tokenizerFertilitySql,
     "dup_span_merge" -> DupSpans.dupSpanMergeSql,
     "dedup_substring" -> SubstringDedup.substringDedupSql,
+    "substring_clean" -> SubstringDedup.substringCleanSql,
+    "substring_incremental" -> SubstringDedup.substringIncrementalSql,
     "lang_mix" -> LangMix.langMixSql,
     "paragraph_clean" -> ParagraphClean.paragraphCleanSql,
     "bigram_pmi" -> Collocations.bigramPmiSql,
@@ -838,6 +843,7 @@ object SparkEntry {
     "rate_spike" -> RateSpike.rateSpikeSql,
     "robust_trend" -> RobustTrend.robustTrendSql,
     "change_point" -> ChangePoint.changePointSql,
+    "change_point_2" -> ChangePoint.changePoint2Sql,
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
     "q4_late_exists" -> LateExists.q4LateExistsSql,
     "equidepth_hist" -> EquidepthHist.equidepthHistSql,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DedupWeights, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, ProfileDrift, QualityEnsemble, SampleQuota, ShardManifest, Skipgram, SourceDivergence, SourceOverlap, SpanQuality, SplitLeakage, SplitRepair, ThresholdSweep, TokenizeIds, TokenizerFertility, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
+import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DedupWeights, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, ProfileDrift, QualityEnsemble, SampleQuota, ShardManifest, Skipgram, SourceDivergence, SourceOverlap, SpanQuality, SplitLeakage, SplitRepair, SubstringDedup, ThresholdSweep, TokenizeIds, TokenizerFertility, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -114,6 +114,13 @@ object StressCuration {
       // round-8 continuation: span merge + clean (both ride the verdict
       // machinery), per-window language rollup, and collocation mining
       time(s"dup_span_merge_$tag") { DupSpans.dupSpanMerge(docs) }
+      // round 12: suffix-granularity substring dedup — the rotation
+      // replicas make the stride-1 gram stream maximally duplicate-dense
+      // (every replica shares every gram with 9 siblings up to rotation),
+      // the adversarial direction for the count-per-gram window
+      time(s"dedup_substring_$tag") { SubstringDedup.substringDedup(docs) }
+      time(s"substring_clean_$tag") { SubstringDedup.substringClean(docs) }
+      time(s"substring_incr_$tag") { SubstringDedup.substringIncremental(docs) }
       time(s"paragraph_clean_$tag") { ParagraphClean.paragraphClean(docs) }
       time(s"lang_mix_$tag") { LangMix.langMix(docs) }
       time(s"bigram_pmi_$tag") { Collocations.bigramPmi(docs) }

@@ -54,8 +54,11 @@ import org.apache.spark.sql.functions._
   */
 object CommitLog {
 
-  /** One commit's actions, already parsed. */
-  case class Commit(version: Long, adds: Vector[String], removes: Vector[String])
+  /** One commit's actions, already parsed. `txns` carries the
+    * idempotent-writer watermarks recorded by [[appendIdempotent]]
+    * (Delta's txnAppId/txnVersion design, public). */
+  case class Commit(version: Long, adds: Vector[String], removes: Vector[String],
+                    txns: Vector[(String, Long)] = Vector.empty)
 
   /** A serializable rewrite lost the race: someone committed
     * `actualLatest` ≥ the version this writer needed. */
@@ -67,23 +70,26 @@ object CommitLog {
 
   private val AddRe = """\{"add":"([^"]+)"\}""".r
   private val RemoveRe = """\{"remove":"([^"]+)"\}""".r
+  private val TxnRe = """\{"txn":\{"app":"([^"]+)","version":(\d+)\}\}""".r
 
   /** Parse one commit line, FAILING LOUDLY on anything that matches
-    * neither action pattern — a malformed or future-extended line must
+    * no action pattern — a malformed or future-extended line must
     * not yield a silently wrong snapshot (the commits() contract). Blank
     * trailing lines are tolerated (every writer ends the file with \n). */
-  private def parseActions(lines: Iterable[String],
-                           where: Path): (Vector[String], Vector[String]) = {
+  private def parseActions(lines: Iterable[String], where: Path)
+      : (Vector[String], Vector[String], Vector[(String, Long)]) = {
     val adds = Vector.newBuilder[String]
     val removes = Vector.newBuilder[String]
+    val txns = Vector.newBuilder[(String, Long)]
     lines.foreach {
       case AddRe(f) => adds += f
       case RemoveRe(f) => removes += f
+      case TxnRe(app, v) => txns += (app -> v.toLong)
       case l if l.trim.isEmpty => ()
       case l => throw new IllegalStateException(
         s"unparseable action line in $where: '$l'")
     }
-    (adds.result(), removes.result())
+    (adds.result(), removes.result(), txns.result())
   }
 
   /** Data-file names are embedded in JSON string literals without
@@ -172,7 +178,7 @@ object CommitLog {
       case None => liveFilesFull(table, asOf)
       case Some(cp) =>
         val cpFile = checkpointFile(table, cp)
-        val (cpAdds, cpRemoves) =
+        val (cpAdds, cpRemoves, _) =
           parseActions(Files.readAllLines(cpFile).asScala, cpFile)
         require(cpRemoves.isEmpty, s"checkpoint $cpFile contains removes")
         val live = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -187,8 +193,8 @@ object CommitLog {
 
   private def commits0(table: String, v: Long): Commit = {
     val f = commitFile(table, v)
-    val (adds, removes) = parseActions(Files.readAllLines(f).asScala, f)
-    Commit(v, adds, removes)
+    val (adds, removes, txns) = parseActions(Files.readAllLines(f).asScala, f)
+    Commit(v, adds, removes, txns)
   }
 
   /** Snapshot-isolated read. `asOf = None` pins the latest version AT
@@ -230,12 +236,20 @@ object CommitLog {
   }
 
   /** Try to create commit `version` exactly — true iff THIS writer won
-    * the create-exclusive race for that version number. */
+    * the create-exclusive race for that version number. `txn` records an
+    * idempotent-writer watermark action alongside the file actions. */
   def tryCommit(table: String, version: Long,
-                adds: Seq[String], removes: Seq[String]): Boolean = {
+                adds: Seq[String], removes: Seq[String],
+                txn: Option[(String, Long)] = None): Boolean = {
     (adds ++ removes).foreach(requireSafeName)
+    txn.foreach { case (app, v) =>
+      requireSafeName(app)
+      require(v >= 0, s"txn version must be >= 0, got $v")
+    }
     Files.createDirectories(logDir(table))
-    val body = (removes.map(f => s"""{"remove":"$f"}""") ++
+    val body = (txn.map { case (app, v) =>
+        s"""{"txn":{"app":"$app","version":$v}}""" }.toSeq ++
+      removes.map(f => s"""{"remove":"$f"}""") ++
       adds.map(f => s"""{"add":"$f"}""")).mkString("", "\n", "\n")
     try {
       Files.write(commitFile(table, version), body.getBytes("UTF-8"),
@@ -268,6 +282,53 @@ object CommitLog {
       v = math.max(v + 1, latestVersion(table) + 1)
     }
     (v, tries)
+  }
+
+  /** Latest transaction version recorded for `appId` at or below table
+    * version `asOf` (−1 if none) — the idempotence watermark. A full log
+    * scan of tiny driver-side JSON files, run once per commit attempt; a
+    * production format folds this into the checkpoint the way Delta's
+    * checkpoint carries txn actions (noted, not needed at this log
+    * size — checkpoints here never delete commit files). */
+  def txnLatest(table: String, appId: String, asOf: Long = -2L): Long = {
+    val vMax = if (asOf == -2L) latestVersion(table) else asOf
+    if (vMax < 0) -1L
+    else commits(table, vMax).iterator
+      .flatMap(_.txns).filter(_._1 == appId).map(_._2).foldLeft(-1L)(math.max)
+  }
+
+  /** EXACTLY-ONCE append for a replayable writer (the idempotent
+    * streaming-sink primitive, Delta's txnAppId/txnVersion design): the
+    * commit atomically records `(appId, txnVersion)` next to its adds,
+    * and a re-delivery of an already-committed `txnVersion` is SKIPPED
+    * (returns None). Unlike [[append]]'s blind retry, a lost race here
+    * re-checks the watermark AS OF the new head before re-attempting at
+    * exactly head+1 — the check and the commit are serialized by the
+    * same CREATE_NEW total order, so two concurrent deliveries of one
+    * batch can never both land: whichever loses the version race
+    * re-reads a head that already contains the winner's txn. Requires
+    * txnVersion to be MONOTONE per appId (a streaming batchId is). */
+  def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
+                       appId: String, txnVersion: Long,
+                       maxRetries: Int = 50): Option[Long] = {
+    if (txnLatest(table, appId) >= txnVersion) return None
+    val adds = stage(table, df)
+    var tries = 0
+    while (true) {
+      val head = latestVersion(table)
+      if (txnLatest(table, appId, head) >= txnVersion) {
+        // duplicate delivery lost the race: drop the staged files now
+        // (vacuum's orphan sweep is the crash backstop)
+        adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+        return None
+      }
+      if (tryCommit(table, head + 1, adds, Nil, Some((appId, txnVersion))))
+        return Some(head + 1)
+      tries += 1
+      require(tries <= maxRetries,
+        s"idempotent append lost $maxRetries commit races on $table")
+    }
+    None // unreachable
   }
 
   /** Copy-on-write rewrite (the storage half of MERGE / DELETE /

@@ -764,6 +764,29 @@ object StreamingJobs {
       }
   }
 
+  // --------------------------------------- idempotent commit-log sink
+
+  /** EXACTLY-ONCE streaming sink into a [[graft.sources.CommitLog]]
+    * table (round 12) — the last missing piece of the owned lake story:
+    * foreachBatch is at-least-once (a crash between the write and the
+    * streaming checkpoint re-delivers the batch), so a plain append sink
+    * duplicates rows on recovery. Each micro-batch commits through
+    * [[graft.sources.CommitLog.appendIdempotent]] with the streaming
+    * `batchId` as the transaction version (monotone per query by
+    * contract), so a re-delivered batch — same-process retry, recovery
+    * replay, or a full from-scratch re-run of the query — is skipped by
+    * the log's own atomically-recorded watermark, not by sink-side
+    * state. This is Delta's idempotent-writes design (txnAppId/
+    * txnVersion, public docs) on the owned format.
+    *
+    * Returns a function suitable for `writeStream.foreachBatch`. */
+  def commitLogSinkBatch(table: String, appId: String)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    graft.sources.CommitLog.appendIdempotent(
+      batch.sparkSession, table, batch, appId, batchId)
+    ()
+  }
+
   // ------------------------------------------- stream-stream range join
 
   /** STREAM-STREAM inner join — the one Structured Streaming join class

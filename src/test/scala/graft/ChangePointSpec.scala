@@ -33,6 +33,40 @@ class ChangePointSpec extends AnyFunSuite {
     assert((day, score, n) == (0L, 0L, 4L) && mb == 3000L && ma == 3000L)
   }
 
+  private def run2(counts: Seq[Int]): Seq[(Long, Long, Long, Long)] = {
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("a", d.toLong * 86400000000L + 1L))
+    }
+    val df = rows.toDF("event_type", "t_us")
+      .withColumn("ts", expr("timestamp_micros(t_us)"))
+    ChangePoint.changePoint2(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+  }
+
+  test("binary segmentation: spike+step reports BOTH shifts, hand-computed") {
+    // rank 1 = the step (day 4, 256 — the single-split test above); the
+    // left segment [2,2,10,2,2] then re-scores: T=18, m=5 → scores
+    // 8,16,16,8 → earliest-day tie-break picks day 1 at 16. The right
+    // segment (8 days of 10) is flat — all zeros.
+    assert(run2(Seq(2, 2, 10, 2, 2, 10, 10, 10, 10, 10, 10, 10, 10)) ==
+      Seq((1L, 4L, 256L, 13L), (2L, 1L, 16L, 5L)))
+  }
+
+  test("binary segmentation: spike-only rank 2 flags the spike's leading edge") {
+    // rank 1 = the spike mass boundary (day 2, 336); left segment
+    // [2,2,50]: T=54, m=3 → scores |6-54|=48, |12-108|=96 → day 1 at 96
+    // beats the flat right segment's zeros.
+    assert(run2(Seq(2, 2, 50, 2, 2, 2, 2, 2, 2, 2)) ==
+      Seq((1L, 2L, 336L, 10L), (2L, 1L, 96L, 3L)))
+  }
+
+  test("binary segmentation: flat series is all-zero with earliest-day tie-breaks") {
+    // rank 1: day 0 (score 0, whole series); left segment has one
+    // position (no candidate), right segment [pos 2..4] is flat → rank 2
+    // day 1 at 0 with seg_days 3.
+    assert(run2(Seq(3, 3, 3, 3)) == Seq((1L, 0L, 0L, 4L), (2L, 1L, 0L, 3L)))
+  }
+
   test("spike only: single-split CUSUM is spike-sensitive by design") {
     // counts 2,2,50,2,2,2,2,2,2,2 (n=10, S_n=68). score(i)=|S_i·10−i·68|:
     // i=2:96, i=3:|540−204|=336 (max), i=4:288. A 48-unit spike IS the

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Cdc, VacuumPlan}
 import graft.sources.CommitLog
+import graft.streaming.StreamingJobs
 
 /** The commit-log table format's protocol contract: atomic versioned
   * commits, snapshot isolation, optimistic concurrency (one winner per
@@ -341,6 +342,101 @@ class CommitLogSpec extends AnyFunSuite {
     assert(rows == expected, s"rows lost or doubled: got ${rows.size}, want ${expected.size}")
     info(s"appends=${writers * perWriter} appendRetries=${appendRetries.get()} " +
       s"compactions=${compactVersions.size} compactorConflicts=${compactorConflicts.get()}")
+  }
+
+  test("idempotent append: duplicate and stale deliveries skipped, watermark atomic with the commit") {
+    val t = tmpTable()
+    // monotone versions land
+    assert(CommitLog.appendIdempotent(spark, t, Seq((1L, "a")).toDF("id", "s"),
+      "job", 0L) == Some(0L))
+    assert(CommitLog.appendIdempotent(spark, t, Seq((2L, "b")).toDF("id", "s"),
+      "job", 1L) == Some(1L))
+    // duplicate delivery of batch 1: skipped, no rows added
+    assert(CommitLog.appendIdempotent(spark, t, Seq((2L, "b")).toDF("id", "s"),
+      "job", 1L).isEmpty)
+    // stale out-of-order retry of batch 0: skipped too
+    assert(CommitLog.appendIdempotent(spark, t, Seq((1L, "a")).toDF("id", "s"),
+      "job", 0L).isEmpty)
+    // a DIFFERENT app id is an independent watermark
+    assert(CommitLog.appendIdempotent(spark, t, Seq((3L, "c")).toDF("id", "s"),
+      "other", 0L) == Some(2L))
+    // plain appends interleave freely (no txn action, no watermark effect)
+    CommitLog.append(spark, t, Seq((4L, "d")).toDF("id", "s"))
+    assert(CommitLog.txnLatest(t, "job") == 1L &&
+      CommitLog.txnLatest(t, "other") == 0L &&
+      CommitLog.txnLatest(t, "nobody") == -1L)
+    assert(CommitLog.appendIdempotent(spark, t, Seq((5L, "e")).toDF("id", "s"),
+      "job", 2L) == Some(4L))
+    assert(CommitLog.read(spark, t).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("idempotent append: concurrent deliveries of ONE batch — exactly one lands") {
+    // the recovery race itself: two writers re-deliver the same
+    // (appId, txnVersion) at once; the loser's version race forces a
+    // watermark re-check against the winner's committed txn. Several
+    // rounds, with a concurrent plain appender to keep the head moving.
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((0L, 0L)).toDF("batch", "copy"))
+    val pool = Executors.newFixedThreadPool(3)
+    (1 to 4).foreach { b =>
+      val start = new CountDownLatch(1)
+      def deliverer(copy: Long) = pool.submit(new Callable[Option[Long]] {
+        def call(): Option[Long] = {
+          start.await()
+          CommitLog.appendIdempotent(spark, t,
+            Seq((b.toLong, copy)).toDF("batch", "copy"), "sink", b.toLong)
+        }
+      })
+      val noise = pool.submit(new Callable[Long] {
+        def call(): Long = {
+          start.await()
+          CommitLog.append(spark, t, Seq((-b.toLong, 0L)).toDF("batch", "copy"))
+        }
+      })
+      val (d1, d2) = (deliverer(1L), deliverer(2L))
+      start.countDown()
+      val landed = Seq(d1.get(), d2.get()).flatten
+      noise.get()
+      assert(landed.size == 1, s"batch $b: both deliveries landed: $landed")
+    }
+    pool.shutdown()
+    val perBatch = CommitLog.read(spark, t).filter(col("batch") > 0)
+      .groupBy("batch").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perBatch == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"duplicate batch rows survived: $perBatch")
+  }
+
+  test("idempotent streaming sink: a full from-scratch replay adds nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = tmpTable()
+    val src = Files.createTempDirectory("graft_clsink_src").toString
+    val events = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
+    // four arrival chunks, each its own micro-batch (fresh file per pass)
+    val ordered = events.orderBy("event_id").collect()
+    def runStream(ckpt: String): Unit =
+      ordered.grouped(math.max(ordered.length / 4, 1)).zipWithIndex.foreach { case (c, i) =>
+        spark.createDataFrame(spark.sparkContext.parallelize(c.toSeq, 1), events.schema)
+          .write.mode("append").parquet(src)
+        val q = spark.readStream.schema(events.schema).parquet(src)
+          .writeStream
+          .foreachBatch(StreamingJobs.commitLogSinkBatch(t, "ev_sink"))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+    runStream(Files.createTempDirectory("graft_clsink_ck1").toString)
+    val after1 = CommitLog.read(spark, t).select("event_id").as[Long].collect().sorted.toSeq
+    assert(after1 == ordered.map(_.getLong(0)).sorted.toSeq,
+      "first run must land every event exactly once")
+    val v1 = CommitLog.latestVersion(t)
+    // FULL re-run with a fresh streaming checkpoint: every batch is a
+    // re-delivery (batchIds restart at 0) — the table's own watermark
+    // rejects all of them; source files double on disk, the table doesn't
+    runStream(Files.createTempDirectory("graft_clsink_ck2").toString)
+    val after2 = CommitLog.read(spark, t).select("event_id").as[Long].collect().sorted.toSeq
+    assert(after2 == after1, "replay duplicated rows through the sink")
+    assert(CommitLog.latestVersion(t) == v1, "replay created new versions")
   }
 
   test("history classifier: verbs derived from the log alone match the script; empty corpus total") {

@@ -139,6 +139,12 @@ class EmptyInputSpec extends AnyFunSuite {
       "orc_roundtrip" -> OrcRoundtrip.orcRoundtripQ(d),
       // round 12
       "dedup_substring" -> SubstringDedup.substringDedup(d),
+      "substring_clean" -> SubstringDedup.substringClean(d),
+      "substring_incremental" -> SubstringDedup.substringIncremental(d),
+      "change_point_2" -> ChangePoint.changePoint2(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
       "pair_index" -> Dedup.pairIndex(d),
       "threshold_sweep_from_index" ->
         ThresholdSweep.dedupThresholdSweepFromIndex(Dedup.pairIndex(d)))

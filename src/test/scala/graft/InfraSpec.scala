@@ -213,6 +213,44 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("gram index persists bucketed by gh; substring admission probes shuffle ONLY the batch side") {
+    // substring_incremental's economics claim made executable (the
+    // suffix-granularity sibling of the LSH and paragraph index rows):
+    // the corpus's distinct gram-key set is precomputed once, stored
+    // bucketed by gh, and each batch's stride-1 gram stream probes it
+    // without re-shuffling (or re-tokenizing) the corpus.
+    import graft.operators.{Dedup, SubstringDedup}
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = Tables.documents(spark, sf)
+      val mod = Dedup.IncrementalBatchMod
+      SubstringDedup.gramStream(docs.filter(col("doc_id") % mod =!= 0))
+        .select("gh").distinct()
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "gh").sortBy("gh")
+        .saveAsTable("graft_gram_idx")
+      val batch = SubstringDedup.gramStream(docs.filter(col("doc_id") % mod === 0))
+      val probe = batch.join(spark.table("graft_gram_idx"), Seq("gh"), "left_semi")
+      val plan = probe.queryExecution.executedPlan.toString
+      val joinShuffles = plan.linesIterator
+        .count(l => l.contains("Exchange hashpartitioning") && l.contains("gh"))
+      assert(joinShuffles == 1,
+        s"probe must shuffle exactly the batch side on gh (corpus reads bucketed):\n$plan")
+      // duplicated-position parity with the inline (non-persisted) index
+      val persisted = probe.select("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inline = SubstringDedup.substringIncremental(docs)
+        .select("doc_id", "span_start", "span_end").collect()
+        .flatMap(r => (r.getLong(1) to r.getLong(2)).map(p => (r.getLong(0), p))).toSet
+      assert(persisted == inline && persisted.nonEmpty,
+        s"persisted-gram-index positions diverge: ${persisted.size} vs ${inline.size}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_gram_idx")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("persisted pair index feeds all six exact-pair consumers row-identically, no re-mining") {
     // The round-12 mine-once-consume-many row: six of the bench's
     // slowest-8 (ngram_jaccard, cluster, keep_best, threshold_sweep,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CsvIngest, Curation, Dedup, Lsh, SignalOps, TextOps}
+import graft.operators.{CsvIngest, Curation, Dedup, Lsh, SignalOps, SubstringDedup, TextOps}
 
 /** Locks PERF.md's load-bearing plan-shape claims into `sbt test`, so the
   * class of silent plan regression that bit round 3 (an iterative self-join
@@ -110,6 +110,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val pCsv = planOf(CsvIngest.csvIngest(spark, CsvIngest.FixtureDir))
     assert(!filterLines(pCsv).exists(_.contains("slice(")),
       s"csv_ingest re-grew an inferred filter recomputing the samples slice:\n$pCsv")
+  }
+
+  test("dedup_substring: no window over the gram key, inline generators, bounded exchanges") {
+    // round 12 (semi-join verdict): the load-bearing shape claims are
+    // (a) NO WindowExec partitioned by the gram key — a hot boilerplate
+    // gram must stay AQE-splittable, never pinned to one window
+    // partition; (b) exactly TWO generators (the gram stream's two map
+    // passes — count side + probe side, the documented two-pass trade),
+    // each with the gram array inline (no inferred recompute filter);
+    // (c) at most 4 shuffles: gram-count agg, probe join (collapses to a
+    // broadcast at gate sizes — unhinted, AQE's call), doc-keyed islands
+    // (whose hash(doc_id) also satisfies the (doc_id, grp) aggregation —
+    // the DupSpans argument), final orderBy.
+    val p = planOf(SubstringDedup.substringDedupQ(Tables.documents(spark, sf)))
+    assert(!p.linesIterator.exists(l => l.contains("Window") && l.contains("gh#")),
+      s"a window over the gram key re-appeared (un-splittable hot partitions):\n$p")
+    assert(count(p, "Generate") == 2, s"expected the two gram map passes:\n$p")
+    assert(count(p, "Exchange") <= 4, s"unexpected extra shuffles:\n$p")
+    assert(!p.linesIterator.filter(_.contains("Filter "))
+      .exists(_.contains("transform(")),
+      s"substring gram explode re-grew an inferred gram-recompute filter:\n$p")
   }
 
   /** 63-edge chain over 64 vertices: worst-case diameter for the size,

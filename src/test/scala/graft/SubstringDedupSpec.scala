@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{DupSpans, SubstringDedup}
@@ -70,6 +71,87 @@ class SubstringDedupSpec extends AnyFunSuite {
       (8L, ""), (9L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(spans(docs).isEmpty)
     assert(spans(Seq.empty[(Long, String)].toDF("doc_id", "text")).isEmpty)
+  }
+
+  private def cleans(docs: org.apache.spark.sql.DataFrame) =
+    SubstringDedup.substringCleanQ(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("clean: non-first copy of the off-grid run excised, first copy intact") {
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 a5 a6 a7 a8 a9 a10"),
+      (2L, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 b1 b2 b3 b4 b5 b6"))
+      .toDF("doc_id", "text")
+    // doc 1 owns the first occurrence (doc_id order) and survives whole;
+    // doc 2 loses tokens 1..10
+    assert(cleans(docs) == Seq(
+      (1L, "a1 a2 a3 a4 r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 a5 a6 a7 a8 a9 a10", 20L, 0L),
+      (2L, "b1 b2 b3 b4 b5 b6", 16L, 10L)))
+  }
+
+  test("clean: within-doc repeat keeps the first occurrence only") {
+    val run = (1 to 8).map(i => s"x$i").mkString(" ")
+    val docs = Seq((5L, s"$run y1 $run")).toDF("doc_id", "text")
+    assert(cleans(docs) == Seq((5L, s"$run y1", 17L, 8L)))
+  }
+
+  test("clean: exact whole-doc duplicate collapses to empty, first copy whole") {
+    val t8 = (1 to 8).map(i => s"d$i").mkString(" ")
+    val docs = Seq((7L, t8), (8L, t8)).toDF("doc_id", "text")
+    assert(cleans(docs) == Seq((7L, t8, 8L, 0L), (8L, "", 8L, 8L)))
+  }
+
+  test("clean is idempotent: cleaning the cleaned corpus changes nothing") {
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $run a5 a6"),
+      (2L, s"$run b1 b2"),
+      (3L, s"c1 $run c2 c3")).toDF("doc_id", "text")
+    val once = SubstringDedup.substringCleanQ(docs)
+    val again = cleans(once.select(col("doc_id"), col("clean_text").as("text")))
+    assert(again.map(r => (r._1, r._2, r._4)) ==
+      once.collect().map(r => (r.getLong(0), r.getString(1), 0L)).toSeq,
+      "second clean pass found removals — not idempotent")
+  }
+
+  test("incremental: batch spans flagged only against the CORPUS, batch-internal repeats excluded") {
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val xr = (1 to 8).map(i => s"x$i").mkString(" ")
+    val sh = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      // corpus (doc_id % 5 != 0)
+      (1L, s"c1 c2 $run c3"),
+      (2L, "f1 f2 f3 f4 f5 f6 f7 f8 f9"),
+      // batch (doc_id % 5 == 0)
+      (10L, s"u1 u2 u3 u4 $run u5"),      // shares the run with corpus doc 1
+      (15L, s"$xr y1 $xr"),                // batch-INTERNAL repeat only
+      (20L, s"$sh z1"), (25L, s"z2 $sh")   // batch-batch share only
+    ).toDF("doc_id", "text")
+    val rows = SubstringDedup.substringIncrementalQ(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // only doc 10's run is a duplicate OF THE CORPUS: tokens 5..14
+    assert(rows == Seq((10L, 5L, 7L, 3L, 5L, 14L)))
+  }
+
+  test("incremental: empty batch and empty corpus are total") {
+    val t16 = (1 to 16).map(i => s"c$i").mkString(" ")
+    val onlyCorpus = Seq((1L, t16), (2L, t16)).toDF("doc_id", "text")
+    assert(SubstringDedup.substringIncremental(onlyCorpus).count() == 0)
+    val onlyBatch = Seq((5L, t16), (10L, t16)).toDF("doc_id", "text")
+    assert(SubstringDedup.substringIncremental(onlyBatch).count() == 0)
+  }
+
+  test("semi-join verdict ≡ count-window verdict on the gate corpus (row identity)") {
+    // the production form trades the window for a map-combinable df agg +
+    // skew-splittable semi join (hot-gram headroom); same rows exactly
+    val docs = Tables.documents(spark, sf)
+    val semi = spans(docs)
+    val win = SubstringDedup.substringDedupViaWindow(docs)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(semi.nonEmpty && semi == win)
   }
 
   test("gate corpus: every duplicated FULL grid window lies inside a suffix span") {
