@@ -110,7 +110,13 @@ object StressStreaming {
       // sides, per-side join state; the range condition is what keeps
       // state bounded, and the 10× replicas multiply BOTH sides
       ("ss_join", ("ev1", "ev10"),
-        (s, d) => StreamingJobs.clickPurchaseJoinStream(s, d, wmDelay)))
+        (s, d) => StreamingJobs.clickPurchaseJoinStream(s, d, wmDelay)),
+      // round-12 addition: the LEFT-OUTER twin — same per-side join
+      // state plus the unmatched-purchase rows the engine must RETAIN
+      // until the watermark passes them (the NULL-emission contract);
+      // state should track the inner twin's, not blow past it
+      ("ss_outer", ("ev1", "ev10"),
+        (s, d) => StreamingJobs.clickPurchaseOuterJoinStream(s, d, wmDelay)))
 
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(',').toSeq) else None

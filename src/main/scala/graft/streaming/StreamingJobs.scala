@@ -301,6 +301,64 @@ object StreamingJobs {
       .select("doc_id", "n_paras", "n_hit", "hit_frac", "is_new")
   }
 
+  // --------------------------- stream-static substring admission
+
+  /** Stream-static SUBSTRING admission (round 12) — the streaming half
+    * of [[graft.operators.SubstringDedup.substringIncremental]]: each
+    * arriving document reports, at ingest time and FINAL at arrival,
+    * the maximal ≥L-token runs it shares with the STATIC corpus
+    * partition. Append-mode stateless, the paragraph-admission
+    * architecture: the corpus's distinct gram-key set rides as ONE
+    * static row (sorted hash array) joined on a constant key; the
+    * per-doc islands merge needs no window AT ALL here because a doc's
+    * positions already sit in one row — a bounded `aggregate` fold over
+    * the hit flags (the header-decoder walker pattern) extends or
+    * opens spans in order. Same scale note as the paragraph twin: the
+    * one-row set is gate geometry — at corpus scale the probe becomes
+    * [[graft.operators.SubstringDedup.substringIncremental]]'s semi
+    * join against the gh-bucketed index (InfraSpec row), the contract
+    * doesn't move. Row-for-row batch parity is spec-pinned. */
+  def substringAdmissionStream(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, SubstringDedup}
+    val mod = Dedup.IncrementalBatchMod
+    val l = SubstringDedup.MinRunTokens
+    val corpusSet = SubstringDedup
+      .gramStream(spark.read.schema(documentsRawSchema).parquet(dir)
+        .filter(col("doc_id") % mod =!= 0))
+      .select(col("gh")).distinct()
+      .agg(sort_array(collect_set(col("gh"))).as("corpus_ghs"))
+      .withColumn("k", lit(1))
+    val gramArr =
+      s"slice(transform(sequence(1, greatest(size(w) - $l + 1, 1)), " +
+        s"i -> xxhash64(concat_ws(' ', slice(w, i, $l)))), " +
+        s"1, greatest(size(w) - $l + 1, 0))"
+    val spansExpr =
+      """aggregate(
+        |  transform(ghs, (g, i) -> named_struct('p', CAST(i + 1 AS BIGINT),
+        |                                        'hit', array_contains(corpus_ghs, g))),
+        |  CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>),
+        |  (acc, f) -> CASE
+        |    WHEN NOT f.hit THEN acc
+        |    WHEN size(acc) > 0 AND element_at(acc, -1).e = f.p - 1 THEN
+        |      concat(slice(acc, 1, size(acc) - 1),
+        |             array(named_struct('s', element_at(acc, -1).s, 'e', f.p)))
+        |    ELSE concat(acc, array(named_struct('s', f.p, 'e', f.p))) END)""".stripMargin
+    spark.readStream
+      .schema(documentsRawSchema)
+      .parquet(dir)
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id"), expr("split(lower(trim(text)), '\\\\s+')").as("w"))
+      .select(col("doc_id"), expr(gramArr).as("ghs"))
+      .withColumn("k", lit(1))
+      .join(corpusSet, Seq("k"), "left")
+      .select(col("doc_id"), explode(expr(spansExpr)).as("sp"))
+      .select(col("doc_id"),
+        col("sp.s").as("span_start"), col("sp.e").as("span_end"),
+        expr("sp.e - sp.s + 1").as("n_grams"),
+        col("sp.s").as("start_token"),
+        expr(s"sp.e + ${l - 1}").as("end_token"))
+  }
+
   // --------------------------- stream-static LM-score admission
 
   /** Stream-static LM SCORING — the streaming half of

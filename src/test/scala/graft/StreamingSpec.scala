@@ -199,6 +199,31 @@ class StreamingSpec extends AnyFunSuite {
       "corpus exercises only one admission branch")
   }
 
+  test("stream-static substring admission matches the batch operator row-for-row") {
+    // round 12: per-row gram hashes + one static corpus gram-set row +
+    // the per-row aggregate-fold islands merge (no window, no state) —
+    // span rows identical to substringIncremental's
+    val dir = Files.createTempDirectory("graft-stream-substr")
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = StreamingJobs.substringAdmissionStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("substr_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "span_start", "span_end", "n_grams", "start_token", "end_token")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    val streamed = rows(spark.table("substr_stream"))
+    val batch = rows(graft.operators.SubstringDedup
+      .substringIncremental(Tables.documents(spark, sf)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"stream=${streamed.length} batch=${batch.length} " +
+        s"diff=${streamed.zip(batch).filter(p => p._1 != p._2).take(3).mkString(",")}")
+  }
+
   test("streaming as-of join matches the batch LOCF window row-for-row") {
     val dir = stageEventsDir("asof")
     val q = StreamingJobs.asofJoinStream(spark, dir)
