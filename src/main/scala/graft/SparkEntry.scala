@@ -586,6 +586,8 @@ object SparkEntry {
     // duplicated windows fused into surgical-removal extents (islands)
     "dup_span_merge" -> ((s, d) => DupSpans.dupSpanMergeQ(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => SubstringDedup.substringDedupQ(Tables.documents(s, d))),
+    "pair_index_delta" -> ((s, d) => Dedup.pairIndexDeltaQ(Tables.documents(s, d))),
+    "l_diversity_audit" -> ((s, d) => LDiversity.lDiversityAuditQ(Tables.documents(s, d))),
     "substring_clean" -> ((s, d) => SubstringDedup.substringCleanQ(Tables.documents(s, d))),
     "substring_incremental" -> ((s, d) => SubstringDedup.substringIncrementalQ(Tables.documents(s, d))),
     // …and window-granularity language composition: the mixed-document
@@ -827,6 +829,8 @@ object SparkEntry {
     "tokenizer_fertility" -> TokenizerFertility.tokenizerFertilitySql,
     "dup_span_merge" -> DupSpans.dupSpanMergeSql,
     "dedup_substring" -> SubstringDedup.substringDedupSql,
+    "pair_index_delta" -> Dedup.pairIndexDeltaSql,
+    "l_diversity_audit" -> LDiversity.lDiversityAuditSql,
     "substring_clean" -> SubstringDedup.substringCleanSql,
     "substring_incremental" -> SubstringDedup.substringIncrementalSql,
     "lang_mix" -> LangMix.langMixSql,

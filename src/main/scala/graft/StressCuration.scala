@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, DedupWeights, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, ProfileDrift, QualityEnsemble, SampleQuota, ShardManifest, Skipgram, SourceDivergence, SourceOverlap, SpanQuality, SplitLeakage, SplitRepair, SubstringDedup, ThresholdSweep, TokenizeIds, TokenizerFertility, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
+import graft.operators.{Cdc, CharDiversity, Collocations, CorpusDiff, CorpusShuffle, Curation, Dedup, DedupWeights, DocChunk, DupPassages, DupSpans, LangMix, LmScore, MixturePlan, ParagraphClean, ParagraphDedup, ProfileDrift, QualityEnsemble, SampleQuota, ShardManifest, Skipgram, SourceDivergence, SourceOverlap, SpanQuality, SplitLeakage, SplitRepair, SubstringDedup, ThresholdSweep, TokenizeIds, TokenizerFertility, TopicClassify, Vocab, VocabCoverage, VocabDrift, Winnow}
 
 /** Scratch measurement (round-8 verdict #4): the curation suite above
   * gate volume. contamination_check and doc_novelty had only ever run at
@@ -121,6 +121,10 @@ object StressCuration {
       time(s"dedup_substring_$tag") { SubstringDedup.substringDedup(docs) }
       time(s"substring_clean_$tag") { SubstringDedup.substringClean(docs) }
       time(s"substring_incr_$tag") { SubstringDedup.substringIncremental(docs) }
+      // round 12: index maintenance economics — the batch delta vs the
+      // full re-mine it replaces (the mine-once shape's steady state)
+      time(s"pair_index_full_$tag") { Dedup.pairIndex(docs) }
+      time(s"pair_index_delta_$tag") { Dedup.pairIndexDelta(docs) }
       time(s"paragraph_clean_$tag") { ParagraphClean.paragraphClean(docs) }
       time(s"lang_mix_$tag") { LangMix.langMix(docs) }
       time(s"bigram_pmi_$tag") { Collocations.bigramPmi(docs) }

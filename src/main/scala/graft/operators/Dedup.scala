@@ -190,6 +190,51 @@ object Dedup {
       .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (n1 + n2 - inter)"))
       .filter(col("jaccard") >= threshold)
 
+  /** INCREMENTAL index maintenance (round 12): the rows a new batch
+    * ADDS to a persisted [[pairIndex]] — mined WITHOUT re-touching the
+    * corpus-corpus pair space. Key fact: per-doc shingle sets never
+    * change, so an existing pair's (inter, n1, n2) is immutable and the
+    * full-corpus index minus the corpus-only index is exactly the pairs
+    * with ≥1 batch endpoint. Those are two bounded joins — batch×corpus
+    * and batch×batch shingle joins (Σ df_B·df or df_B² per shingle,
+    * never corpus²) — so the standing index stays fresh at batch cost:
+    * mine the delta, APPEND it (the CommitLog-backed index InfraSpec
+    * row makes that literal), and every from-index consumer sees the
+    * updated corpus. Registered and DuckDB-oracled: the oracle computes
+    * the FULL τ=0 stats and filters to batch-touching pairs — agreement
+    * proves the delta mine is exactly the full mine's increment
+    * (set identity also spec-pinned corpus∪delta == full). */
+  def pairIndexDelta(documents: DataFrame,
+                     batchMod: Long = IncrementalBatchMod,
+                     broadcastSizes: Boolean = true): DataFrame = {
+    // broadcastSizes: same dial and rationale as [[ngramJaccardPairs]] —
+    // the sizes frame is ONE ROW PER DOCUMENT; default true covers every
+    // broadcast-sized-doc-count invocation, false drops the hints for
+    // corpora where even the doc spine is too big to ship
+    def dim(df: DataFrame): DataFrame = if (broadcastSizes) broadcast(df) else df
+    def ex(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      shingleExploded(documents.filter(pred(col("doc_id"))))
+        .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
+    val bCross = ex(_ % batchMod === 0).select(col("doc_id").as("ida"), col("sh"))
+      .join(ex(_ % batchMod =!= 0).select(col("doc_id").as("idb"), col("sh")), Seq("sh"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+        greatest(col("ida"), col("idb")).as("id2"))
+    val bWithin = ex(_ % batchMod === 0).select(col("doc_id").as("id1"), col("sh"))
+      .join(ex(_ % batchMod === 0).select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    val sizes = shingleSets(documents).select(col("doc_id"), col("nsh"))
+    bCross.unionAll(bWithin)
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("inter"))
+      .join(dim(sizes.select(col("doc_id").as("id1"), col("nsh").as("n1"))), Seq("id1"))
+      .join(dim(sizes.select(col("doc_id").as("id2"), col("nsh").as("n2"))), Seq("id2"))
+      .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"))
+  }
+
+  def pairIndexDeltaQ(documents: DataFrame): DataFrame =
+    pairIndexDelta(documents).orderBy("id1", "id2")
+
   /** [[dedupClusters]] fed from a persisted [[pairIndex]]. */
   def dedupClustersFromIndex(documents: DataFrame, index: DataFrame,
                              threshold: Double = JaccardThreshold,
@@ -575,6 +620,17 @@ object Dedup {
        |  SELECT id1, id2 FROM rawpairs
        |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= $JaccardThreshold
        |)""".stripMargin
+
+  /** Oracle for [[pairIndexDelta]]: the FULL τ=0 pair stats, filtered
+    * to batch-touching pairs — the delta mine must equal the full
+    * mine's increment exactly. */
+  val pairIndexDeltaSql: String =
+    s"""WITH $ngramJaccardSqlBody
+       |SELECT id1, id2, CAST(inter AS BIGINT) AS inter,
+       |       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+       |FROM rawpairs
+       |WHERE id1 % $IncrementalBatchMod = 0 OR id2 % $IncrementalBatchMod = 0
+       |ORDER BY id1, id2""".stripMargin
 
   val ngramJaccardSql: String =
     s"""WITH toks AS (

@@ -25,8 +25,10 @@ object KAnonymity {
 
   val K = 5L
 
-  /** Power-of-two length bucket, CASE bounds (shared text rule). */
-  private val BucketExpr =
+  /** Power-of-two length bucket, CASE bounds (shared text rule); shared
+    * with [[LDiversity]] so both audits census the SAME quasi-id
+    * classes. */
+  private[operators] val BucketExpr =
     """CASE WHEN n_chars < 64 THEN 64
       |     WHEN n_chars < 128 THEN 128
       |     WHEN n_chars < 256 THEN 256

@@ -87,16 +87,27 @@ object SubstringDedup {
     * at 100 TB is the wrong alternative). Both forms are row-identical
     * (spec-pinned vs [[substringDedupViaWindow]]) and measured
     * equivalent at gate scale (PERF.md) — the semi form is chosen for
-    * the skew headroom, not gate wall. */
-  def substringDedup(documents: DataFrame, l: Int = MinRunTokens): DataFrame =
-    spansFromDupPositions(dupPositionsSemi(documents, l), l)
+    * the skew headroom, not gate wall.
+    *
+    * `maxDf` is the LOSSY volume dial, same contract as
+    * [[Dedup.ngramJaccardPairs]]'s: grams with df above the cap are
+    * dropped from the duplicate-key set BEFORE the probe, so
+    * boilerplate grams (every doc's license header) stop flagging
+    * positions at all. Output is a SUBSET of the exact answer — spans
+    * can only shrink or vanish, never appear — and what a cap drops is
+    * precisely the most-duplicated content, which a pipeline usually
+    * strips by other means first. Default None = exact contract. */
+  def substringDedup(documents: DataFrame, l: Int = MinRunTokens,
+                     maxDf: Option[Long] = None): DataFrame =
+    spansFromDupPositions(dupPositionsSemi(documents, l, maxDf), l)
 
   /** (doc_id, pos) whose gram occurs ≥2 times corpus-wide — semi-join
     * form (the production verdict; see [[substringDedup]]). */
-  private def dupPositionsSemi(documents: DataFrame, l: Int): DataFrame = {
+  private def dupPositionsSemi(documents: DataFrame, l: Int,
+                               maxDf: Option[Long] = None): DataFrame = {
     val dupKeys = gramStream(documents, l)
       .groupBy("gh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
+      .filter(col("df") >= 2 && maxDf.map(col("df") <= _).getOrElse(lit(true)))
       .select("gh")
     gramStream(documents, l)
       .join(dupKeys, Seq("gh"), "left_semi")

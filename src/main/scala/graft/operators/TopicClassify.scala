@@ -83,8 +83,10 @@ object TopicClassify {
       s"('$t', '$w', CAST($wt AS BIGINT))"
     }.mkString(",\n       |         ")
 
-  val topicClassifySql: String =
-    s"""WITH lex(topic, word, weight) AS (
+  /** The assignment chain factored for nesting oracles (lang_confusion
+    * precedent): ends in `tcls(doc_id, topic, score, n_hits)`. */
+  private[operators] val topicAssignCtes: String =
+    s"""lex(topic, word, weight) AS (
        |  VALUES $lexValues
        |), toks AS (
        |  SELECT doc_id,
@@ -101,12 +103,18 @@ object TopicClassify {
        |         row_number() OVER (PARTITION BY doc_id
        |                            ORDER BY score DESC, topic) AS rn
        |  FROM hits
-       |)
-       |SELECT d.doc_id,
-       |       COALESCE(w.topic, '$UnknownTopic') AS topic,
-       |       COALESCE(w.score, 0) AS score,
-       |       COALESCE(w.n_hits, 0) AS n_hits
-       |FROM documents d
-       |LEFT JOIN (SELECT * FROM win WHERE rn = 1) w ON d.doc_id = w.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |), tcls AS (
+       |  SELECT d.doc_id,
+       |         COALESCE(w.topic, '$UnknownTopic') AS topic,
+       |         COALESCE(w.score, 0) AS score,
+       |         COALESCE(w.n_hits, 0) AS n_hits
+       |  FROM documents d
+       |  LEFT JOIN (SELECT * FROM win WHERE rn = 1) w ON d.doc_id = w.doc_id
+       |)""".stripMargin
+
+  val topicClassifySql: String =
+    s"""WITH $topicAssignCtes
+       |SELECT doc_id, topic, score, n_hits
+       |FROM tcls
+       |ORDER BY doc_id""".stripMargin
 }

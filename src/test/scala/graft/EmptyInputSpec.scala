@@ -141,6 +141,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "dedup_substring" -> SubstringDedup.substringDedup(d),
       "substring_clean" -> SubstringDedup.substringClean(d),
       "substring_incremental" -> SubstringDedup.substringIncremental(d),
+      "pair_index_delta" -> Dedup.pairIndexDelta(d),
+      "l_diversity_audit" -> LDiversity.lDiversityAudit(d),
       "change_point_2" -> ChangePoint.changePoint2(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),

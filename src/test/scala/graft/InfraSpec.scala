@@ -309,6 +309,42 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("pair-index maintenance: corpus index + batch delta == full mine, appended through the commit log") {
+    // round 12: the mine-once shape past day one. (a) set identity —
+    // the delta mine (batch-touching pairs only, never corpus²) plus
+    // the corpus-only index reproduces the full-corpus index exactly;
+    // (b) run the maintenance literally through the owned table format:
+    // base index appended at v0, delta appended at v1, read-back at
+    // HEAD equals the full mine (and read-at-v0 still answers the old
+    // corpus — time travel over index versions for free).
+    import graft.operators.Dedup
+    import graft.sources.CommitLog
+    val docs = Tables.documents(spark, sf)
+    val mod = Dedup.IncrementalBatchMod
+    type Stat = (Long, Long, Long, Long, Long)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Stat] = df
+      .select("id1", "id2", "inter", "n1", "n2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Number](3).longValue, r.getAs[Number](4).longValue)).toSet
+    val full = rows(Dedup.pairIndex(docs))
+    val corpusOnly = rows(Dedup.pairIndex(docs.filter(col("doc_id") % mod =!= 0)))
+    val delta = rows(Dedup.pairIndexDelta(docs))
+    assert(delta.nonEmpty && corpusOnly.nonEmpty, "fixture vacuous")
+    assert((corpusOnly & delta).isEmpty, "delta re-mined corpus-corpus pairs")
+    assert(corpusOnly ++ delta == full,
+      s"corpus∪delta != full: missing=${(full -- corpusOnly -- delta).take(3)} " +
+        s"extra=${((corpusOnly ++ delta) -- full).take(3)}")
+    // (b) through the log
+    val t = java.nio.file.Files.createTempDirectory("graft_pairidx_log").toString
+    val v0 = CommitLog.append(spark, t,
+      Dedup.pairIndex(docs.filter(col("doc_id") % mod =!= 0)))
+    CommitLog.append(spark, t, Dedup.pairIndexDelta(docs))
+    assert(rows(CommitLog.read(spark, t)) == full,
+      "log-maintained index diverges from the full mine")
+    assert(rows(CommitLog.read(spark, t, asOf = Some(v0))) == corpusOnly,
+      "time travel to the pre-batch index broke")
+  }
+
   test("planned salt closes the loop: q3/q5 fact join through saltingPlan's frame, row-identical at heavy skew") {
     import graft.operators.{SaltingPlan, Skew}
     // skew one REAL orderkey ~100×: replicate its lineitem rows (replicas

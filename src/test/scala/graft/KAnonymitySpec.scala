@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.KAnonymity
+import graft.operators.{KAnonymity, LDiversity}
 
 /** Class-size accounting by hand: a planted stratum with one large and
   * one singleton class; k boundary is strict (<); per-stratum rollup. */
@@ -32,5 +32,45 @@ class KAnonymitySpec extends AnyFunSuite {
     val d = docs(("en", "a", 63L), ("en", "a", 64L))
     val got = KAnonymity.kAnonymityAudit(d).collect()(0)
     assert(got.getLong(2) == 2L, s"boundary not split: $got")
+  }
+
+  private def tdocs(rows: (String, String, String)*) =
+    rows.zipWithIndex.map { case ((text, lang, src), i) =>
+      (i.toLong, text, lang, src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("l-diversity: homogeneous class flagged with exact exposure; diverse class safe") {
+    // stratum (en, s1): ONE bucket-64 class of 3 docs, all topic
+    // 'execution' → n_topics=1 < l=2: flagged, 3 rows exposed, min 1.
+    // stratum (en, s2): one class of 2 docs with topics execution AND
+    // storage → diverse: 0 flagged, min 2.
+    val d = tdocs(
+      ("join hash merge", "en", "s1"),
+      ("join hash sort", "en", "s1"),
+      ("hash merge agg", "en", "s1"),
+      ("join hash filter", "en", "s2"),
+      ("scan table column", "en", "s2"))
+    val got = LDiversity.lDiversityAudit(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("en", "s1", 1L, 1L, 3L, 1L),
+      ("en", "s2", 1L, 0L, 0L, 2L)),
+      s"audit rows: $got")
+  }
+
+  test("k and l are independent: a k-safe class can be l-exposed and vice versa") {
+    // (en, big): 6 same-topic docs in one class — k-safe at K=5, but
+    // l-flagged (homogeneous). (en, tiny): 2 docs, 2 topics — k-flagged
+    // (below 5), l-diverse.
+    val d = tdocs(
+      (Seq.fill(6)(("join hash merge", "en", "big")) ++
+        Seq(("join hash sort", "en", "tiny"), ("scan table row", "en", "tiny"))): _*)
+    val k = KAnonymity.kAnonymityAudit(d).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val l = LDiversity.lDiversityAudit(d).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(k("big") == 0L && l("big") == 1L, s"big: k=${k("big")} l=${l("big")}")
+    assert(k("tiny") == 1L && l("tiny") == 0L, s"tiny: k=${k("tiny")} l=${l("tiny")}")
   }
 }

@@ -142,6 +142,30 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(SubstringDedup.substringIncremental(onlyBatch).count() == 0)
   }
 
+  test("maxDf dial: hot grams dropped lossily — subset semantics, identity at a loose cap") {
+    // run r (df=3, hot) and run q (df=2, cold): a cap of 2 keeps only
+    // the cold run's spans; a loose cap is the exact answer
+    val r = (1 to 8).map(i => s"r$i").mkString(" ")
+    val q = (1 to 8).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$r a1"), (2L, s"$r a2"), (3L, s"$r a3"),
+      (4L, s"$q b1"), (5L, s"$q b2")).toDF("doc_id", "text")
+    val exact = spans(docs)
+    assert(exact.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    val capped = SubstringDedup.substringDedup(docs, maxDf = Some(2L))
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(capped.map(_._1).toSet == Set(4L, 5L),
+      s"cap=2 must keep only the df-2 run's docs: $capped")
+    assert(capped.toSet.subsetOf(exact.toSet), "capped output is not a subset")
+    val loose = SubstringDedup.substringDedup(docs, maxDf = Some(1000L))
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(loose == exact, "loose cap must be the exact answer")
+  }
+
   test("semi-join verdict ≡ count-window verdict on the gate corpus (row identity)") {
     // the production form trades the window for a map-combinable df agg +
     // skew-splittable semi join (hot-gram headroom); same rows exactly
