@@ -588,6 +588,7 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) => SubstringDedup.substringDedupQ(Tables.documents(s, d))),
     "pair_index_delta" -> ((s, d) => Dedup.pairIndexDeltaQ(Tables.documents(s, d))),
     "l_diversity_audit" -> ((s, d) => LDiversity.lDiversityAuditQ(Tables.documents(s, d))),
+    "t_closeness_audit" -> ((s, d) => TCloseness.tClosenessAuditQ(Tables.documents(s, d))),
     "substring_clean" -> ((s, d) => SubstringDedup.substringCleanQ(Tables.documents(s, d))),
     "substring_incremental" -> ((s, d) => SubstringDedup.substringIncrementalQ(Tables.documents(s, d))),
     // …and window-granularity language composition: the mixed-document
@@ -831,6 +832,7 @@ object SparkEntry {
     "dedup_substring" -> SubstringDedup.substringDedupSql,
     "pair_index_delta" -> Dedup.pairIndexDeltaSql,
     "l_diversity_audit" -> LDiversity.lDiversityAuditSql,
+    "t_closeness_audit" -> TCloseness.tClosenessAuditSql,
     "substring_clean" -> SubstringDedup.substringCleanSql,
     "substring_incremental" -> SubstringDedup.substringIncrementalSql,
     "lang_mix" -> LangMix.langMixSql,

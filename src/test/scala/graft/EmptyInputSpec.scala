@@ -143,6 +143,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "substring_incremental" -> SubstringDedup.substringIncremental(d),
       "pair_index_delta" -> Dedup.pairIndexDelta(d),
       "l_diversity_audit" -> LDiversity.lDiversityAudit(d),
+      "t_closeness_audit" -> TCloseness.tClosenessAudit(d),
       "change_point_2" -> ChangePoint.changePoint2(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{KAnonymity, LDiversity}
+import graft.operators.{KAnonymity, LDiversity, TCloseness}
 
 /** Class-size accounting by hand: a planted stratum with one large and
   * one singleton class; k boundary is strict (<); per-stratum rollup. */
@@ -57,6 +57,50 @@ class KAnonymitySpec extends AnyFunSuite {
       ("en", "s1", 1L, 1L, 3L, 1L),
       ("en", "s2", 1L, 0L, 0L, 2L)),
       s"audit rows: $got")
+  }
+
+  test("t-closeness: skewed-but-diverse class flagged; trio independence by hand") {
+    // stratum (en, skew): ONE class of 5 docs — 3 'execution', 2
+    // 'streaming'. k-SAFE (size 5, strict <5), l-SAFE (2 topics), yet
+    // its distribution skews far from global. stratum (en, base): 20
+    // 'storage' docs — k-safe, l-FLAGGED (homogeneous), t-SAFE (it IS
+    // most of the global mass).
+    // Global: exec 3, storage 20, streaming 2, unknown 0; tot 25 →
+    // q_ppm (exec, storage, streaming, unknown) = (120000, 800000,
+    // 80000, 0).
+    // skew p_ppm = (600000, 0, 400000, 0); diff = (+480000, −800000,
+    // +320000, 0); cum = (480000, −320000, 0, 0); Σ|cum| = 800000 →
+    // emd = 800000 div 3 = 266666 > 200000 → FLAGGED, 5 rows exposed.
+    // base p_ppm = (0, 1000000, 0, 0); diff = (−120000, +200000,
+    // −80000, 0); cum = (−120000, 80000, 0, 0); Σ|cum| = 200000 →
+    // emd = 66666 ≤ 200000 → safe.
+    val d = tdocs(
+      (Seq.fill(3)(("join hash", "en", "skew")) ++
+        Seq.fill(2)(("stream window", "en", "skew")) ++
+        Seq.fill(20)(("scan table", "en", "base"))): _*)
+    val t = TCloseness.tClosenessAudit(d).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(t("skew") == ((1L, 1L, 5L, 266666L)), s"skew stratum: ${t("skew")}")
+    assert(t("base") == ((1L, 0L, 0L, 66666L)), s"base stratum: ${t("base")}")
+    // trio independence: skew is k-safe AND l-safe yet t-flagged;
+    // base is l-flagged yet t-safe.
+    val k = KAnonymity.kAnonymityAudit(d).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val l = LDiversity.lDiversityAudit(d).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(k("skew") == 0L && l("skew") == 0L, s"skew k/l: ${k("skew")}/${l("skew")}")
+    assert(l("base") == 1L && t("base")._2 == 0L, s"base l/t: ${l("base")}/${t("base")}")
+  }
+
+  test("t-closeness: a class that IS the whole corpus has EMD exactly 0") {
+    // One class == global ⇒ p_ppm == q_ppm per topic (same counts, same
+    // truncating div) ⇒ every cumulative term 0 ⇒ emd_ppm = 0.
+    val d = tdocs(
+      ("join hash", "en", "s"), ("scan table", "en", "s"),
+      ("stream window", "en", "s"))
+    val got = TCloseness.tClosenessAudit(d).collect()(0)
+    assert(got.getLong(3) == 0L && got.getLong(5) == 0L, s"identity class: $got")
   }
 
   test("k and l are independent: a k-safe class can be l-exposed and vice versa") {
