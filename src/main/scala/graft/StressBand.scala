@@ -64,10 +64,14 @@ object StressBand {
       val (tPlain, nPlain) = time(Dedup.ngramJaccardPairs(docs).count())
       val (tDef, nDef) = time(PrefixJoin.hybridJaccardPairs(docs).count())
       val (tRec, nRec) = time(PrefixJoin.hybridJaccardPairs(docs, dfBand = band).count())
-      require(nPlain == nDef && nDef == nRec,
-        s"$name: pair counts diverge ($nPlain/$nDef/$nRec)")
+      // the registered round-13 path: band self-calibrated from the
+      // hybrid's own index (histogram rollup + 1-row read, inline)
+      val (tAuto, nAuto) = time(PrefixJoin.hybridJaccardAuto(docs).count())
+      require(nPlain == nDef && nDef == nRec && nRec == nAuto,
+        s"$name: pair counts diverge ($nPlain/$nDef/$nRec/$nAuto)")
       println(f"BAND corpus=$name band=$band cal_s=$calS%.2f " +
-        f"plain_s=$tPlain%.2f hybrid_default_s=$tDef%.2f hybrid_rec_s=$tRec%.2f pairs=$nPlain")
+        f"plain_s=$tPlain%.2f hybrid_default_s=$tDef%.2f hybrid_rec_s=$tRec%.2f " +
+        f"hybrid_auto_s=$tAuto%.2f pairs=$nPlain")
     }
     spark.stop()
   }

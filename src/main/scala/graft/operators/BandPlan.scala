@@ -68,7 +68,20 @@ object BandPlan {
                      probeCost: Long = HotProbeCostFactor): DataFrame = {
     val dfs = Dedup.shingleExploded(documents)
       .groupBy("s").agg(count(lit(1)).as("df"))
-    val hist = dfs.groupBy("df").agg(count(lit(1)).as("n_sh"))
+    planFromHistogram(dfs.groupBy("df").agg(count(lit(1)).as("n_sh")),
+      bandCap, probeCost)
+  }
+
+  /** The cost-argmin core over a `(df, n_sh)` histogram frame — shared
+    * by [[prefixBandPlan]] (histogram from the raw shingle strings) and
+    * [[PrefixJoin.hybridJaccardAuto]] (histogram derived from the
+    * hybrid's own already-checkpointed hashed index, so the registered
+    * dedup_prefix calibrates its band from the SAME df pass it pays
+    * anyway — the round-13 closing of the report → dial loop). */
+  private[operators] def planFromHistogram(histIn: DataFrame,
+                                           bandCap: Long = BandCap,
+                                           probeCost: Long = HotProbeCostFactor): DataFrame = {
+    val hist = histIn
       // histogram-sized (|distinct df|), 2 consumers (cum + totals) AND
       // the root of two unpartitioned windows — materialize once
       .localCheckpoint()
@@ -102,9 +115,18 @@ object BandPlan {
     * hotter than the cap). */
   def recommendedBand(documents: DataFrame,
                       bandCap: Long = BandCap,
-                      probeCost: Long = HotProbeCostFactor): Long = {
-    val rows = prefixBandPlan(documents, bandCap, probeCost)
-      .filter(col("recommended") === 1).select("band").collect()
+                      probeCost: Long = HotProbeCostFactor): Long =
+    bandFromPlan(prefixBandPlan(documents, bandCap, probeCost))
+
+  /** Extract the recommended band from a (possibly persisted) plan frame
+    * — the `salting_plan → saltedJoinPlanned` plan-as-data contract: the
+    * plan's OUTPUT schema is the interface, so a plan written to parquet
+    * in one run drives the join in the next. 1-row bounded action
+    * (hotShingles-sumRow class); falls back to [[Dedup.HotDfFloor]] when
+    * the plan has no operable band (empty corpus, or every shingle
+    * hotter than the cap). */
+  def bandFromPlan(plan: DataFrame): Long = {
+    val rows = plan.filter(col("recommended") === 1).select("band").collect()
     if (rows.isEmpty) Dedup.HotDfFloor else rows(0).getLong(0)
   }
 

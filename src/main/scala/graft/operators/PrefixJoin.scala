@@ -107,8 +107,20 @@ object PrefixJoin {
         Parity.r("jaccard", 4))
       .orderBy("id1", "id2")
 
+  /** The hybrid's exploded+df index: df via a window over the shingle
+    * partitioning — one exchange, no agg+join-back (which would shuffle
+    * the index by sh twice). Feeds the cold join, the hot probes, the
+    * hot-heavy stats, and (in the auto form) the band calibrator's
+    * histogram — checkpoint per the multi-consumer invariant. */
+  private def explodedWithDf(documents: DataFrame): DataFrame =
+    Dedup.shingleExploded(documents)
+      .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .localCheckpoint()
+
   /** Df-BANDED hybrid of the plain inverted index and the prefix filter —
-    * the registered `dedup_prefix` form. The pure forms each own one
+    * the registered `dedup_prefix` form (self-calibrated via
+    * [[hybridJaccardAuto]] since round 13). The pure forms each own one
     * regime (PERF.md): the plain index wins on DIFFUSE candidate mass
     * (its `inter` falls out of the candidate join; the prefix form's df
     * ranking + array-verify overhead costs ~2.3× there), the prefix
@@ -148,16 +160,51 @@ object PrefixJoin {
     * — both localCheckpoint'd per the multi-consumer invariant. */
   def hybridJaccardPairs(documents: DataFrame,
                          dfBand: Long = Dedup.HotDfFloor,
-                         broadcastSizes: Boolean = true): DataFrame = {
+                         broadcastSizes: Boolean = true): DataFrame =
+    hybridCore(documents, explodedWithDf(documents), dfBand, broadcastSizes)
+
+  /** SELF-CALIBRATING hybrid — the registered `dedup_prefix` form since
+    * round 13: the df band comes from [[BandPlan]]'s cost argmin over
+    * the OBSERVED df histogram instead of the [[Dedup.HotDfFloor]]
+    * constant. The round-9 objection to inline calibration ("amortizes
+    * only across runs") was priced against a SEPARATE df pass; here the
+    * histogram is a |distinct df|-sized rollup of the hybrid's own
+    * already-checkpointed exploded+df index, so calibration costs one
+    * tiny aggregation + a 1-row driver read (the documented BandPlan
+    * probe class) on top of work the hybrid pays anyway. Any band
+    * yields identical pairs (the hybrid is exact by construction), so
+    * the calibrator tunes cost only — row identity with the
+    * constant-band form is spec-pinned. */
+  def hybridJaccardAuto(documents: DataFrame,
+                        bandCap: Long = BandPlan.BandCap,
+                        probeCost: Long = BandPlan.HotProbeCostFactor,
+                        broadcastSizes: Boolean = true): DataFrame = {
+    val exDf = explodedWithDf(documents)
+    // each sh carries one df ⇒ (sh, df) distinct IS the per-shingle df
+    // frame; the histogram after it is |distinct df|-sized
+    val hist = exDf.select("sh", "df").distinct()
+      .groupBy("df").agg(count(lit(1)).as("n_sh"))
+    val band = BandPlan.bandFromPlan(
+      BandPlan.planFromHistogram(hist, bandCap, probeCost))
+    hybridCore(documents, exDf, band, broadcastSizes)
+  }
+
+  /** PLAN-AS-DATA hybrid — the `salting_plan → saltedJoinPlanned`
+    * precedent for the band dial: consumes a (possibly persisted)
+    * [[BandPlan.prefixBandPlan]] output frame directly, so the
+    * calibration amortizes across runs through storage: mine the plan
+    * once, write it next to the corpus, drive every subsequent
+    * dedup_prefix from the persisted frame (InfraSpec pins the loop
+    * end-to-end: plan → parquet → read-back → row identity). */
+  def hybridJaccardPlanned(documents: DataFrame, plan: DataFrame,
+                           broadcastSizes: Boolean = true): DataFrame =
+    hybridJaccardPairs(documents, BandPlan.bandFromPlan(plan), broadcastSizes)
+
+  private def hybridCore(documents: DataFrame,
+                         exDf: DataFrame,
+                         dfBand: Long,
+                         broadcastSizes: Boolean): DataFrame = {
     val ceilTau = s"(($ThrNum * nsh + $ThrDen - 1) div $ThrDen)"
-    // df via a window over the shingle partitioning: one exchange, no
-    // agg+join-back (which would shuffle the index by sh twice). The
-    // frame feeds the cold join, the hot probes, and the hot-heavy
-    // stats — checkpoint per the multi-consumer invariant.
-    val exDf = Dedup.shingleExploded(documents)
-      .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .localCheckpoint()
     val cold = exDf.filter(col("df") <= dfBand).select("doc_id", "sh")
     val coldPairs = cold.select(col("doc_id").as("id1"), col("sh"))
       .join(cold.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
@@ -243,10 +290,12 @@ object PrefixJoin {
       .select("id1", "id2", "n1", "n2", "inter", "jaccard")
   }
 
-  /** Registered form — same projection/rounding/order as
-    * [[Dedup.ngramJaccardQ]]; shares `ngramJaccardSql` as its oracle. */
+  /** Registered form — SELF-CALIBRATED band (round 13), same
+    * projection/rounding/order as [[Dedup.ngramJaccardQ]]; shares
+    * `ngramJaccardSql` as its oracle (any band is exact, so the oracle
+    * is band-independent). */
   def hybridJaccardQ(documents: DataFrame): DataFrame =
-    hybridJaccardPairs(documents)
+    hybridJaccardAuto(documents)
       .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
         Parity.r("jaccard", 4))
       .orderBy("id1", "id2")

@@ -345,6 +345,36 @@ class InfraSpec extends AnyFunSuite {
       "time travel to the pre-batch index broke")
   }
 
+  test("planned band closes the loop: dedup_prefix through a PERSISTED prefix_band_plan frame, row-identical") {
+    import graft.operators.{BandPlan, PrefixJoin}
+    val docs = Tables.documents(spark, sf)
+    // report → storage: the plan frame IS prefixBandPlan's output,
+    // written to parquet like a real deployment would keep it next to
+    // the corpus (mine once, consume every run)
+    val out = Files.createTempDirectory("graft-band-plan").toString
+    BandPlan.prefixBandPlan(docs).write.mode("overwrite").parquet(out)
+    val persisted = spark.read.parquet(out)
+    // band extracted from DISK, not recomputed — and it matches the
+    // in-memory calibrator
+    val band = BandPlan.bandFromPlan(persisted)
+    assert(band > 0 && band == BandPlan.recommendedBand(docs),
+      s"persisted band $band diverges from in-memory recommendation")
+    // storage → mechanism: identical rows to the constant-band hybrid
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).toSet
+    val viaPlan = rows(PrefixJoin.hybridJaccardPlanned(docs, persisted)
+      .select(col("id1"), col("id2"), col("inter")))
+    val constant = rows(PrefixJoin.hybridJaccardPairs(docs)
+      .select(col("id1"), col("id2"), col("inter")))
+    assert(viaPlan == constant && constant.nonEmpty,
+      s"planned hybrid diverges: ${viaPlan.size} vs ${constant.size}")
+    // …and the registered auto form calibrates to the SAME band the
+    // persisted plan recommends (hash-keyed histogram ≡ string-keyed)
+    val auto = rows(PrefixJoin.hybridJaccardAuto(docs)
+      .select(col("id1"), col("id2"), col("inter")))
+    assert(auto == constant, s"auto hybrid diverges: ${auto.size} vs ${constant.size}")
+  }
+
   test("planned salt closes the loop: q3/q5 fact join through saltingPlan's frame, row-identical at heavy skew") {
     import graft.operators.{SaltingPlan, Skew}
     // skew one REAL orderkey ~100×: replicate its lineitem rows (replicas
