@@ -215,12 +215,18 @@ object Dedup {
     def ex(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
       shingleExploded(documents.filter(pred(col("doc_id"))))
         .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
-    val bCross = ex(_ % batchMod === 0).select(col("doc_id").as("ida"), col("sh"))
+    // the BATCH-side exploded stream feeds three join sides (bCross's
+    // probe + both sides of bWithin) — batch-sized, so materializing it
+    // once is cheap and saves two filter+split+shingle map passes (the
+    // multi-consumer invariant; the CORPUS side stays single-consumer
+    // and is deliberately NOT checkpointed — it is the 100 TB side)
+    val bEx = ex(_ % batchMod === 0).localCheckpoint()
+    val bCross = bEx.select(col("doc_id").as("ida"), col("sh"))
       .join(ex(_ % batchMod =!= 0).select(col("doc_id").as("idb"), col("sh")), Seq("sh"))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
-    val bWithin = ex(_ % batchMod === 0).select(col("doc_id").as("id1"), col("sh"))
-      .join(ex(_ % batchMod === 0).select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
+    val bWithin = bEx.select(col("doc_id").as("id1"), col("sh"))
+      .join(bEx.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
     val sizes = shingleSets(documents).select(col("doc_id"), col("nsh"))

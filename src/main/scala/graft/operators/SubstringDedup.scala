@@ -33,16 +33,21 @@ import org.apache.spark.sql.functions._
   * volume, which IS the exactness contract's price, and 8× fewer bytes
   * per row than carrying gram text (the pair-miner hash-not-string
   * discipline; a 64-bit collision would mark one position duplicated —
-  * the exact-string DuckDB oracle guards it). ONE data-volume exchange:
-  * the count-per-gram window on gh (WindowExec, no join-back — the
-  * group-by+semi-join form would shuffle the stream twice). Everything
-  * after runs on the SPARSE duplicated-position frame: one doc-keyed
-  * exchange feeds both the islands row_number window and the (doc, grp)
-  * aggregation (hash(doc_id) satisfies the grp aggregation's clustered
-  * distribution — the [[DupSpans]] argument). Hot grams (boilerplate) =
-  * hot reducers in the gh window: the [[Dedup.ngramJaccardPairs]] maxDf
-  * analog would cap them lossily; kept exact here, and a capped variant
-  * inherits this one's oracle the way maxDf inherits the pair miner's.
+  * the exact-string DuckDB oracle guards it). The duplicated-position
+  * verdict is a map-combinable GROUP-BY df + LEFT SEMI join back, NOT
+  * a count-per-gram window: a boilerplate gram's occurrences under a
+  * window all land in ONE un-splittable WindowExec partition, while
+  * the groupBy collapses map-side and the semi join's hot probe
+  * partitions are exactly what AQE skew-join splits (the round-12
+  * invariant; the window twin is kept private, row-identity-pinned,
+  * for measurement). Price: two corpus map passes over the gram stream
+  * — the qualitySelect two-pass trade. Everything after runs on the
+  * SPARSE duplicated-position frame: one doc-keyed exchange feeds both
+  * the islands row_number window and the (doc, grp) aggregation
+  * (hash(doc_id) satisfies the grp aggregation's clustered
+  * distribution — the [[DupSpans]] argument). Hot grams (boilerplate)
+  * = skewed probe keys, AQE-splittable; the `maxDf` dial drops them
+  * lossily (coverage-subset contract — see [[substringDedup]]).
   *
   * Reference relation: extends §2.C sub-document dedup like
   * [[DupSpans]]/[[DupPassages]] — the reference's records are atomic.
@@ -57,8 +62,11 @@ object SubstringDedup {
     * generator per the explode invariant; the `greatest(..., 1)` inside
     * sequence + the `greatest(..., 0)` outer slice length keep short and
     * null docs total (Spark's sequence(1, 0) would DESCEND — the
-    * documented CASE-free guard shape). */
-  private def gramArrayExpr(l: Int): String =
+    * documented CASE-free guard shape). `private[graft]` so the
+    * stream-static admission twin ([[graft.streaming.StreamingJobs]])
+    * references THIS text instead of a copy that could silently
+    * drift. */
+  private[graft] def gramArrayExpr(l: Int): String =
     s"slice(transform(sequence(1, greatest(size(w) - $l + 1, 1)), " +
       s"i -> xxhash64(concat_ws(' ', slice(w, i, $l)))), " +
       s"1, greatest(size(w) - $l + 1, 0))"
@@ -89,14 +97,20 @@ object SubstringDedup {
     * equivalent at gate scale (PERF.md) — the semi form is chosen for
     * the skew headroom, not gate wall.
     *
-    * `maxDf` is the LOSSY volume dial, same contract as
+    * `maxDf` is the LOSSY volume dial, same spirit as
     * [[Dedup.ngramJaccardPairs]]'s: grams with df above the cap are
     * dropped from the duplicate-key set BEFORE the probe, so
     * boilerplate grams (every doc's license header) stop flagging
-    * positions at all. Output is a SUBSET of the exact answer — spans
-    * can only shrink or vanish, never appear — and what a cap drops is
-    * precisely the most-duplicated content, which a pipeline usually
-    * strips by other means first. Default None = exact contract. */
+    * positions at all. The subset contract is TOKEN COVERAGE, not
+    * rows: the set of duplicated POSITIONS (hence covered tokens) can
+    * only shrink or vanish, never grow — but a hot gram INTERIOR to an
+    * otherwise-cold duplicated run SPLITS one exact span into two
+    * narrower rows (the islands merge re-groups around the hole), so
+    * capped output rows are NOT a row-subset of the exact answer
+    * (spec-pinned with an interior-hot-gram fixture). What a cap drops
+    * is precisely the most-duplicated content, which a pipeline
+    * usually strips by other means first. Default None = exact
+    * contract. */
   def substringDedup(documents: DataFrame, l: Int = MinRunTokens,
                      maxDf: Option[Long] = None): DataFrame =
     spansFromDupPositions(dupPositionsSemi(documents, l, maxDf), l)

@@ -285,16 +285,26 @@ object CommitLog {
   }
 
   /** Latest transaction version recorded for `appId` at or below table
-    * version `asOf` (−1 if none) — the idempotence watermark. A full log
-    * scan of tiny driver-side JSON files, run once per commit attempt; a
-    * production format folds this into the checkpoint the way Delta's
-    * checkpoint carries txn actions (noted, not needed at this log
-    * size — checkpoints here never delete commit files). */
+    * version `asOf` (−1 if none) — the idempotence watermark. Scans the
+    * log BACKWARD and stops at the FIRST commit carrying a txn for this
+    * appId: [[appendIdempotent]] requires per-app txnVersions to be
+    * monotone in commit order, so the newest txn commit holds the max.
+    * A long-running streaming sink (2 watermark reads per batch) thus
+    * pays O(commits since its last write) per batch — typically 1-2
+    * files — instead of the O(V) full-log scan that made the cumulative
+    * cost O(V²). (Delta folds txn actions into checkpoints instead;
+    * commit files here are never deleted, so the backward walk is
+    * always complete.) */
   def txnLatest(table: String, appId: String, asOf: Long = -2L): Long = {
     val vMax = if (asOf == -2L) latestVersion(table) else asOf
-    if (vMax < 0) -1L
-    else commits(table, vMax).iterator
-      .flatMap(_.txns).filter(_._1 == appId).map(_._2).foldLeft(-1L)(math.max)
+    var v = vMax
+    while (v >= 0L) {
+      val hit = commits0(table, v).txns
+        .collect { case (app, tv) if app == appId => tv }
+      if (hit.nonEmpty) return hit.max
+      v -= 1
+    }
+    -1L
   }
 
   /** EXACTLY-ONCE append for a replayable writer (the idempotent

@@ -328,10 +328,9 @@ object StreamingJobs {
       .select(col("gh")).distinct()
       .agg(sort_array(collect_set(col("gh"))).as("corpus_ghs"))
       .withColumn("k", lit(1))
-    val gramArr =
-      s"slice(transform(sequence(1, greatest(size(w) - $l + 1, 1)), " +
-        s"i -> xxhash64(concat_ws(' ', slice(w, i, $l)))), " +
-        s"1, greatest(size(w) - $l + 1, 0))"
+    // the batch operator's OWN gram expression (incl. its greatest()
+    // guards) — shared text, so the twin cannot silently drift from it
+    val gramArr = SubstringDedup.gramArrayExpr(l)
     val spansExpr =
       """aggregate(
         |  transform(ghs, (g, i) -> named_struct('p', CAST(i + 1 AS BIGINT),

@@ -18,6 +18,10 @@ class SubstringDedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
 
+  /** The maxDf contract's unit: per-doc covered TOKEN positions. */
+  private def coverage(rows: Seq[(Long, Long, Long, Long, Long, Long)]) =
+    rows.flatMap { case (d, _, _, _, st, et) => (st to et).map(d -> _) }.toSet
+
   test("off-grid 10-token run: found exactly where the window grid misses it") {
     // doc 1 carries the shared run r1..r10 at token 5 (straddles the
     // 8-token grid: covers no full grid window); doc 2 carries it at
@@ -158,12 +162,47 @@ class SubstringDedupSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5))).toSeq
     assert(capped.map(_._1).toSet == Set(4L, 5L),
       s"cap=2 must keep only the df-2 run's docs: $capped")
-    assert(capped.toSet.subsetOf(exact.toSet), "capped output is not a subset")
+    // whole-run vanish case: here rows happen to survive intact, so the
+    // row set IS a subset — the general contract (interior-hot split) is
+    // coverage-only, pinned in the next test
+    assert(coverage(capped).subsetOf(coverage(exact)),
+      "covered tokens grew under a cap")
     val loose = SubstringDedup.substringDedup(docs, maxDf = Some(1000L))
       .orderBy("doc_id", "span_start").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(loose == exact, "loose cap must be the exact answer")
+  }
+
+  test("maxDf: a hot gram INTERIOR to a cold run splits the span — coverage subset, NOT row subset") {
+    // docs 1-2 share a 20-token run (every stride-1 8-gram df=2, cold);
+    // the 8-gram at token positions 4..11 ALSO appears alone in docs
+    // 3-5, lifting its df to 5. cap=4 drops exactly that gram: doc 1/2's
+    // exact span [pos 1..13] re-groups around the hole into [1..3] +
+    // [5..13] — TWO rows, NEITHER in the exact answer — while the
+    // covered TOKEN set only shrinks (docs 3-5 vanish; doc 1/2 coverage
+    // is even unchanged: tokens 1..10 ∪ 5..20 = 1..20).
+    val run = (1 to 20).map(i => s"w$i").mkString(" ")
+    val hot = (4 to 11).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, run), (2L, run), (3L, hot), (4L, hot), (5L, hot))
+      .toDF("doc_id", "text")
+    val exact = spans(docs)
+    assert(exact.filter(_._1 == 1L) == Seq((1L, 1L, 13L, 13L, 1L, 20L)),
+      s"exact fixture drifted: $exact")
+    val capped = SubstringDedup.substringDedup(docs, maxDf = Some(4L))
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(capped.filter(_._1 == 1L) ==
+      Seq((1L, 1L, 3L, 3L, 1L, 10L), (1L, 5L, 13L, 9L, 5L, 20L)),
+      s"interior-hot split not as hand-computed: $capped")
+    assert(!capped.exists(_._1 >= 3L), "hot-only docs must vanish under the cap")
+    // the split rows are NOT a row-subset of the exact answer…
+    assert(!capped.toSet.subsetOf(exact.toSet),
+      "fixture vacuous: capped rows were a row-subset")
+    // …the contract that DOES hold is token coverage
+    assert(coverage(capped).subsetOf(coverage(exact)),
+      "covered tokens grew under a cap")
   }
 
   test("semi-join verdict ≡ count-window verdict on the gate corpus (row identity)") {
