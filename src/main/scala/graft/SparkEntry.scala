@@ -324,6 +324,7 @@ object SparkEntry {
     // question robust_trend's drift and rate_spike's days leave open)
     "change_point" -> ((s, d) => ChangePoint.changePointQ(Tables.events(s, d))),
     "change_point_2" -> ((s, d) => ChangePoint.changePoint2Q(Tables.events(s, d))),
+    "change_point_k" -> ((s, d) => ChangePoint.changePointKQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // …and its business twin: last-touch conversion attribution (LOCF
     // carries the touch TYPE; explicit _none channel for cold purchases)
@@ -850,6 +851,7 @@ object SparkEntry {
     "robust_trend" -> RobustTrend.robustTrendSql,
     "change_point" -> ChangePoint.changePointSql,
     "change_point_2" -> ChangePoint.changePoint2Sql,
+    "change_point_k" -> ChangePoint.changePointKSql,
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
     "q4_late_exists" -> LateExists.q4LateExistsSql,
     "equidepth_hist" -> EquidepthHist.equidepthHistSql,

@@ -125,6 +125,140 @@ object ChangePoint {
 
   def changePoint2Q(events: DataFrame): DataFrame = changePoint2(events)
 
+  /** K change points via BINARY SEGMENTATION, K = 4 unrolled (round 13
+    * — the [[changePoint2]] generalization for multi-shift series the
+    * 2-split form truncates). Classic top-down segmentation: each round
+    * scores every position against ITS OWN current segment (segment-
+    * local prefix mass / length / total — exactly [[changePoint2]]'s
+    * rescan, iterated), picks the globally best (score DESC, day ASC)
+    * candidate as the next split, and refines. Emitted rank r is the
+    * r-th split in dominance order with its segment length at selection
+    * time; emission is sparse (a round with no ≥2-position segment
+    * emits nothing, so a 2-day series yields only rank 1).
+    *
+    * Segments are carried as SPLIT BOUNDARIES `(p, s_p)` — position and
+    * prefix mass of each chosen split, plus the (0, 0) sentinel — so a
+    * position's segment stats need NO rescan: its bound row is the
+    * largest p < i, the next boundary (lead over p) closes the segment,
+    * and (m, t, local index) = (b − p, s_b − s_p, i − p). At K=2 this
+    * reproduces [[changePoint2]]'s rows exactly (spec-pinned).
+    *
+    * §6: all-integer (segment scores ≤ m·T ≤ n·S_n); same total order
+    * per round. Scale shape: ONE data-volume agg; the scored frame is
+    * localCheckpoint'd once (consumed K times) and the bounds + argmax
+    * frames per round (each is ≤ K+1 rows per type — the iterated-loop
+    * 2^K lineage lesson from embedding_principal); every window/join
+    * runs type-keyed on the |types|×|days| frame. */
+  val KSplits = 4
+
+  def changePointK(events: DataFrame, k: Int = KSplits): DataFrame = {
+    val daily = events
+      .select(col("event_type"), expr(s"unix_micros(ts) div $UsPerDay").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val whole = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("i", row_number().over(byDay))
+      .withColumn("s_i", sum(col("n")).over(byDay))
+      .withColumn("n_days", count(lit(1)).over(whole))
+      .withColumn("s_n", sum(col("n")).over(whole))
+      .localCheckpoint()
+    val byP = Window.partitionBy("event_type").orderBy("p")
+    val argmax = Window.partitionBy("event_type")
+      .orderBy(col("score").desc, col("day"))
+    var bounds = scored.filter(col("i") === 1)
+      .select(col("event_type"), lit(0L).as("p"), lit(0L).as("sp"))
+      .localCheckpoint()
+    var out: Option[DataFrame] = None
+    for (r <- 1 to k) {
+      val segs = bounds
+        .withColumn("np", lead(col("p"), 1).over(byP))
+        .withColumn("nsp", lead(col("sp"), 1).over(byP))
+      val best = scored.join(segs, Seq("event_type"))
+        .filter(col("i") > col("p") &&
+          col("i") < coalesce(col("np"), col("n_days")))
+        .withColumn("m", coalesce(col("np"), col("n_days")) - col("p"))
+        .withColumn("t", coalesce(col("nsp"), col("s_n")) - col("sp"))
+        .withColumn("score", expr("abs((s_i - sp) * m - (i - p) * t)"))
+        .withColumn("rk", row_number().over(argmax))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day"), col("i"), col("s_i"),
+          col("score"), col("m"))
+        .localCheckpoint() // 2 consumers: the output row + next bounds
+      val row = best.select(col("event_type"), lit(r.toLong).as("rank"),
+        col("day").as("split_day"), col("score").as("cusum_score"),
+        col("m").as("seg_days"))
+      out = Some(out.map(_.unionAll(row)).getOrElse(row))
+      if (r < k)
+        bounds = bounds
+          .unionAll(best.select(col("event_type"), col("i").as("p"),
+            col("s_i").as("sp")))
+          .localCheckpoint()
+    }
+    out.get.orderBy("event_type", "rank")
+  }
+
+  def changePointKQ(events: DataFrame): DataFrame = changePointK(events)
+
+  /** Generated nested-CTE oracle — the [[changePoint2Sql]] technique
+    * iterated: per round, bounds → lead-closed segments → segment-local
+    * scores → argmax; the next round's bounds CTE unions the winner in. */
+  private def changePointKSqlGen(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""segs$r AS (
+         |  SELECT event_type, p, sp,
+         |         lead(p) OVER (PARTITION BY event_type ORDER BY p) AS np,
+         |         lead(sp) OVER (PARTITION BY event_type ORDER BY p) AS nsp
+         |  FROM b$r
+         |), cand$r AS (
+         |  SELECT s.event_type, s.day, s.i, s.s_i,
+         |         COALESCE(g.np, s.n_days) - g.p AS m,
+         |         abs((s.s_i - g.sp) * (COALESCE(g.np, s.n_days) - g.p)
+         |             - (s.i - g.p) * (COALESCE(g.nsp, s.s_n) - g.sp)) AS score
+         |  FROM scored s JOIN segs$r g USING (event_type)
+         |  WHERE s.i > g.p AND s.i < COALESCE(g.np, s.n_days)
+         |), r$r AS (
+         |  SELECT event_type, day, i, s_i, score, m
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+         |          ORDER BY score DESC, day) AS rk FROM cand$r)
+         |  WHERE rk = 1
+         |)""".stripMargin +
+        (if (r < k)
+          s""", b${r + 1} AS (
+             |  SELECT event_type, p, sp FROM b$r
+             |  UNION ALL
+             |  SELECT event_type, i AS p, s_i AS sp FROM r$r
+             |)""".stripMargin
+        else "")
+    }.mkString(", ")
+    val sel = (1 to k).map(r =>
+      s"SELECT event_type, CAST($r AS BIGINT) AS rank, day AS split_day, " +
+        s"score AS cusum_score, m AS seg_days FROM r$r")
+      .mkString("\n|UNION ALL\n|".stripMargin)
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(date_trunc('microseconds', ts)) // $UsPerDay AS day,
+       |         CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2
+       |), scored AS (
+       |  SELECT event_type, day,
+       |         CAST(row_number() OVER w AS BIGINT) AS i,
+       |         CAST(sum(n) OVER w AS BIGINT) AS s_i,
+       |         CAST(count(*) OVER p AS BIGINT) AS n_days,
+       |         CAST(sum(n) OVER p AS BIGINT) AS s_n
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |         p AS (PARTITION BY event_type)
+       |), b1 AS (
+       |  SELECT event_type, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS sp
+       |  FROM scored WHERE i = 1
+       |), $rounds
+       |$sel
+       |ORDER BY event_type, rank""".stripMargin
+  }
+
+  val changePointKSql: String = changePointKSqlGen(KSplits)
+
   val changePoint2Sql: String =
     s"""WITH daily AS (
        |  SELECT event_type, epoch_us(date_trunc('microseconds', ts)) // $UsPerDay AS day,

@@ -67,6 +67,48 @@ class ChangePointSpec extends AnyFunSuite {
     assert(run2(Seq(3, 3, 3, 3)) == Seq((1L, 0L, 0L, 4L), (2L, 1L, 0L, 3L)))
   }
 
+  private def runK(counts: Seq[Int]): Seq[(Long, Long, Long, Long)] = {
+    val rows = counts.zipWithIndex.flatMap { case (c, d) =>
+      Seq.fill(c)(("a", d.toLong * 86400000000L + 1L))
+    }
+    val df = rows.toDF("event_type", "t_us")
+      .withColumn("ts", expr("timestamp_micros(t_us)"))
+    ChangePoint.changePointK(df).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+  }
+
+  test("K=4 segmentation: three planted shifts found in dominance order, hand-computed") {
+    // Four 4-day blocks at levels 2, 10, 4, 20 (n=16, S_n=144); prefix
+    // masses 2,4,6,8 | 18,28,38,48 | 52,56,60,64 | 84,104,124,144.
+    // Round 1, score(i)=|S_i·16 − i·144|: i=4:448, i=5:432, i=11:624,
+    // i=12:|1024−1728|=704 (max), i=13:528 → rank 1 = day 11, 704, 16.
+    // Round 2: right segment [13..16] is flat (0s); left [1..12]
+    // rescores to the classic |S_i·12 − i·64|: max 160 at i=4 → rank 2
+    // = day 3, 160, 12. Round 3: [5..12] (t=56, m=8, local s_i−8):
+    // i=8: |40·8 − 4·56| = 96 (max) → rank 3 = day 7, 96, 8. Round 4:
+    // all four segments flat → score-0 earliest-day tie-break lands on
+    // i=1 (day 0) in segment [1..4] → rank 4 = day 0, 0, 4.
+    assert(runK(Seq(2, 2, 2, 2, 10, 10, 10, 10, 4, 4, 4, 4, 20, 20, 20, 20)) ==
+      Seq((1L, 11L, 704L, 16L), (2L, 3L, 160L, 12L), (3L, 7L, 96L, 8L),
+        (4L, 0L, 0L, 4L)))
+  }
+
+  test("K form at ranks 1-2 reproduces binary segmentation exactly") {
+    for (counts <- Seq(
+      Seq(2, 2, 10, 2, 2, 10, 10, 10, 10, 10, 10, 10, 10),
+      Seq(2, 2, 50, 2, 2, 2, 2, 2, 2, 2),
+      Seq(3, 3, 3, 3))) {
+      val k12 = runK(counts).filter(_._1 <= 2L)
+      assert(k12 == run2(counts), s"K-form ranks 1-2 diverge on $counts: $k12")
+    }
+  }
+
+  test("K=4 emission is sparse: a 2-day series yields only rank 1") {
+    // rank 1 splits [1..2]; both induced segments are single-position →
+    // rounds 2-4 have no candidates anywhere.
+    assert(runK(Seq(2, 9)) == Seq((1L, 0L, 7L, 2L)))
+  }
+
   test("spike only: single-split CUSUM is spike-sensitive by design") {
     // counts 2,2,50,2,2,2,2,2,2,2 (n=10, S_n=68). score(i)=|S_i·10−i·68|:
     // i=2:96, i=3:|540−204|=336 (max), i=4:288. A 48-unit spike IS the

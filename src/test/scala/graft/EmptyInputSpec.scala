@@ -144,6 +144,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "pair_index_delta" -> Dedup.pairIndexDelta(d),
       "l_diversity_audit" -> LDiversity.lDiversityAudit(d),
       "t_closeness_audit" -> TCloseness.tClosenessAudit(d),
+      "change_point_k" -> ChangePoint.changePointK(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
       "change_point_2" -> ChangePoint.changePoint2(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
