@@ -881,8 +881,50 @@ object StreamingJobs {
                                    windowUs: Long = 3600000000L): DataFrame =
     clickPurchaseJoined(spark, dir, delay, windowUs, "left_outer")
 
+  /** FULL-OUTER stream-stream range join (round 13) — completes the
+    * outer half of the streaming join matrix. Emission timing is the
+    * left-outer contract applied to BOTH sides, with per-side
+    * finalization instants derived from the range condition: matched
+    * pairs emit on arrival; an unmatched PURCHASE's NULL-click row
+    * finalizes when the watermark passes its own `purch_ts` (top of the
+    * trailing window); an unmatched CLICK's NULL-purchase row finalizes
+    * only when the watermark passes `click_ts + window` — the last
+    * instant a purchase it could attribute to may still arrive. Both
+    * directions + the asymmetry (the click side waits a full window
+    * longer) are pinned on a planted replay; a drained replay equals
+    * the batch FULL JOIN row-for-row (StreamStreamMatrixSpec). */
+  def clickPurchaseFullOuterJoinStream(spark: SparkSession, dir: String,
+                                       delay: String,
+                                       windowUs: Long = 3600000000L): DataFrame =
+    clickPurchaseJoined(spark, dir, delay, windowUs, "full_outer")
+
+  /** LEFT-SEMI stream-stream range join (round 13) — the existence
+    * contract: each purchase with ≥1 attributing click emits EXACTLY
+    * ONCE (on its FIRST match's arrival — matched emission is the inner
+    * join's, deduplicated by state), purchases with none NEVER emit, no
+    * click columns leak. Clicks arriving after the purchase already
+    * emitted add nothing (spec-pinned); a drained replay equals the
+    * batch LEFT SEMI join row-for-row. */
+  def clickPurchaseSemiJoinStream(spark: SparkSession, dir: String,
+                                  delay: String,
+                                  windowUs: Long = 3600000000L): DataFrame =
+    clickPurchaseJoinedRaw(spark, dir, delay, windowUs, "left_semi")
+      .select(col("p_user_id").as("user_id"), col("purch_id"),
+        expr("unix_micros(purch_ts)").as("purch_us"))
+
   private def clickPurchaseJoined(spark: SparkSession, dir: String, delay: String,
-                                  windowUs: Long, joinType: String): DataFrame = {
+                                  windowUs: Long, joinType: String): DataFrame =
+    clickPurchaseJoinedRaw(spark, dir, delay, windowUs, joinType)
+      // coalesce: full-outer click-only rows carry a NULL p_user_id —
+      // for inner/left_outer the purchase side is never NULL, so this is
+      // the identity projection there
+      .select(coalesce(col("p_user_id"), col("user_id")).as("user_id"),
+        col("purch_id"), col("click_id"),
+        expr("unix_micros(purch_ts)").as("purch_us"),
+        expr("unix_micros(click_ts)").as("click_us"))
+
+  private def clickPurchaseJoinedRaw(spark: SparkSession, dir: String, delay: String,
+                                     windowUs: Long, joinType: String): DataFrame = {
     val (tsIsLong, _) = eventsTsProbe(spark, dir)
     def side(tpe: String, idAs: String, tsAs: String) = spark.readStream
       .schema(eventsRawSchema(tsIsLong))
@@ -901,9 +943,6 @@ object StreamingJobs {
       expr(s"""p_user_id = user_id
               |AND click_ts >= purch_ts - INTERVAL ${windowUs / 1000000} SECONDS
               |AND click_ts <= purch_ts""".stripMargin), joinType)
-      .select(col("p_user_id").as("user_id"), col("purch_id"), col("click_id"),
-        expr("unix_micros(purch_ts)").as("purch_us"),
-        expr("unix_micros(click_ts)").as("click_us"))
   }
 
   /** Batch twin of [[clickPurchaseJoinStream]] — same frames, same range
@@ -938,6 +977,43 @@ object StreamingJobs {
         col("click_us") <= col("purch_us"), "left_outer")
       .select(purchases("user_id"), col("purch_id"), col("click_id"),
         col("purch_us"), col("click_us"))
+  }
+
+  /** Batch twin of [[clickPurchaseFullOuterJoinStream]]: same key +
+    * range condition, FULL JOIN, user from whichever side is present. */
+  def batchClickPurchaseFullOuterPairs(events: org.apache.spark.sql.DataFrame,
+                                       windowUs: Long = 3600000000L): DataFrame = {
+    // explicit per-side user columns: coalescing attributes from a
+    // full-outer self-derived join trips DetectAmbiguousSelfJoin
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        expr("unix_micros(ts)").as("click_us"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purch_id"),
+        expr("unix_micros(ts)").as("purch_us"))
+    purchases.join(clicks,
+      col("p_user_id") === col("c_user_id") &&
+        col("click_us") >= col("purch_us") - windowUs &&
+        col("click_us") <= col("purch_us"), "full_outer")
+      .select(coalesce(col("p_user_id"), col("c_user_id")).as("user_id"),
+        col("purch_id"), col("click_id"), col("purch_us"), col("click_us"))
+  }
+
+  /** Batch twin of [[clickPurchaseSemiJoinStream]]: LEFT SEMI on the
+    * same key + range condition — purchase columns only, one row per
+    * attributed purchase. */
+  def batchClickPurchaseSemiPairs(events: org.apache.spark.sql.DataFrame,
+                                  windowUs: Long = 3600000000L): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("unix_micros(ts)").as("click_us"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purch_id"),
+        expr("unix_micros(ts)").as("purch_us"))
+    purchases.join(clicks,
+      purchases("user_id") === clicks("user_id") &&
+        col("click_us") >= col("purch_us") - windowUs &&
+        col("click_us") <= col("purch_us"), "left_semi")
+      .select(purchases("user_id"), col("purch_id"), col("purch_us"))
   }
 
   // --------------------------------- streaming last-touch attribution
