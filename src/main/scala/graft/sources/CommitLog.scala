@@ -56,9 +56,12 @@ object CommitLog {
 
   /** One commit's actions, already parsed. `txns` carries the
     * idempotent-writer watermarks recorded by [[appendIdempotent]]
-    * (Delta's txnAppId/txnVersion design, public). */
+    * (Delta's txnAppId/txnVersion design, public); `meta` the
+    * base64-encoded schema JSON recorded by [[evolveSchema]] (Delta's
+    * metaData action, public). */
   case class Commit(version: Long, adds: Vector[String], removes: Vector[String],
-                    txns: Vector[(String, Long)] = Vector.empty)
+                    txns: Vector[(String, Long)] = Vector.empty,
+                    meta: Option[String] = None)
 
   /** A serializable rewrite lost the race: someone committed
     * `actualLatest` ≥ the version this writer needed. */
@@ -71,25 +74,28 @@ object CommitLog {
   private val AddRe = """\{"add":"([^"]+)"\}""".r
   private val RemoveRe = """\{"remove":"([^"]+)"\}""".r
   private val TxnRe = """\{"txn":\{"app":"([^"]+)","version":(\d+)\}\}""".r
+  private val MetaRe = """\{"meta":\{"schemaB64":"([A-Za-z0-9+/=]+)"\}\}""".r
 
   /** Parse one commit line, FAILING LOUDLY on anything that matches
     * no action pattern — a malformed or future-extended line must
     * not yield a silently wrong snapshot (the commits() contract). Blank
     * trailing lines are tolerated (every writer ends the file with \n). */
   private def parseActions(lines: Iterable[String], where: Path)
-      : (Vector[String], Vector[String], Vector[(String, Long)]) = {
+      : (Vector[String], Vector[String], Vector[(String, Long)], Option[String]) = {
     val adds = Vector.newBuilder[String]
     val removes = Vector.newBuilder[String]
     val txns = Vector.newBuilder[(String, Long)]
+    var meta: Option[String] = None
     lines.foreach {
       case AddRe(f) => adds += f
       case RemoveRe(f) => removes += f
       case TxnRe(app, v) => txns += (app -> v.toLong)
+      case MetaRe(b64) => meta = Some(b64)
       case l if l.trim.isEmpty => ()
       case l => throw new IllegalStateException(
         s"unparseable action line in $where: '$l'")
     }
-    (adds.result(), removes.result(), txns.result())
+    (adds.result(), removes.result(), txns.result(), meta)
   }
 
   /** Data-file names are embedded in JSON string literals without
@@ -178,7 +184,7 @@ object CommitLog {
       case None => liveFilesFull(table, asOf)
       case Some(cp) =>
         val cpFile = checkpointFile(table, cp)
-        val (cpAdds, cpRemoves, _) =
+        val (cpAdds, cpRemoves, _, _) =
           parseActions(Files.readAllLines(cpFile).asScala, cpFile)
         require(cpRemoves.isEmpty, s"checkpoint $cpFile contains removes")
         val live = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -193,18 +199,82 @@ object CommitLog {
 
   private def commits0(table: String, v: Long): Commit = {
     val f = commitFile(table, v)
-    val (adds, removes, txns) = parseActions(Files.readAllLines(f).asScala, f)
-    Commit(v, adds, removes, txns)
+    val (adds, removes, txns, meta) = parseActions(Files.readAllLines(f).asScala, f)
+    Commit(v, adds, removes, txns, meta)
+  }
+
+  // ------------------------------------------------- schema evolution
+
+  /** SCHEMA EVOLUTION (round 13) — the ADD COLUMN half of Delta's
+    * metaData action, owned: commit the table's new schema as a
+    * metadata-only action (base64 of the Spark schema JSON, so the
+    * line-regex log format stays closed). Data files are untouched —
+    * files written BEFORE the evolution simply lack the new columns and
+    * read back as NULLs under the evolved schema, files written after
+    * carry them; a read AT an old version reconstructs THAT version's
+    * schema (schema changes are versioned like file changes, so old
+    * snapshots are bit-for-bit unchanged). Widening-only by contract
+    * (ADD COLUMN / relaxed nullability — the evolutions parquet can
+    * serve without rewriting data); a rename or drop needs copy-on-write
+    * ([[replaceFiles]]), same as Delta without column mapping. */
+  def evolveSchema(table: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   maxRetries: Int = 50): Long = {
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(schema.json.getBytes("UTF-8"))
+    var v = latestVersion(table) + 1
+    var tries = 0
+    while (!tryCommit(table, v, Nil, Nil, meta = Some(b64))) {
+      tries += 1
+      require(tries <= maxRetries,
+        s"evolveSchema lost $maxRetries commit races on $table")
+      v = math.max(v + 1, latestVersion(table) + 1)
+    }
+    v
+  }
+
+  /** The table's schema AS OF a version: the newest metadata action at
+    * or below it (backward scan, stops at the first hit — the
+    * [[txnLatest]] walk). None = no evolution ever committed; readers
+    * then take the parquet footers' word as before. */
+  def schemaAt(table: String, asOf: Long = -2L)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val vMax = if (asOf == -2L) latestVersion(table) else asOf
+    var v = vMax
+    while (v >= 0L) {
+      commits0(table, v).meta match {
+        case Some(b64) =>
+          val json = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+          return Some(org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        case None => v -= 1
+      }
+    }
+    None
   }
 
   /** Snapshot-isolated read. `asOf = None` pins the latest version AT
-    * CALL TIME — the returned frame never sees later commits. */
+    * CALL TIME — the returned frame never sees later commits. When the
+    * version has a committed schema ([[evolveSchema]]), the read is
+    * served under IT: pre-evolution files surface the added columns as
+    * NULLs, and a read at a pre-evolution version sees exactly the old
+    * schema. */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.getOrElse(latestVersion(table))
     require(v >= 0, s"commit-log table $table has no commits")
+    readAt(spark, table, v, schemaAt(table, v))
+  }
+
+  private def readAt(spark: SparkSession, table: String, v: Long,
+                     schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val files = liveFiles(table, v).map(f => Paths.get(table, f).toString)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    (files.isEmpty, schema) match {
+      case (true, Some(s)) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (true, None) => spark.emptyDataFrame
+      case (false, Some(s)) => spark.read.schema(s).parquet(files: _*)
+      case (false, None) => spark.read.parquet(files: _*)
+    }
   }
 
   /** Stage a frame's rows as immutable data files in the table directory
@@ -240,14 +310,18 @@ object CommitLog {
     * idempotent-writer watermark action alongside the file actions. */
   def tryCommit(table: String, version: Long,
                 adds: Seq[String], removes: Seq[String],
-                txn: Option[(String, Long)] = None): Boolean = {
+                txn: Option[(String, Long)] = None,
+                meta: Option[String] = None): Boolean = {
     (adds ++ removes).foreach(requireSafeName)
     txn.foreach { case (app, v) =>
       requireSafeName(app)
       require(v >= 0, s"txn version must be >= 0, got $v")
     }
+    meta.foreach(b64 => require(b64.matches("[A-Za-z0-9+/=]+"),
+      s"meta payload must be base64, got '${b64.take(40)}'"))
     Files.createDirectories(logDir(table))
-    val body = (txn.map { case (app, v) =>
+    val body = (meta.map(b64 => s"""{"meta":{"schemaB64":"$b64"}}""").toSeq ++
+      txn.map { case (app, v) =>
         s"""{"txn":{"app":"$app","version":$v}}""" }.toSeq ++
       removes.map(f => s"""{"remove":"$f"}""") ++
       adds.map(f => s"""{"add":"$f"}""")).mkString("", "\n", "\n")
@@ -476,17 +550,23 @@ object CommitLog {
   def tableChanges(spark: SparkSession, table: String, key: String): DataFrame = {
     val vMax = latestVersion(table)
     require(vMax >= 0, s"commit-log table $table has no commits")
-    def fingerprinted(v: Long): DataFrame = {
-      val df = read(spark, table, Some(v))
+    // each version-step compares BOTH snapshots under the NEWER step's
+    // schema: an ADD COLUMN evolution then changes no fingerprints (old
+    // rows read NULL in the new column on both sides), so a metadata-only
+    // commit emits zero change rows — the Delta CDF contract — while a
+    // later write that fills the column fingerprints as a real update
+    def fingerprinted(v: Long, sch: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      val df = readAt(spark, table, v, sch)
       val content = df.columns.filterNot(_ == key).sorted
         .map(c => col(c).cast("string"))
       df.select(col(key), xxhash64(content: _*).as("row_fp"))
     }
     (0L to vMax).map { v =>
-      val cur = fingerprinted(v).withColumnRenamed("row_fp", "cur_fp")
+      val sch = schemaAt(table, v)
+      val cur = fingerprinted(v, sch).withColumnRenamed("row_fp", "cur_fp")
       val prev =
         if (v == 0) cur.filter(lit(false)).select(col(key), col("cur_fp").as("prev_fp"))
-        else fingerprinted(v - 1).withColumnRenamed("row_fp", "prev_fp")
+        else fingerprinted(v - 1, sch).withColumnRenamed("row_fp", "prev_fp")
       cur.join(prev, Seq(key), "full_outer")
         .filter(col("cur_fp").isNull || col("prev_fp").isNull ||
           col("cur_fp") =!= col("prev_fp"))

@@ -476,4 +476,79 @@ class CommitLogSpec extends AnyFunSuite {
     val want = rows(VacuumPlan.vacuumPlanQ(Tables.documents(spark, sf)))
     assert(got == want, s"derived-feed vacuum plan diverges: $got vs $want")
   }
+
+  test("schema evolution: every version reads under ITS OWN schema; old snapshots unchanged") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v0
+    val evolved = CommitLog.read(spark, t).schema
+      .add("score", org.apache.spark.sql.types.LongType)
+    assert(CommitLog.evolveSchema(t, evolved) == 1L) // v1: metadata only
+    CommitLog.append(spark, t, Seq((3L, "c", 30L)).toDF("id", "s", "score")) // v2
+    // pre-evolution snapshot: exactly the old schema, old rows
+    val at0 = CommitLog.read(spark, t, Some(0L))
+    assert(at0.columns.toSeq == Seq("id", "s") && at0.count() == 2,
+      s"v0 changed under evolution: ${at0.columns.toSeq}")
+    assert(CommitLog.schemaAt(t, 0L).isEmpty, "schemaAt leaked past its version")
+    // the metadata-only version: new schema, SAME rows, NULL-filled column
+    val at1 = CommitLog.read(spark, t, Some(1L))
+    assert(at1.columns.toSeq == Seq("id", "s", "score") &&
+      at1.count() == 2 && at1.filter(col("score").isNull).count() == 2,
+      "evolution commit must change schema, not rows")
+    // head: old files surface NULLs, the new file carries the column
+    val head = CommitLog.read(spark, t)
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+    assert(head == Set(1L -> None, 2L -> None, 3L -> Some(30L)), s"head read: $head")
+    // a log checkpoint doesn't lose the schema (meta lives in commit
+    // files, which checkpointing never deletes)
+    CommitLog.checkpoint(t)
+    assert(CommitLog.read(spark, t).columns.toSeq == Seq("id", "s", "score"))
+    // old-schema writers keep working after the evolution: their files
+    // simply lack the column
+    CommitLog.append(spark, t, Seq((4L, "d")).toDF("id", "s"))
+    val after = CommitLog.read(spark, t).filter(col("id") === 4L).collect()(0)
+    assert(after.isNullAt(2), "old-schema append must read NULL in the new column")
+  }
+
+  test("CDF across an evolution: the metadata-only commit emits ZERO change rows; filling the column is an update") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0
+    CommitLog.evolveSchema(t,
+      CommitLog.read(spark, t).schema
+        .add("score", org.apache.spark.sql.types.LongType)) // v1
+    CommitLog.append(spark, t, Seq((2L, "b", 20L)).toDF("id", "s", "score")) // v2
+    // v3: copy-on-write fill of row 1's score — a REAL row change
+    val head = CommitLog.latestVersion(t)
+    val adds = CommitLog.stage(t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "score"))
+    assert(CommitLog.replaceFiles(t, head, CommitLog.liveFiles(t, head), adds).isRight)
+    val ch = CommitLog.tableChanges(spark, t, "id")
+      .select("version", "id", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(!ch.exists(_._1 == 1L),
+      s"ADD COLUMN emitted change rows: ${ch.filter(_._1 == 1L)}")
+    assert(ch.filter(_._1 == 2L) == Set((2L, 2L, "insert")), s"v2 changes: $ch")
+    assert(ch.filter(_._1 == 3L) == Set((3L, 1L, "update")),
+      s"filling the column must fingerprint as an update: $ch")
+  }
+
+  test("restore across an evolution: rows roll back, the evolved schema survives (log-level metadata)") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0
+    CommitLog.evolveSchema(t,
+      CommitLog.read(spark, t).schema
+        .add("score", org.apache.spark.sql.types.LongType)) // v1
+    CommitLog.append(spark, t, Seq((2L, "b", 20L)).toDF("id", "s", "score")) // v2
+    assert(CommitLog.restore(t, 0L).isRight) // v3: back to v0's files
+    val restored = CommitLog.read(spark, t)
+    assert(restored.columns.toSeq == Seq("id", "s", "score"),
+      "restore must not roll back the schema — evolution is log metadata, not file state")
+    val rows = restored.select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toSet
+    assert(rows == Set(1L -> true), s"restored rows: $rows")
+    // and the bad versions stay time-travelable under their own schemas
+    assert(CommitLog.read(spark, t, Some(2L)).count() == 2)
+    assert(CommitLog.read(spark, t, Some(0L)).columns.toSeq == Seq("id", "s"))
+  }
 }
