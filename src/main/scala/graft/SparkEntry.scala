@@ -325,6 +325,8 @@ object SparkEntry {
     "change_point" -> ((s, d) => ChangePoint.changePointQ(Tables.events(s, d))),
     "change_point_2" -> ((s, d) => ChangePoint.changePoint2Q(Tables.events(s, d))),
     "change_point_k" -> ((s, d) => ChangePoint.changePointKQ(Tables.events(s, d))),
+    "acf_daily" -> ((s, d) => Acf.acfDailyQ(Tables.events(s, d))),
+    "event_gaps" -> ((s, d) => EventGaps.eventGapsQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // …and its business twin: last-touch conversion attribution (LOCF
     // carries the touch TYPE; explicit _none channel for cold purchases)
@@ -852,6 +854,8 @@ object SparkEntry {
     "change_point" -> ChangePoint.changePointSql,
     "change_point_2" -> ChangePoint.changePoint2Sql,
     "change_point_k" -> ChangePoint.changePointKSql,
+    "acf_daily" -> Acf.acfDailySql,
+    "event_gaps" -> EventGaps.eventGapsSql,
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
     "q4_late_exists" -> LateExists.q4LateExistsSql,
     "equidepth_hist" -> EquidepthHist.equidepthHistSql,

@@ -144,6 +144,14 @@ class EmptyInputSpec extends AnyFunSuite {
       "pair_index_delta" -> Dedup.pairIndexDelta(d),
       "l_diversity_audit" -> LDiversity.lDiversityAudit(d),
       "t_closeness_audit" -> TCloseness.tClosenessAudit(d),
+      "acf_daily" -> Acf.acfDaily(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
+      "event_gaps" -> EventGaps.eventGaps(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
       "change_point_k" -> ChangePoint.changePointK(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
