@@ -151,6 +151,11 @@ object StressCuration {
       }
       time(s"source_divergence_$tag") { SourceDivergence.sourceDivergence(docs) }
       time(s"topic_classify_$tag") { TopicClassify.topicClassify(docs) }
+      // round 13: the privacy trio's distribution member — the topic
+      // pass dominates; census + EMD run on |classes|·m rows
+      time(s"t_closeness_$tag") {
+        graft.operators.TCloseness.tClosenessAudit(docs)
+      }
       time(s"quality_ensemble_$tag") { QualityEnsemble.qualityEnsemble(docs) }
       time(s"sample_quota_$tag") { SampleQuota.sampleQuota(docs) }
       time(s"cdc_apply_$tag") { Cdc.cdcApply(docs, Cdc.changeBatch(docs)) }

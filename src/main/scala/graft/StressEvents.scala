@@ -24,7 +24,12 @@ object StressEvents {
     "rolling_active_users", "event_transitions", "twap", "interval_join",
     "session_concurrency", "growth_accounting", "event_dedup_report",
     "attribution_lasttouch", "attribution_positional", "rate_spike",
-    "event_outlier_mad", "late_arrival_audit", "concentration_report")
+    "event_outlier_mad", "late_arrival_audit", "concentration_report",
+    // round 13: the series-diagnostics additions — change-point family
+    // (one shared daily agg each), ACF (7 leads on one exchange), and
+    // the hourly coverage-gap audit
+    "change_point", "change_point_2", "change_point_k",
+    "acf_daily", "event_gaps")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
