@@ -132,6 +132,8 @@ object SparkEntry {
     "rollup_agg" -> ((s, d) => Relational.rollupAgg(Tables.lineitem(s, d))),
     // …and the full 2^3 CUBE sibling: one scan → Expand(8) → one agg
     "cube_agg" -> ((s, d) => CubeAgg.cubeAggQ(Tables.lineitem(s, d))),
+    "grouping_sets_agg" -> ((s, d) => GroupingSetsAgg.groupingSetsAggQ(Tables.lineitem(s, d))),
+    "partition_plan" -> ((s, d) => PartitionPlan.partitionPlanQ(Tables.documents(s, d))),
     // round 8 (continuation 4): TPC-H Q4 shape — correlated cross-table
     // EXISTS decorrelated to a hash semi join with a residual date compare
     "q4_late_exists" -> ((s, d) =>
@@ -200,6 +202,7 @@ object SparkEntry {
     // distribution (report + plan in one frame, salting_plan pattern)
     "prefix_band_plan" -> ((s, d) => BandPlan.prefixBandPlanQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
+    "knn_mutual" -> ((s, d) => KnnMutual.knnMutualQ(Tables.embeddings(s, d))),
     // round 10: top principal axis via integer power iteration — the
     // iterative fixed point over vectors (pagerank's dims-for-nodes twin)
     "embedding_principal" -> ((s, d) =>
@@ -662,6 +665,8 @@ object SparkEntry {
     "window_topk_per_group" -> Relational.windowTopKPerGroupSql,
     "rollup_agg" -> Relational.rollupAggSql,
     "cube_agg" -> CubeAgg.cubeAggSql,
+    "grouping_sets_agg" -> GroupingSetsAgg.groupingSetsAggSql,
+    "partition_plan" -> PartitionPlan.partitionPlanSql,
     "semi_anti_join" -> Relational.semiAntiJoinSql,
     "incremental_new_keys" -> Relational.incrementalNewKeysSql,
     "json_extract" -> Relational.jsonExtractSql,
@@ -692,6 +697,7 @@ object SparkEntry {
     "dedup_prefix" -> Dedup.ngramJaccardSql,
     "prefix_band_plan" -> BandPlan.prefixBandPlanSql,
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
+    "knn_mutual" -> KnnMutual.knnMutualSql,
     "embedding_principal" -> EmbeddingPrincipal.embeddingPrincipalSql,
     "hard_negative_mine" -> HardNegative.hardNegativesSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,

@@ -144,6 +144,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "pair_index_delta" -> Dedup.pairIndexDelta(d),
       "l_diversity_audit" -> LDiversity.lDiversityAudit(d),
       "t_closeness_audit" -> TCloseness.tClosenessAudit(d),
+      "partition_plan" -> PartitionPlan.partitionPlan(d),
       "acf_daily" -> Acf.acfDaily(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
@@ -271,6 +272,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "q15_top_supplier" -> TopSupplier.topSupplier(emptyLineitem,
         Tables.supplier(spark, sf)),
       "cube_agg" -> CubeAgg.cubeAgg(emptyLineitem),
+      "grouping_sets_agg" -> GroupingSetsAgg.groupingSetsAgg(emptyLineitem),
       "q18_large_orders" -> LargeOrders.q18LargeOrders(emptyLineitem,
         emptyOrders, Tables.customer(spark, sf)),
       "salting_plan" -> SaltingPlan.saltingPlan(emptyLineitem,
@@ -287,6 +289,7 @@ class EmptyInputSpec extends AnyFunSuite {
     val e = emptyEmb
     val ops: Seq[(String, DataFrame)] = Seq(
       "knn_cosine_brute" -> Similarity.knnCosineBrute(e),
+      "knn_mutual" -> KnnMutual.knnMutual(e),
       "embedding_dedup" -> Similarity.embeddingDedup(e),
       "embedding_dedup_incremental" -> Similarity.embeddingDedupIncremental(e),
       "embedding_cluster" -> Similarity.embeddingClusters(e),

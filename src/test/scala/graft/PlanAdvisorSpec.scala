@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GroupingSetsAgg, KnnMutual, PartitionPlan}
+
+/** Round-13 trio: GROUPING SETS semantics + single-scan plan, the
+  * partition-column advisor's two penalty arms (hand-computed), and
+  * mutual-kNN's hub filter. */
+class PlanAdvisorSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("grouping sets: three set granularities from ONE Expand over one scan") {
+    val li = Tables.lineitem(spark, sf)
+    val got = GroupingSetsAgg.groupingSetsAggQ(li)
+    val gids = got.select("gid").distinct().collect().map(_.getLong(0)).toSet
+    // masks over (flag, status, yr): (flag,status)→001=1, (flag)→011=3, (yr)→110=6
+    assert(gids == Set(1L, 3L, 6L), s"gid masks: $gids")
+    // each set's total mass equals the table's (every row lands once per set)
+    val massBySet = got.groupBy("gid").agg(sum("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = li.count()
+    assert(massBySet.values.forall(_ == total), s"set masses: $massBySet vs $total")
+    // ONE scan, ONE Expand — not three aggregates unioned
+    val plan = got.queryExecution.executedPlan.toString
+    assert("(?s)Expand".r.findAllIn(plan).size == 1, "expected exactly one Expand")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "expected one scan")
+  }
+
+  private def docs(rows: (String, String, Long)*) =
+    rows.zipWithIndex.map { case ((lang, src, n), i) => (i.toLong, lang, src, n) }
+      .toDF("doc_id", "lang", "source", "n_chars")
+
+  test("partition advisor: hot-partition arm vs small-files arm, hand-computed") {
+    // lang: all 'en' → 1 partition, max_share 10⁶, no small → cost 10⁶.
+    // source: s0 carries 37 docs, s1..s8 one each (100 chars/doc) →
+    // 9 partitions, max_share = 37·10⁶ div 45 = 822222; each 1-doc
+    // partition: 100·4·9 = 3600 < 4500 total → 8 small, small_share =
+    // 8·10⁶ div 9 = 888888 → cost 1711110. The balanced-but-single
+    // partitioning BEATS the skewed-and-fragmented one; bucket (all
+    // docs 100 chars → one 128 bucket) ties lang's cost at 10⁶ and
+    // lang_source mirrors source.
+    val d = docs(
+      (Seq.fill(37)(("en", "s0", 100L)) ++
+        (1 to 8).map(i => ("en", s"s$i", 100L))): _*)
+    val got = PartitionPlan.partitionPlan(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(got("lang") == ((1L, 1000000L, 0L, 0L, 1000000L, 1L)),
+      s"lang arm: ${got("lang")}")
+    assert(got("source") == ((9L, 822222L, 8L, 888888L, 1711110L, 0L)),
+      s"source arm: ${got("source")}")
+    val rec = got.filter(_._2._6 == 1L).keySet
+    // lang and len_bucket tie at 10⁶ with 1 partition each → name ASC
+    assert(rec == Set("lang"), s"recommended: $rec")
+  }
+
+  test("mutual kNN: the hub filter — a reciprocated pair survives, a one-way fan does not") {
+    // 2-D integer vectors, k=1: y and z both point AT x (their top-1),
+    // but x's top-1 is y alone (cos ties broken by id) — so only (x, y)
+    // is mutual; z's edge is one-way and must be filtered.
+    val e = Seq(
+      (1L, Seq(10f, 0f), "x"), (2L, Seq(10f, 1f), "y"), (3L, Seq(10f, -1f), "z"))
+      .toDF("vec_id", "embedding", "label")
+    val got = KnnMutual.knnMutual(e, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 2L, 1L, 1L)), s"mutual pairs: $got")
+    // k=2 widens x's list to include z → (x, z) becomes mutual too,
+    // with the asymmetry carried as data (rank12=2, rank21=1)
+    val got2 = KnnMutual.knnMutual(e, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got2.contains((1L, 3L, 2L, 1L)) && got2.contains((1L, 2L, 1L, 1L)),
+      s"k=2 mutual pairs: $got2")
+  }
+}
