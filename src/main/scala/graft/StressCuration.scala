@@ -156,6 +156,10 @@ object StressCuration {
       time(s"t_closeness_$tag") {
         graft.operators.TCloseness.tClosenessAudit(docs)
       }
+      // round 13: the partition advisor — one GROUPING SETS Expand pass
+      time(s"partition_plan_$tag") {
+        graft.operators.PartitionPlan.partitionPlan(docs)
+      }
       time(s"quality_ensemble_$tag") { QualityEnsemble.qualityEnsemble(docs) }
       time(s"sample_quota_$tag") { SampleQuota.sampleQuota(docs) }
       time(s"cdc_apply_$tag") { Cdc.cdcApply(docs, Cdc.changeBatch(docs)) }

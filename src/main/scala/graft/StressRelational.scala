@@ -36,7 +36,8 @@ object StressRelational {
     "q1_agg", "q3_topk", "q4_late_exists", "q5_multijoin", "q7_trade_volume",
     "q10_returned_topk", "q14_promo_share", "q15_top_supplier",
     "q17_avg_filter", "q18_large_orders", "q19_disjunctive",
-    "window_topk_per_group", "rollup_agg", "cube_agg", "semi_anti_join",
+    "window_topk_per_group", "rollup_agg", "cube_agg", "grouping_sets_agg",
+    "semi_anti_join",
     "incremental_new_keys", "equidepth_hist", "rfm_segment",
     // round 10 (closing session): the set-completing classics + the
     // join-size sketch (map-side sample kill before two count exchanges)
