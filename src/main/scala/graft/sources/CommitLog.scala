@@ -538,6 +538,49 @@ object CommitLog {
     res
   }
 
+  /** INCREMENTAL (streaming-source) read: the rows the commits in
+    * `(fromVersion, toVersion]` APPENDED — the Delta streaming-source
+    * contract (round 13): a consumer holds a version CURSOR, reads
+    * everything new since it, advances the cursor to the returned
+    * version, repeats; each appended row is delivered exactly once
+    * across such reads (spec-pinned), and together with
+    * [[appendIdempotent]] on the write side the owned format closes the
+    * exactly-once loop in BOTH directions. Append-only by contract,
+    * exactly like Delta's source without ignoreChanges: a commit in the
+    * range that REMOVES files (compaction, restore, copy-on-write)
+    * fails loudly — silently re-emitting compacted rows would break the
+    * exactly-once promise, and silently skipping them would break
+    * completeness. Metadata-only commits (schema evolution) emit
+    * nothing; the batch is served under the schema AS OF `toVersion`,
+    * so pre-evolution appends read NULLs in added columns exactly as
+    * snapshot reads do.
+    *
+    * Returns (batch, newCursor). `fromVersion = -1` reads from genesis. */
+  def readIncremental(spark: SparkSession, table: String,
+                      fromVersion: Long,
+                      toVersion: Long = -2L): (DataFrame, Long) = {
+    val head = if (toVersion == -2L) latestVersion(table) else toVersion
+    require(head >= fromVersion,
+      s"cursor $fromVersion is ahead of version $head on $table")
+    val adds = ((fromVersion + 1) to head).flatMap { v =>
+      val c = commits0(table, v)
+      require(c.removes.isEmpty,
+        s"non-append commit $v on $table (removes ${c.removes.size} files) — " +
+          "the incremental source is append-only by contract")
+      c.adds
+    }
+    val schema = schemaAt(table, head)
+    val files = adds.map(f => Paths.get(table, f).toString)
+    val df = (files.isEmpty, schema) match {
+      case (true, Some(s)) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (true, None) => spark.emptyDataFrame
+      case (false, Some(s)) => spark.read.schema(s).parquet(files: _*)
+      case (false, None) => spark.read.parquet(files: _*)
+    }
+    (df, head)
+  }
+
   /** Row-level change feed DERIVED from consecutive snapshots (the CDF
     * read). The minimal format stores only file actions, so changes are
     * reconstructed with one full-outer key join per version step —

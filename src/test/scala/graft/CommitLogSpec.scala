@@ -477,6 +477,51 @@ class CommitLogSpec extends AnyFunSuite {
     assert(got == want, s"derived-feed vacuum plan diverges: $got vs $want")
   }
 
+  test("incremental source: each appended row delivered EXACTLY ONCE across cursor reads") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v0
+    val (b1, c1) = CommitLog.readIncremental(spark, t, fromVersion = -1L)
+    assert(c1 == 0L && b1.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s")) // v1
+    CommitLog.append(spark, t, Seq((4L, "d")).toDF("id", "s")) // v2
+    val (b2, c2) = CommitLog.readIncremental(spark, t, c1)
+    assert(c2 == 2L && b2.select("id").as[Long].collect().toSet == Set(3L, 4L),
+      "second pull must deliver exactly the two new commits' rows")
+    // caught-up cursor: empty batch, cursor unchanged
+    val (b3, c3) = CommitLog.readIncremental(spark, t, c2)
+    assert(c3 == 2L && b3.count() == 0, "caught-up pull must be empty")
+    // the pulls partition the table: union == snapshot, no overlap
+    assert(b1.unionAll(b2).count() == CommitLog.read(spark, t).count())
+  }
+
+  test("incremental source: a rewrite inside the range fails loudly (append-only contract)") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0
+    CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s")) // v1
+    assert(CommitLog.compact(spark, t).isRight) // v2: removes files
+    // a range that stops BEFORE the compaction still serves
+    assert(CommitLog.readIncremental(spark, t, -1L, toVersion = 1L)
+      ._1.count() == 2)
+    // a range crossing it must throw, not silently re-emit or skip
+    val e = intercept[IllegalArgumentException] {
+      CommitLog.readIncremental(spark, t, 1L)
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+  }
+
+  test("incremental source across a schema evolution: metadata emits nothing, batch reads under the new schema") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0
+    CommitLog.evolveSchema(t, CommitLog.read(spark, t).schema
+      .add("score", org.apache.spark.sql.types.LongType)) // v1
+    CommitLog.append(spark, t, Seq((2L, "b", 20L)).toDF("id", "s", "score")) // v2
+    val (b, c) = CommitLog.readIncremental(spark, t, -1L)
+    assert(c == 2L && b.columns.toSeq == Seq("id", "s", "score"))
+    val rows = b.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows == Set(1L -> None, 2L -> Some(20L)), s"evolved batch: $rows")
+  }
+
   test("schema evolution: every version reads under ITS OWN schema; old snapshots unchanged") {
     val t = tmpTable()
     CommitLog.append(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "s")) // v0
