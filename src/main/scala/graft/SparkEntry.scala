@@ -134,6 +134,7 @@ object SparkEntry {
     "cube_agg" -> ((s, d) => CubeAgg.cubeAggQ(Tables.lineitem(s, d))),
     "grouping_sets_agg" -> ((s, d) => GroupingSetsAgg.groupingSetsAggQ(Tables.lineitem(s, d))),
     "partition_plan" -> ((s, d) => PartitionPlan.partitionPlanQ(Tables.documents(s, d))),
+    "zipf_check" -> ((s, d) => ZipfCheck.zipfCheckQ(Tables.documents(s, d))),
     // round 8 (continuation 4): TPC-H Q4 shape — correlated cross-table
     // EXISTS decorrelated to a hash semi join with a residual date compare
     "q4_late_exists" -> ((s, d) =>
@@ -329,6 +330,7 @@ object SparkEntry {
     "change_point_2" -> ((s, d) => ChangePoint.changePoint2Q(Tables.events(s, d))),
     "change_point_k" -> ((s, d) => ChangePoint.changePointKQ(Tables.events(s, d))),
     "acf_daily" -> ((s, d) => Acf.acfDailyQ(Tables.events(s, d))),
+    "event_burstiness" -> ((s, d) => Burstiness.eventBurstinessQ(Tables.events(s, d))),
     "event_gaps" -> ((s, d) => EventGaps.eventGapsQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // …and its business twin: last-touch conversion attribution (LOCF
@@ -667,6 +669,7 @@ object SparkEntry {
     "cube_agg" -> CubeAgg.cubeAggSql,
     "grouping_sets_agg" -> GroupingSetsAgg.groupingSetsAggSql,
     "partition_plan" -> PartitionPlan.partitionPlanSql,
+    "zipf_check" -> ZipfCheck.zipfCheckSql,
     "semi_anti_join" -> Relational.semiAntiJoinSql,
     "incremental_new_keys" -> Relational.incrementalNewKeysSql,
     "json_extract" -> Relational.jsonExtractSql,
@@ -861,6 +864,7 @@ object SparkEntry {
     "change_point_2" -> ChangePoint.changePoint2Sql,
     "change_point_k" -> ChangePoint.changePointKSql,
     "acf_daily" -> Acf.acfDailySql,
+    "event_burstiness" -> Burstiness.eventBurstinessSql,
     "event_gaps" -> EventGaps.eventGapsSql,
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
     "q4_late_exists" -> LateExists.q4LateExistsSql,

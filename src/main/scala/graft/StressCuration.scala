@@ -160,6 +160,10 @@ object StressCuration {
       time(s"partition_plan_$tag") {
         graft.operators.PartitionPlan.partitionPlan(docs)
       }
+      // round 13: rank-frequency probe — one unigram count + vocab window
+      time(s"zipf_check_$tag") {
+        graft.operators.ZipfCheck.zipfCheck(docs)
+      }
       time(s"quality_ensemble_$tag") { QualityEnsemble.qualityEnsemble(docs) }
       time(s"sample_quota_$tag") { SampleQuota.sampleQuota(docs) }
       time(s"cdc_apply_$tag") { Cdc.cdcApply(docs, Cdc.changeBatch(docs)) }

@@ -145,7 +145,12 @@ class EmptyInputSpec extends AnyFunSuite {
       "l_diversity_audit" -> LDiversity.lDiversityAudit(d),
       "t_closeness_audit" -> TCloseness.tClosenessAudit(d),
       "partition_plan" -> PartitionPlan.partitionPlan(d),
+      "zipf_check" -> ZipfCheck.zipfCheck(d),
       "acf_daily" -> Acf.acfDaily(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
+      "event_burstiness" -> Burstiness.eventBurstiness(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
             StructField("ts", TimestampType))))),
