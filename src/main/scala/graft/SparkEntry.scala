@@ -556,6 +556,10 @@ object SparkEntry {
     // derived from the LOG's action shapes, row counts from pruned reads
     "commitlog_history" -> ((s, d) =>
       CommitLogRead.commitLogHistoryQ(Tables.documents(s, d))),
+    // round 13: the incremental SOURCE + schema evolution in the gate —
+    // exactly-once cursor pulls across an ADD COLUMN, old+new writers
+    "commitlog_incremental" -> ((s, d) =>
+      CommitLogRead.commitLogIncrementalQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -828,6 +832,7 @@ object SparkEntry {
     "scd2_build" -> Cdc.scd2BuildSql,
     "commitlog_read_at" -> CommitLogRead.commitLogReadSql,
     "commitlog_history" -> CommitLogRead.commitLogHistorySql,
+    "commitlog_incremental" -> CommitLogRead.commitLogIncrementalSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

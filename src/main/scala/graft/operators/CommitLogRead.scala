@@ -102,6 +102,65 @@ object CommitLogRead {
       .orderBy("version")
   }
 
+  /** The round-13 protocol additions IN the driver gate (the read-at
+    * precedent): the INCREMENTAL SOURCE's exactly-once cursor pulls,
+    * ACROSS a schema evolution, with both new- and old-schema writers.
+    * Script (all deterministic functions of doc_id):
+    *  - v0 APPEND thirds-0 (pre-evolution schema)
+    *  - PULL 1 (cursor −1 → 0): must deliver exactly thirds-0
+    *  - v1 EVOLVE  + `score` BIGINT (metadata-only — emits nothing)
+    *  - v2 APPEND thirds-1 with score = 2·n_chars (new-schema writer)
+    *  - v3 APPEND thirds-2 WITHOUT score (old-schema writer)
+    *  - PULL 2 (cursor 0 → 3): must deliver thirds-1 ∪ thirds-2 — and
+    *    ONLY them (exactly-once vs pull 1) — under the evolved schema
+    *    (thirds-2 reads NULL in the added column)
+    * The oracle derives both pulls directly from `documents`, so
+    * exactly-once partitioning, metadata-quiet evolution, and the
+    * old-writer NULL fill are DuckDB-checked row-for-row. Pull 1 runs
+    * BEFORE the evolution exists anywhere, so its frame carries the
+    * old schema; the emitted row normalizes with a NULL score column
+    * (the consumer-side union convention). */
+  def commitLogIncrementalQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_inc").resolve("t").toString
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 0)) // v0
+    val (b1, c1) = CommitLog.readIncremental(spark, table, -1L)
+    val pull1 = (if (b1.columns.isEmpty) base.limit(0) else b1)
+      .select(lit(1L).as("pull_id"), col("doc_id"), col("source"),
+        col("n_chars"), lit(null).cast("long").as("score"))
+    val evolved = org.apache.spark.sql.types.StructType(
+      base.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "score", org.apache.spark.sql.types.LongType))
+    CommitLog.evolveSchema(table, evolved) // v1
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 1)
+      .withColumn("score", col("n_chars") * 2)) // v2
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 2)) // v3
+    val (b2, _) = CommitLog.readIncremental(spark, table, c1)
+    val pull2 = b2.select(lit(2L).as("pull_id"), col("doc_id"), col("source"),
+      col("n_chars"), col("score"))
+    pull1.unionByName(pull2).orderBy("pull_id", "doc_id")
+  }
+
+  /** Oracle: both pulls derived directly from `documents` — pull 1 =
+    * thirds-0 (no score yet), pull 2 = thirds-1 with the written score
+    * ∪ thirds-2 with the old-writer NULL. */
+  val commitLogIncrementalSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |)
+      |SELECT CAST(1 AS BIGINT) AS pull_id, doc_id, source, n_chars,
+      |       CAST(NULL AS BIGINT) AS score
+      |FROM base WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), doc_id, source, n_chars,
+      |       CAST(n_chars * 2 AS BIGINT)
+      |FROM base WHERE doc_id % 3 = 1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), doc_id, source, n_chars, CAST(NULL AS BIGINT)
+      |FROM base WHERE doc_id % 3 = 2
+      |ORDER BY pull_id, doc_id""".stripMargin
+
   /** The same six versioned row sets derived directly from `documents`:
     * v0 = thirds-0; v1 = thirds-0∪1; v2 = v1 minus even ids; v3 = v2 plus
     * thirds-2; v4 = restore(v1) = v1; v5 = compaction of v4 = v1. */
