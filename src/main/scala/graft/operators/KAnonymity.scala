@@ -28,7 +28,7 @@ object KAnonymity {
   /** Power-of-two length bucket, CASE bounds (shared text rule); shared
     * with [[LDiversity]] so both audits census the SAME quasi-id
     * classes. */
-  private[operators] val BucketExpr =
+  private[graft] val BucketExpr =
     """CASE WHEN n_chars < 64 THEN 64
       |     WHEN n_chars < 128 THEN 128
       |     WHEN n_chars < 256 THEN 256

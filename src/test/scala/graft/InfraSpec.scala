@@ -375,6 +375,37 @@ class InfraSpec extends AnyFunSuite {
     assert(auto == constant, s"auto hybrid diverges: ${auto.size} vs ${constant.size}")
   }
 
+  test("planned partitioning closes the loop: write partitionBy the advisor's recommendation, pruned read-back") {
+    import graft.operators.{KAnonymity, PartitionPlan}
+    val docs = Tables.documents(spark, sf)
+    // report → dial: the recommendation comes OFF the plan frame (the
+    // candidate name is the contract), not from re-derivation
+    val rec = PartitionPlan.partitionPlan(docs)
+      .filter(col("recommended") === 1).select("candidate")
+      .collect()(0).getString(0)
+    val partCols = rec match {
+      case "lang" => Seq("lang")
+      case "source" => Seq("source")
+      case "lang_source" => Seq("lang", "source")
+      case "len_bucket" => Seq("len_bucket")
+    }
+    // dial → mechanism: materialize the derived bucket column (a real
+    // deployment writes it as a generated column), write partitioned by
+    // the recommendation, and prove partition pruning applies
+    val out = Files.createTempDirectory("graft-part-plan").toString
+    val withBucket = docs.withColumn("len_bucket", expr(KAnonymity.BucketExpr))
+    withBucket.write.mode("overwrite").partitionBy(partCols: _*).parquet(out)
+    val probe = withBucket.select(partCols.map(col): _*).first()
+    val filt = partCols.zipWithIndex
+      .map { case (c, i) => col(c) === lit(probe.get(i)) }
+      .reduce(_ && _)
+    val back = spark.read.parquet(out).filter(filt)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      partCols.exists(plan.contains), s"no partition pruning:\n$plan")
+    assert(back.count() == withBucket.filter(filt).count() && back.count() > 0)
+  }
+
   test("planned salt closes the loop: q3/q5 fact join through saltingPlan's frame, row-identical at heavy skew") {
     import graft.operators.{SaltingPlan, Skew}
     // skew one REAL orderkey ~100×: replicate its lineitem rows (replicas
