@@ -204,6 +204,7 @@ object SparkEntry {
     "prefix_band_plan" -> ((s, d) => BandPlan.prefixBandPlanQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
     "knn_mutual" -> ((s, d) => KnnMutual.knnMutualQ(Tables.embeddings(s, d))),
+    "knn_mutual_clusters" -> ((s, d) => KnnMutual.knnMutualClustersQ(Tables.embeddings(s, d))),
     // round 10: top principal axis via integer power iteration — the
     // iterative fixed point over vectors (pagerank's dims-for-nodes twin)
     "embedding_principal" -> ((s, d) =>
@@ -705,6 +706,7 @@ object SparkEntry {
     "prefix_band_plan" -> BandPlan.prefixBandPlanSql,
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
     "knn_mutual" -> KnnMutual.knnMutualSql,
+    "knn_mutual_clusters" -> KnnMutual.knnMutualClustersSql,
     "embedding_principal" -> EmbeddingPrincipal.embeddingPrincipalSql,
     "hard_negative_mine" -> HardNegative.hardNegativesSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,

@@ -62,8 +62,10 @@ object KnnMutual {
       .select(col("id1"), col("id2"), col("rank12"), col("rank21"), r("cos", 4))
       .orderBy("id1", "id2")
 
-  val knnMutualSql: String =
-    s"""${Similarity.VecCte}, scored AS (
+  /** Chain ending at `topk(src, dst, cos, rank)` — the per-direction
+    * top-k lists; composed by [[knnMutualSql]] and the cluster oracle. */
+  private lazy val topkChainBody: String =
+    s"""scored AS (
        |  SELECT a.vec_id AS src, q.vec_id AS dst,
        |         ${Similarity.DotSqlF} / (a.norm * q.norm) AS cos
        |  FROM n a JOIN n q ON a.vec_id <> q.vec_id
@@ -73,11 +75,60 @@ object KnnMutual {
        |  FROM scored
        |), topk AS (
        |  SELECT * FROM ranked WHERE rank <= $K
-       |)
+       |)""".stripMargin
+
+  val knnMutualSql: String =
+    s"""${Similarity.VecCte}, $topkChainBody
        |SELECT f.src AS id1, f.dst AS id2,
        |       f.rank AS rank12, g.rank AS rank21,
        |       ${rsql("f.cos", 4, "cos")}
        |FROM topk f JOIN topk g ON f.src = g.dst AND f.dst = g.src
        |WHERE f.src < f.dst
        |ORDER BY id1, id2""".stripMargin
+
+  /** CONNECTED COMPONENTS over the mutual-kNN graph (round 13) — the
+    * classic density-adaptive clustering the mutual filter exists for
+    * (Brito et al. 1997): unlike [[Similarity.embeddingClusters]]'
+    * global cosine threshold, the mutual graph adapts to LOCAL density
+    * (a sparse region's reciprocal neighbors cluster at cosines a dense
+    * region would reject), and the hub filter keeps centroids from
+    * welding unrelated clusters into one giant component. Same
+    * pointer-jumping CC machinery ([[Dedup.propagateMinLabels]],
+    * O(log d) rounds, per-round checkpoint), same recursive-closure
+    * oracle technique; min-id labels, `is_canonical` convention. */
+  def knnMutualClusters(embeddings: DataFrame, k: Int = K,
+                        maxIters: Int = 20): DataFrame = {
+    val pairs = knnMutual(embeddings, k)
+      .select(col("id1"), col("id2")).localCheckpoint()
+    val edges = pairs
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    val vertices = embeddings.select(col("vec_id").as("doc_id"))
+    val (labels, _) = Dedup.propagateMinLabels(vertices, edges, maxIters)
+    labels
+      .select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+  }
+
+  def knnMutualClustersQ(embeddings: DataFrame): DataFrame =
+    knnMutualClusters(embeddings).orderBy("vec_id")
+
+  val knnMutualClustersSql: String =
+    s"""WITH RECURSIVE ${Similarity.VecCteBody}, $topkChainBody, mpairs AS (
+       |  SELECT f.src AS id1, f.dst AS id2
+       |  FROM topk f JOIN topk g ON f.src = g.dst AND f.dst = g.src
+       |  WHERE f.src < f.dst
+       |), edges AS (
+       |  SELECT id1 AS u, id2 AS v FROM mpairs
+       |  UNION ALL
+       |  SELECT id2 AS u, id1 AS v FROM mpairs
+       |), reach AS (
+       |  SELECT vec_id AS doc, vec_id AS r FROM embeddings
+       |  UNION
+       |  SELECT e.u AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.v
+       |), cc AS (
+       |  SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc
+       |)
+       |SELECT em.vec_id, cc.cluster_id, em.vec_id = cc.cluster_id AS is_canonical
+       |FROM embeddings em JOIN cc ON cc.doc = em.vec_id
+       |ORDER BY em.vec_id""".stripMargin
 }

@@ -93,7 +93,7 @@ object Similarity {
     * Spark aggregate's 0.0 + x1 + x2 + … order; 0.0 + x1 == x1 exactly).
     * Split body/prefix so [[embeddingClustersSql]] can open the same chain
     * with `WITH RECURSIVE`. */
-  private val VecCteBody =
+  private[operators] val VecCteBody =
     """e AS (
       |  SELECT vec_id, label,
       |         [CAST(x AS DOUBLE) for x in embedding] AS vd

@@ -295,6 +295,7 @@ class EmptyInputSpec extends AnyFunSuite {
     val ops: Seq[(String, DataFrame)] = Seq(
       "knn_cosine_brute" -> Similarity.knnCosineBrute(e),
       "knn_mutual" -> KnnMutual.knnMutual(e),
+      "knn_mutual_clusters" -> KnnMutual.knnMutualClusters(e),
       "embedding_dedup" -> Similarity.embeddingDedup(e),
       "embedding_dedup_incremental" -> Similarity.embeddingDedupIncremental(e),
       "embedding_cluster" -> Similarity.embeddingClusters(e),

@@ -57,6 +57,27 @@ class PlanAdvisorSpec extends AnyFunSuite {
     assert(rec == Set("lang"), s"recommended: $rec")
   }
 
+  test("mutual-kNN clusters: a midpoint hub welds threshold-CC into one blob but stays a SINGLETON under mutual-CC") {
+    import graft.operators.Similarity
+    // two tight pairs on the axes + a hub at the diagonal midpoint:
+    // cos within a pair ≈ 0.99995, hub-to-anything ≈ 0.71, cross-pair 0.
+    // Threshold CC at τ=0.4 welds ALL FIVE through the hub; mutual CC at
+    // k=1 keeps the pairs (each is the other's top-1) and the hub alone
+    // (its top-1's own top-1 is the pair partner — no reciprocation).
+    val e = Seq(
+      (1L, Seq(100f, 0f), "a1"), (2L, Seq(100f, 1f), "a2"),
+      (3L, Seq(0f, 100f), "b1"), (4L, Seq(1f, 100f), "b2"),
+      (5L, Seq(70f, 70f), "h"))
+      .toDF("vec_id", "embedding", "label")
+    val mutual = KnnMutual.knnMutualClusters(e, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mutual == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L),
+      s"mutual clusters: $mutual")
+    val welded = Similarity.embeddingClusters(e).collect()
+      .map(_.getLong(1)).toSet
+    assert(welded == Set(1L), s"fixture vacuous: threshold-CC did not weld: $welded")
+  }
+
   test("mutual kNN: the hub filter — a reciprocated pair survives, a one-way fan does not") {
     // 2-D integer vectors, k=1: y and z both point AT x (their top-1),
     // but x's top-1 is y alone (cos ties broken by id) — so only (x, y)
