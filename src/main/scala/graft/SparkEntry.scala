@@ -332,6 +332,7 @@ object SparkEntry {
     "change_point_k" -> ((s, d) => ChangePoint.changePointKQ(Tables.events(s, d))),
     "acf_daily" -> ((s, d) => Acf.acfDailyQ(Tables.events(s, d))),
     "event_burstiness" -> ((s, d) => Burstiness.eventBurstinessQ(Tables.events(s, d))),
+    "transition_stationary" -> ((s, d) => MarkovStationary.transitionStationaryQ(Tables.events(s, d))),
     "event_gaps" -> ((s, d) => EventGaps.eventGapsQ(Tables.events(s, d))),
     "asof_join" -> ((s, d) => Sessionize.asofJoinQ(Tables.events(s, d))),
     // …and its business twin: last-touch conversion attribution (LOCF
@@ -872,6 +873,7 @@ object SparkEntry {
     "change_point_k" -> ChangePoint.changePointKSql,
     "acf_daily" -> Acf.acfDailySql,
     "event_burstiness" -> Burstiness.eventBurstinessSql,
+    "transition_stationary" -> MarkovStationary.transitionStationarySql,
     "event_gaps" -> EventGaps.eventGapsSql,
     "dedup_weights" -> DedupWeights.dedupWeightsSql,
     "q4_late_exists" -> LateExists.q4LateExistsSql,

@@ -29,7 +29,7 @@ object StressEvents {
     // (one shared daily agg each), ACF (7 leads on one exchange), and
     // the hourly coverage-gap audit
     "change_point", "change_point_2", "change_point_k",
-    "acf_daily", "event_gaps", "event_burstiness")
+    "acf_daily", "event_gaps", "event_burstiness", "transition_stationary")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

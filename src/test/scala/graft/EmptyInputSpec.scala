@@ -150,6 +150,12 @@ class EmptyInputSpec extends AnyFunSuite {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
             StructField("ts", TimestampType))))),
+      "transition_stationary" -> MarkovStationary.transitionStationary(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("user_id", LongType),
+            StructField("event_id", LongType),
+            StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
       "event_burstiness" -> Burstiness.eventBurstiness(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
