@@ -112,9 +112,12 @@ object Bench {
     // diffs should compare noise-FLOOR numbers; the min is that floor.
     // "queries" stays the median (the headline's total and the driver's
     // schema are unchanged); "queries_min" is additive.
-    val minTimings = names.flatMap { n =>
-      val ok = passesByName(n).collect { case Right(t) => t }
-      if (ok.isEmpty) None else Some(n -> ok.min)
+    // built from the SAME error-free set as `timings` (first-error-wins):
+    // a query with any failed pass must not surface a noise-floor number
+    // while the same file counts it in "errors" (benchdiff would diff a
+    // time for a query the run considers failed)
+    val minTimings = results.collect { case (n, Right(_)) =>
+      n -> passesByName(n).collect { case Right(t) => t }.min
     }
     val errors = results.collect { case (n, Left(e)) => n -> e } ++
       unknown.map(n => n -> "unknown query name")

@@ -16,11 +16,20 @@ import org.apache.spark.sql.functions._
   * Contract (stated, like change_point_k's fixed-K): π is the K-step
   * power iterate from the uniform start, K = [[Iterations]] unrolled —
   * a deterministic report, not a fixed-point solver; on the gate's
-  * aperiodic dense chain K=8 is far past visible movement in ppm. The
-  * chain is restricted to states that EMIT at least one transition
-  * (terminal-only states have no defined outflow); edges into dropped
-  * states are removed and each row renormalized, so P is strictly
-  * row-stochastic over the kept set.
+  * aperiodic dense chain K=8 is far past visible movement in ppm, and
+  * since round 14 the output SHOWS that: `l1_delta_ppm` is the L1
+  * distance Σ|π_K − π_{K−1}| in ppm, constant across rows — a report
+  * reader sees the iterate has settled without trusting the K choice.
+  * The chain is restricted ONE PASS to states that EMIT at least one
+  * transition (terminal-only states have no defined outflow); edges
+  * into dropped states are removed and surviving rows renormalize over
+  * their surviving edges. Precision corner (r13 advice, both engines
+  * identical so the gate is unaffected): a kept state whose ONLY
+  * successors were terminal loses all its out-edges in that one pass —
+  * mass flowing into it is renormalized away each round rather than
+  * re-emitted (iterating the restriction to a fixed point would drop
+  * such states entirely; the one-pass form keeps the report spine
+  * stable and states the semantics instead).
   *
   * §6 (the [[EmbeddingPrincipal]] integer-iteration discipline): P is
   * integer ppm (`n·10⁶ div row_total` after the restriction); each
@@ -64,7 +73,9 @@ object MarkovStationary {
       .withColumn("n_states", count(lit(1)).over(whole))
       .select(col("state"), expr("1000000L div n_states").as("pi"))
       .localCheckpoint()
+    var prev = pi // π_{K-1}, for the convergence diagnostic
     for (_ <- 1 to k) {
+      prev = pi
       pi = pi.join(pm, col("state") === col("prev_type"))
         .groupBy(col("curr_type").as("state"))
         .agg(sum(expr("pi * p_ppm")).as("w"))
@@ -72,7 +83,15 @@ object MarkovStationary {
         .select(col("state"), expr("w * 1000000 div tot").as("pi"))
         .localCheckpoint() // per-round: the 2^K iterated-lineage rule
     }
-    pi.select(col("state"), col("pi").as("pi_ppm"))
+    // convergence diagnostic (round 14): L1 ppm distance between the last
+    // two iterates, full-outer so a state present in only one of them
+    // contributes its whole mass; both frames are |states|-row checkpoints,
+    // the unpartitioned window sum is the allowed catalog class
+    pi.join(prev.select(col("state"), col("pi").as("pp")), Seq("state"), "full_outer")
+      .select(col("state"),
+        coalesce(col("pi"), lit(0L)).as("pi_ppm"),
+        abs(coalesce(col("pi"), lit(0L)) - coalesce(col("pp"), lit(0L))).as("d"))
+      .select(col("state"), col("pi_ppm"), sum("d").over(whole).as("l1_delta_ppm"))
   }
 
   def transitionStationaryQ(events: DataFrame): DataFrame =
@@ -80,7 +99,11 @@ object MarkovStationary {
 
   /** Generated K-round CTE chain (the change_point_k technique): the
     * restricted ppm matrix, uniform π₀, then per round a mass join +
-    * scalar-subquery renormalization — same integer text as Spark. */
+    * window-sum renormalization — same integer text as Spark. The final
+    * select full-outer-joins π_K with π_{K−1} for the L1 diagnostic,
+    * referencing each round CTE exactly ONCE via window sums (a
+    * scalar-subquery form re-evaluates the CTE chain exponentially in
+    * DuckDB — measured in round 13, avoided). */
   val transitionStationarySql: String = {
     val rounds = (1 to Iterations).map { r =>
       s"""w$r AS (
@@ -116,9 +139,16 @@ object MarkovStationary {
        |  SELECT state,
        |         CAST(1000000 AS BIGINT) // CAST(count(*) OVER () AS BIGINT) AS pi
        |  FROM (SELECT DISTINCT prev_type AS state FROM pm)
-       |), $rounds
-       |SELECT state, CAST(pi AS BIGINT) AS pi_ppm
-       |FROM pi$Iterations
+       |), $rounds, d AS (
+       |  SELECT COALESCE(a.state, b.state) AS state,
+       |         COALESCE(a.pi, 0) AS pi_ppm,
+       |         abs(COALESCE(a.pi, 0) - COALESCE(b.pi, 0)) AS dd
+       |  FROM pi$Iterations a FULL OUTER JOIN pi${Iterations - 1} b
+       |    ON b.state = a.state
+       |)
+       |SELECT state, CAST(pi_ppm AS BIGINT) AS pi_ppm,
+       |       CAST(sum(dd) OVER () AS BIGINT) AS l1_delta_ppm
+       |FROM d
        |ORDER BY state""".stripMargin
   }
 }

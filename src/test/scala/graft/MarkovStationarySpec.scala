@@ -47,6 +47,29 @@ class MarkovStationarySpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 1000000L) <= 2, s"mass leaked: $got")
   }
 
+  test("l1_delta_ppm is Σ|π_K − π_{K−1}| from the reference, constant across rows") {
+    // round-14 convergence diagnostic: the emitted L1 must equal the
+    // reference's distance between the last two iterates exactly (same
+    // integer arithmetic), ride every row unchanged, and be tiny on this
+    // settled chain — the "has it converged" read needs no K trust
+    val rows = MarkovStationary.transitionStationary(
+      pathEvents(Seq("a", "a", "b", "a", "a", "b", "a"))).collect()
+    val l1s = rows.map(_.getLong(2)).toSet
+    assert(l1s.size == 1, s"l1_delta_ppm differs across rows: $l1s")
+    val p = Seq(("a", "a", 500000L), ("a", "b", 500000L), ("b", "a", 1000000L))
+    val pi8 = reference(p, 8)
+    val pi7 = reference(p, 7)
+    val want = (pi8.keySet ++ pi7.keySet).toSeq
+      .map(s => math.abs(pi8.getOrElse(s, 0L) - pi7.getOrElse(s, 0L))).sum
+    assert(l1s.head == want, s"L1 ${l1s.head} != reference $want")
+    // this chain's second eigenvalue is −1/2, so the K-step delta decays
+    // as 0.5^K·10⁶ ≈ 3906 ppm at K=8 — the diagnostic SHOWS the geometric
+    // approach instead of hiding it (that's its purpose); pin the decay
+    // band rather than a false "fully settled" claim
+    assert(l1s.head >= 2000L && l1s.head <= 5000L,
+      s"K=8 delta should sit at ~0.5^8 of the mass: ${l1s.head}")
+  }
+
   test("terminal-only state is dropped and its row mass renormalized") {
     // …the same chain plus a final 'z' that never emits: the a→z edge
     // is removed, a's row renormalizes over {a, b} → identical π, no z

@@ -244,4 +244,25 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$name must plan only equi joins:\n$p")
     }
   }
+
+  test("zipf_check: rank window sees only the TakeOrdered probe frame, never the full vocab") {
+    // the registered query checkpoints the ranked frame, hiding it from
+    // every Explain sweep (r13 verdict) — pin the PRE-checkpoint plan: the
+    // corpus-scale vocab must be cut by TakeOrderedAndProject (per-partition
+    // top-N + driver merge) BEFORE the unpartitioned row_number window, so
+    // the single-partition window input is ≤ 2·maxProbe rows by plan shape,
+    // not by luck of a limit-pushdown rule firing.
+    val docs = Tables.documents(spark, sf)
+    val p = planOf(graft.operators.ZipfCheck.rankedProbes(docs))
+    val lines = nodeLines(p)
+    val winIdx = lines.indexWhere(_.startsWith("Window"))
+    val topIdx = lines.indexWhere(_.startsWith("TakeOrderedAndProject"))
+    assert(winIdx >= 0 && topIdx >= 0,
+      s"expected a Window fed by TakeOrderedAndProject:\n$p")
+    assert(topIdx > winIdx,
+      s"TakeOrderedAndProject must sit BELOW the Window (feed it):\n$p")
+    // the only Sort allowed is the window's own over the ≤128-row frame;
+    // a second Sort would mean the full vocab is being globally ordered
+    assert(count(p, "Sort") <= 1, s"unexpected full-vocab sort:\n$p")
+  }
 }
