@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
-import graft.operators.{Ivf, Lsh, Similarity}
+import graft.operators.{Ivf, KnnMutual, Lsh, Similarity}
 
 /** Scratch measurement: knn_cosine_lsh recall vs brute at each multiProbe
   * level on the gate corpus (sf0.01 embeddings). Decides round-4 advice #7:
@@ -61,6 +62,34 @@ object MeasureRecall {
         .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exactPairs & mined).size.toDouble / exactPairs.size
       println(f"PAIR_RECALL mp=$mp recall=$recall%.4f pairs=${mined.size}/${exactPairs.size}")
+    }
+
+    // round-14: the mutual-kNN candidate path — pair recall AND full-row
+    // equality per probe width (rows compare ranks/cosines too, the oracle
+    // condition), plus the cluster labeling identity
+    val exactMutualRows = KnnMutual.knnMutualQ(emb).collect().map(_.toString).sorted
+    val exactMutual = KnnMutual.knnMutual(emb)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 to 3).foreach { mp =>
+      val lshRows = KnnMutual.knnMutualLsh(emb, multiProbe = mp)
+        .select(col("id1"), col("id2"), col("rank12"), col("rank21"),
+          graft.operators.Parity.r("cos", 4))
+        .collect().map(_.toString).sorted
+      val lshSet = KnnMutual.knnMutualLsh(emb, multiProbe = mp)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exactMutual & lshSet).size.toDouble / exactMutual.size.max(1)
+      println(f"MUTUAL mp=$mp recall=$recall%.4f rows_equal=${lshRows.sameElements(exactMutualRows)} " +
+        s"pairs=${lshSet.size}/${exactMutual.size}")
+    }
+    val exactMutualClusters = KnnMutual.knnMutualClusters(emb)
+      .select("vec_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 to 3).foreach { mp =>
+      val got = KnnMutual.knnMutualClustersLsh(emb, multiProbe = mp)
+        .select("vec_id", "cluster_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"MUTUAL_CLUSTER mp=$mp identical=${got == exactMutualClusters} " +
+        s"diff=${(exactMutualClusters diff got).size}")
     }
 
     // round-9: does the LSH pair graph induce the EXACT component

@@ -205,6 +205,12 @@ object SparkEntry {
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
     "knn_mutual" -> ((s, d) => KnnMutual.knnMutualQ(Tables.embeddings(s, d))),
     "knn_mutual_clusters" -> ((s, d) => KnnMutual.knnMutualClustersQ(Tables.embeddings(s, d))),
+    // round 14: the sub-quadratic candidate-path twins (hyperplane-bucket
+    // candidates + exact rerank; recall-1 width spec-pinned — the #36
+    // promotion pattern, sharing the exact operators' oracles)
+    "knn_mutual_lsh" -> ((s, d) => KnnMutual.knnMutualLshQ(Tables.embeddings(s, d))),
+    "knn_mutual_clusters_lsh" -> ((s, d) =>
+      KnnMutual.knnMutualClustersLshQ(Tables.embeddings(s, d))),
     // round 10: top principal axis via integer power iteration — the
     // iterative fixed point over vectors (pagerank's dims-for-nodes twin)
     "embedding_principal" -> ((s, d) =>
@@ -708,6 +714,9 @@ object SparkEntry {
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
     "knn_mutual" -> KnnMutual.knnMutualSql,
     "knn_mutual_clusters" -> KnnMutual.knnMutualClustersSql,
+    // valid at MutualProbeGate — AnnOracleSpec pins full-row equality
+    "knn_mutual_lsh" -> KnnMutual.knnMutualSql,
+    "knn_mutual_clusters_lsh" -> KnnMutual.knnMutualClustersSql,
     "embedding_principal" -> EmbeddingPrincipal.embeddingPrincipalSql,
     "hard_negative_mine" -> HardNegative.hardNegativesSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,

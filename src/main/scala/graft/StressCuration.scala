@@ -219,10 +219,21 @@ object StressCuration {
           .as("embedding"),
         col("label"))
     val e10 = materialize(emb10, "emb10x")
-    for ((tag, e) <- Seq("1x" -> emb, "10x" -> e10))
+    for ((tag, e) <- Seq("1x" -> emb, "10x" -> e10)) {
       time(s"embedding_principal_$tag") {
         graft.operators.EmbeddingPrincipal.embeddingPrincipal(e)
       }
+      // round 14: the mutual-kNN family — exact (corpus×corpus contract,
+      // expected ~quadratic growth) vs the LSH candidate path at the gate
+      // probe width (Σ bucket² — the 100 TB shape)
+      time(s"knn_mutual_$tag") {
+        graft.operators.KnnMutual.knnMutual(e)
+      }
+      time(s"knn_mutual_lsh_$tag") {
+        graft.operators.KnnMutual.knnMutualLsh(
+          e, multiProbe = graft.operators.KnnMutual.MutualProbeGate)
+      }
+    }
 
     spark.stop()
   }

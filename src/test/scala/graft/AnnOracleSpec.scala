@@ -193,6 +193,31 @@ class AnnOracleSpec extends AnyFunSuite {
     assert(viaLsh.sameElements(viaExact))
   }
 
+  test("mutual-kNN LSH at the gate probe width equals the exact operator row-for-row") {
+    // the round-14 registered knn_mutual_lsh shares knnMutualSql as its
+    // oracle — valid iff ranks AND cosines are identical at MutualProbeGate
+    // on the gate corpus (measured recall 1, MeasureRecall). Pins the
+    // within-candidate rerank's rank fidelity too: below recall-1 width a
+    // missed neighbor SHIFTS ranks and can create FALSE mutual pairs, so
+    // set recall alone would be too weak a pin.
+    val emb = Tables.embeddings(spark, gateSf)
+    def rows(df: DataFrame): Array[String] = df.collect().map(_.toString).sorted
+    val exact = rows(graft.operators.KnnMutual.knnMutualQ(emb))
+    val lsh = rows(graft.operators.KnnMutual.knnMutualLshQ(emb))
+    assert(exact.nonEmpty, "no mutual pairs at gate SF — vacuous")
+    assert(lsh.sameElements(exact),
+      s"gate-width mutual LSH != exact: lsh=${lsh.length} exact=${exact.length}")
+  }
+
+  test("mutual-kNN LSH clusters equal the exact labeling at the gate width") {
+    val emb = Tables.embeddings(spark, gateSf)
+    def labels(df: DataFrame): Array[String] = df.collect().map(_.toString).sorted
+    val exact = labels(graft.operators.KnnMutual.knnMutualClustersQ(emb))
+    val lsh = labels(graft.operators.KnnMutual.knnMutualClustersLshQ(emb))
+    assert(lsh.sameElements(exact),
+      s"mutual LSH clusters != exact at mp=${graft.operators.KnnMutual.MutualProbeGate}")
+  }
+
   test("maxDf cap: identity when loose, lossy-subset when tight") {
     val docs = Tables.documents(spark, sf)
     def pairSet(df: DataFrame): Set[(Long, Long)] =

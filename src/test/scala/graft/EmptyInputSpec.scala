@@ -302,6 +302,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "knn_cosine_brute" -> Similarity.knnCosineBrute(e),
       "knn_mutual" -> KnnMutual.knnMutual(e),
       "knn_mutual_clusters" -> KnnMutual.knnMutualClusters(e),
+      "knn_mutual_lsh" -> KnnMutual.knnMutualLsh(e),
+      "knn_mutual_clusters_lsh" -> KnnMutual.knnMutualClustersLsh(e),
       "embedding_dedup" -> Similarity.embeddingDedup(e),
       "embedding_dedup_incremental" -> Similarity.embeddingDedupIncremental(e),
       "embedding_cluster" -> Similarity.embeddingClusters(e),
