@@ -607,6 +607,23 @@ object SparkEntry {
     "dup_span_merge" -> ((s, d) => DupSpans.dupSpanMergeQ(Tables.documents(s, d))),
     "dedup_substring" -> ((s, d) => SubstringDedup.substringDedupQ(Tables.documents(s, d))),
     "pair_index_delta" -> ((s, d) => Dedup.pairIndexDeltaQ(Tables.documents(s, d))),
+    // round 14: the persisted-pair-index twins — each consumes the
+    // fingerprint-guarded on-disk τ=0 index (mined once per corpus),
+    // row-identical to its inline twin, sharing that twin's oracle; the
+    // gate now checks the mine-once-consume-many form a 100 TB
+    // deployment actually runs (PairIndexStore)
+    "dedup_ngram_jaccard_indexed" -> ((s, d) =>
+      PairIndexStore.ngramJaccardIndexedQ(Tables.documents(s, d))),
+    "dedup_cluster_indexed" -> ((s, d) =>
+      PairIndexStore.dedupClusterIndexedQ(Tables.documents(s, d))),
+    "dedup_cluster_keep_best_indexed" -> ((s, d) =>
+      PairIndexStore.dedupClusterKeepBestIndexedQ(Tables.documents(s, d))),
+    "dedup_threshold_sweep_indexed" -> ((s, d) =>
+      PairIndexStore.dedupThresholdSweepIndexedQ(Tables.documents(s, d))),
+    "split_leakage_indexed" -> ((s, d) =>
+      PairIndexStore.splitLeakageIndexedQ(Tables.documents(s, d))),
+    "source_dup_rate_indexed" -> ((s, d) =>
+      PairIndexStore.sourceDupRateIndexedQ(Tables.documents(s, d))),
     "l_diversity_audit" -> ((s, d) => LDiversity.lDiversityAuditQ(Tables.documents(s, d))),
     "t_closeness_audit" -> ((s, d) => TCloseness.tClosenessAuditQ(Tables.documents(s, d))),
     "substring_clean" -> ((s, d) => SubstringDedup.substringCleanQ(Tables.documents(s, d))),
@@ -860,6 +877,14 @@ object SparkEntry {
     "dup_span_merge" -> DupSpans.dupSpanMergeSql,
     "dedup_substring" -> SubstringDedup.substringDedupSql,
     "pair_index_delta" -> Dedup.pairIndexDeltaSql,
+    // the indexed twins are row-identical to their inline forms by
+    // construction (InfraSpec pins it) — same oracles verbatim
+    "dedup_ngram_jaccard_indexed" -> Dedup.ngramJaccardSql,
+    "dedup_cluster_indexed" -> Dedup.dedupClustersSql,
+    "dedup_cluster_keep_best_indexed" -> Dedup.dedupClusterKeepBestSql,
+    "dedup_threshold_sweep_indexed" -> ThresholdSweep.dedupThresholdSweepSql,
+    "split_leakage_indexed" -> SplitLeakage.splitLeakageSql,
+    "source_dup_rate_indexed" -> SourceDupRate.sourceDupRateSql,
     "l_diversity_audit" -> LDiversity.lDiversityAuditSql,
     "t_closeness_audit" -> TCloseness.tClosenessAuditSql,
     "substring_clean" -> SubstringDedup.substringCleanSql,

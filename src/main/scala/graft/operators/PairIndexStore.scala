@@ -1,0 +1,126 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PERSISTED pair-index store (round 14 — the r13 verdict's #3 order):
+  * the registered plan-as-data loop for [[Dedup.pairIndex]], so the
+  * driver gate checks the form a 100 TB deployment actually runs.
+  *
+  * Six of the bench's slowest-8 (ngram_jaccard, cluster, keep_best,
+  * threshold_sweep, split_leakage, source_dup_rate) are τ=0 exact
+  * re-miners of the SAME Σ df² inverted-index join. The round-12 answer
+  * (InfraSpec + StressPairIndex: 123.9 s inline vs 24.2 s build+consume
+  * at sf0.1) was mine-once-consume-many — but only the INLINE forms were
+  * driver-gated. The `*_indexed` twins below close that: each mines the
+  * τ=0 index ONCE per corpus into an on-disk parquet store, and every
+  * consumer (and every later query over the same corpus) reads the
+  * stored stats — row-identical to its inline twin BY CONSTRUCTION
+  * (the inline forms all end in a jaccard filter over exactly these five
+  * columns; InfraSpec pins identity), so each shares its twin's oracle.
+  *
+  * STALENESS GUARD — the part a persisted store must get right: the
+  * store path is keyed by a CONTENT FINGERPRINT of the corpus (row count
+  * + two independent commutative XOR folds of per-row content hashes —
+  * order-free, so partitioning/file-split changes don't move it). A
+  * changed corpus therefore CANNOT silently reuse a stale index: it
+  * hashes to a different path and mines fresh. The fingerprint pass is
+  * one map+agg corpus scan — noise next to the Σ df² mine it guards. At
+  * 100 TB the store is a [[graft.sources.CommitLog]] table keyed by the
+  * corpus table's version (the InfraSpec commit-log index row), kept
+  * fresh at batch cost by [[Dedup.pairIndexDelta]]; the fingerprint is
+  * the local-gate stand-in for that version key.
+  *
+  * CONCURRENCY: build into a temp dir, atomic-rename into place; a lost
+  * race keeps the winner's copy (same fingerprint ⇒ same corpus ⇒
+  * identical rows — appends commute the CommitLog way) and drops its own
+  * staging.
+  */
+object PairIndexStore {
+
+  /** Order-free corpus content fingerprint: (count, xor of
+    * xxhash64(doc_id, text), xor under a second seed). XOR is
+    * commutative/associative and overflow-free (ANSI-safe, unlike sum),
+    * and the second seed breaks the pairwise-cancellation weakness of a
+    * single XOR word. */
+  private[graft] def fingerprint(documents: DataFrame): String = {
+    val r = documents.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(doc_id, coalesce(text, '')))"), lit(0L)),
+      coalesce(expr("bit_xor(xxhash64(1, doc_id, coalesce(text, '')))"), lit(0L)))
+      .head()
+    f"${r.getLong(0)}%x-${r.getLong(1)}%016x-${r.getLong(2)}%016x"
+  }
+
+  private def storeRoot: Path =
+    Paths.get(sys.props("java.io.tmpdir"), "graft_pair_index")
+
+  /** The τ=0 pair index for this corpus, from the store — mined and
+    * persisted on first use, read back (no re-mine) afterwards. */
+  def indexFor(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val dir = storeRoot.resolve(s"v1-${fingerprint(documents)}")
+    if (!Files.exists(dir)) {
+      Files.createDirectories(storeRoot)
+      val tmp = storeRoot.resolve(
+        s".build-${java.util.UUID.randomUUID().toString.take(8)}")
+      Dedup.pairIndex(documents)
+        .write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          if (Files.exists(dir)) deleteRecursively(tmp) // lost the race
+          else throw e
+      }
+    }
+    spark.read.parquet(dir.toString)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = {
+        val s = Files.list(p)
+        try {
+          val b = Vector.newBuilder[Path]
+          s.iterator().forEachRemaining(c => b += c)
+          b.result()
+        } finally s.close()
+      }
+      children.foreach(deleteRecursively)
+    }
+    Files.deleteIfExists(p)
+  }
+
+  // ---- the six driver-gated from-store twins (projections/orderings
+  // ---- identical to their inline twins; each shares that twin's oracle)
+
+  def ngramJaccardIndexedQ(documents: DataFrame): DataFrame =
+    Dedup.pairsFromIndex(indexFor(documents))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
+        Parity.r("jaccard", 4))
+      .orderBy("id1", "id2")
+
+  def dedupClusterIndexedQ(documents: DataFrame): DataFrame =
+    Dedup.dedupClustersFromIndex(documents, indexFor(documents))
+      .orderBy("doc_id")
+
+  def dedupClusterKeepBestIndexedQ(documents: DataFrame): DataFrame =
+    Dedup.dedupClusterKeepBestFromIndex(documents, indexFor(documents))
+      .orderBy("doc_id")
+
+  def dedupThresholdSweepIndexedQ(documents: DataFrame): DataFrame =
+    ThresholdSweep.dedupThresholdSweepFromIndex(indexFor(documents))
+      .orderBy("tau_pct")
+
+  def splitLeakageIndexedQ(documents: DataFrame): DataFrame =
+    SplitLeakage.splitLeakageFromIndex(documents, indexFor(documents))
+      .select(col("id1"), col("split1"), col("id2"), col("split2"),
+        col("n1"), col("n2"), col("inter"), Parity.r("jaccard", 4))
+      .orderBy("id1", "id2")
+
+  def sourceDupRateIndexedQ(documents: DataFrame): DataFrame =
+    SourceDupRate.sourceDupRateFromIndex(documents, indexFor(documents))
+      .orderBy("source")
+}

@@ -309,6 +309,48 @@ class InfraSpec extends AnyFunSuite {
     }
   }
 
+  test("pair-index STORE: fingerprint-guarded build-once, reuse without re-mine, stale-proof on change") {
+    // round 14 — the registered *_indexed twins' storage loop. (a) the
+    // first indexFor call publishes the store; a second call over the
+    // same corpus touches NO file (byte-listing identical — nothing
+    // re-mines); (b) the read-back rows equal a fresh pairIndex mine;
+    // (c) a CHANGED corpus (one doc dropped) hashes to a DIFFERENT store
+    // path and mines fresh — stale reuse is impossible by construction,
+    // not by cache discipline.
+    import graft.operators.{Dedup, PairIndexStore}
+    val docs = Tables.documents(spark, sf)
+    def listing(): Seq[(String, Long)] = {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_pair_index")
+      if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try {
+          val b = Seq.newBuilder[(String, Long)]
+          s.iterator().forEachRemaining { p =>
+            if (java.nio.file.Files.isRegularFile(p))
+              b += ((p.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+          }
+          b.result().sortBy(_._1)
+        } finally s.close()
+      }
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("id1", "id2", "inter", "n1", "n2")
+        .collect().map(_.toString).toSet
+    val first = rows(PairIndexStore.indexFor(docs))
+    val after1 = listing()
+    val second = rows(PairIndexStore.indexFor(docs))
+    assert(listing() == after1, "second indexFor over the same corpus touched the store")
+    assert(first == second && first == rows(Dedup.pairIndex(docs)),
+      "store read-back diverges from a fresh mine")
+    // changed corpus → different fingerprint path, fresh correct mine
+    val changed = docs.filter(col("doc_id") =!= docs.select(min("doc_id")).head().getLong(0))
+    assert(PairIndexStore.fingerprint(changed) != PairIndexStore.fingerprint(docs))
+    assert(rows(PairIndexStore.indexFor(changed)) == rows(Dedup.pairIndex(changed)),
+      "changed-corpus store read-back diverges from its fresh mine")
+  }
+
   test("pair-index maintenance: corpus index + batch delta == full mine, appended through the commit log") {
     // round 12: the mine-once shape past day one. (a) set identity —
     // the delta mine (batch-touching pairs only, never corpus²) plus
