@@ -568,6 +568,11 @@ object SparkEntry {
     // exactly-once cursor pulls across an ADD COLUMN, old+new writers
     "commitlog_incremental" -> ((s, d) =>
       CommitLogRead.commitLogIncrementalQ(Tables.documents(s, d))),
+    // round 14: the NON-widening evolution verbs in the gate — RENAME +
+    // DROP COLUMN as copy-on-write + metadata commits, every version
+    // read under its own schema
+    "commitlog_rename" -> ((s, d) =>
+      CommitLogRead.commitLogRenameQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -862,6 +867,7 @@ object SparkEntry {
     "commitlog_read_at" -> CommitLogRead.commitLogReadSql,
     "commitlog_history" -> CommitLogRead.commitLogHistorySql,
     "commitlog_incremental" -> CommitLogRead.commitLogIncrementalSql,
+    "commitlog_rename" -> CommitLogRead.commitLogRenameSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

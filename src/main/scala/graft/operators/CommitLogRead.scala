@@ -142,6 +142,71 @@ object CommitLogRead {
     pull1.unionByName(pull2).orderBy("pull_id", "doc_id")
   }
 
+  /** The round-14 non-widening evolution verbs IN the driver gate (the
+    * #194/#235 precedent): RENAME and DROP COLUMN as copy-on-write +
+    * metadata commits, with every version's read checked under ITS OWN
+    * schema. Script (deterministic functions of doc_id):
+    *  - v0 APPEND thirds-0 as (doc_id, source, n_chars)
+    *  - v1 RENAME n_chars → len  (rewrite + meta in one commit)
+    *  - v2 APPEND thirds-1 under the renamed schema
+    *  - v3 DROP source           (rewrite + meta)
+    * Emits each version's rows normalized to (version, doc_id, source,
+    * len): v0 reads the OLD column name (emitted as len by the consumer
+    * — the schema statement is that the version READ has `n_chars`,
+    * asserted in-query), v3 reads NULL source. The oracle derives all
+    * four row sets from `documents`, so value survival across BOTH
+    * rewrites and the versioned schema reads are DuckDB-checked. */
+  def commitLogRenameQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_ren").resolve("t").toString
+    def must(r: Either[CommitLog.Conflict, Long]): Long = r match {
+      case Right(v) => v
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 0)) // v0
+    must(CommitLog.renameColumn(spark, table, "n_chars", "len")) // v1
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 1)
+      .withColumnRenamed("n_chars", "len")) // v2
+    must(CommitLog.dropColumn(spark, table, "source")) // v3
+    val v0 = CommitLog.read(spark, table, Some(0L))
+    require(v0.columns.toSeq == Seq("doc_id", "source", "n_chars"),
+      s"v0 must read the pre-rename schema, got ${v0.columns.toSeq}")
+    val v3 = CommitLog.read(spark, table, Some(3L))
+    require(v3.columns.toSeq == Seq("doc_id", "len"),
+      s"v3 must read the post-drop schema, got ${v3.columns.toSeq}")
+    Seq(
+      v0.select(lit(0L).as("version"), col("doc_id"), col("source"),
+        col("n_chars").as("len")),
+      CommitLog.read(spark, table, Some(1L))
+        .select(lit(1L).as("version"), col("doc_id"), col("source"), col("len")),
+      CommitLog.read(spark, table, Some(2L))
+        .select(lit(2L).as("version"), col("doc_id"), col("source"), col("len")),
+      v3.select(lit(3L).as("version"), col("doc_id"),
+        lit(null).cast("string").as("source"), col("len")))
+      .reduce(_ unionByName _)
+      .orderBy("version", "doc_id")
+  }
+
+  /** Oracle: the four versioned row sets straight from `documents` —
+    * rename/drop must preserve every value across the rewrites. */
+  val commitLogRenameSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |)
+      |SELECT CAST(0 AS BIGINT) AS version, doc_id, source, n_chars AS len
+      |FROM base WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT CAST(1 AS BIGINT), doc_id, source, n_chars
+      |FROM base WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), doc_id, source, n_chars
+      |FROM base WHERE doc_id % 3 <= 1
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), doc_id, CAST(NULL AS VARCHAR), n_chars
+      |FROM base WHERE doc_id % 3 <= 1
+      |ORDER BY version, doc_id""".stripMargin
+
   /** Oracle: both pulls derived directly from `documents` — pull 1 =
     * thirds-0 (no score yet), pull 2 = thirds-1 with the written score
     * ∪ thirds-2 with the old-writer NULL. */

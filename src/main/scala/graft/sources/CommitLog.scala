@@ -144,18 +144,66 @@ object CommitLog {
     }
   }
 
-  /** Write a checkpoint of the live-file state AT `version` — the log-
+  /** Checkpoint format version. v2 (round 14) checkpoints are COMPLETE:
+    * they fold live files AND the per-app txn watermark map AND the
+    * schema metadata as of their version (the Delta checkpoint design —
+    * its checkpoints carry txn and metaData actions, public), marked
+    * with a `{"cpv":2}` header line. [[txnLatest]] and [[schemaAt]] can
+    * therefore STOP at a complete checkpoint: absence of a txn/meta
+    * entry there means none exists at or below it. A checkpoint file
+    * WITHOUT the header is a legacy adds-only snapshot — file state may
+    * be trusted, but txn/schema walks must fall through past it (the
+    * old full-scan cost, never a wrong answer). */
+  val CheckpointFormatVersion = 2
+
+  private val CpvRe = """\{"cpv":(\d+)\}""".r
+
+  /** Parsed checkpoint state; `complete` = carries the v2 header. */
+  private case class Cp(adds: Vector[String], txns: Vector[(String, Long)],
+                        meta: Option[String], complete: Boolean)
+
+  private def readCheckpoint(table: String, v: Long): Cp = {
+    val f = checkpointFile(table, v)
+    val lines = Files.readAllLines(f).asScala.toVector
+    val complete = lines.exists(CpvRe.matches)
+    val (adds, removes, txns, meta) =
+      parseActions(lines.filterNot(CpvRe.matches), f)
+    require(removes.isEmpty, s"checkpoint $f contains removes")
+    Cp(adds, txns, meta, complete)
+  }
+
+  /** Write a checkpoint of the folded state AT `version` — the log-
     * compaction growth path: after N commits, replaying N JSON files per
     * read is the bottleneck, so a checkpoint materializes the folded
     * state and readers replay only the suffix (the Delta `_checkpoint`
-    * design). Safe to write at any time by anyone — it duplicates
+    * design). Folds all three state kinds (see
+    * [[CheckpointFormatVersion]]): live files, per-app txn watermarks
+    * (max per app — [[appendIdempotent]] requires per-app monotonicity,
+    * so max = latest), and the newest schema action — making
+    * [[txnLatest]] and [[schemaAt]] O(suffix) from any checkpoint, so a
+    * long-running idempotent sink is O(1) per batch once anyone
+    * checkpoints. Safe to write at any time by anyone — it duplicates
     * derivable state, so a torn/competing checkpoint write can at worst
     * be ignored; correctness never depends on it (tryCommit's
     * CREATE_NEW stays the only coordination point). */
   def checkpoint(table: String, version: Long = -1L): Long = {
     val v = if (version >= 0) version else latestVersion(table)
     require(v >= 0, s"commit-log table $table has no commits")
-    val body = liveFilesFull(table, v).map(f => s"""{"add":"$f"}""")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var meta: Option[String] = None
+    commits(table, v).foreach { c =>
+      c.removes.foreach(live.remove)
+      c.adds.foreach(live.add)
+      c.txns.foreach { case (app, tv) =>
+        txns(app) = math.max(txns.getOrElse(app, -1L), tv)
+      }
+      c.meta.foreach(m => meta = Some(m))
+    }
+    val body = (Seq(s"""{"cpv":$CheckpointFormatVersion}""") ++
+      meta.map(b64 => s"""{"meta":{"schemaB64":"$b64"}}""").toSeq ++
+      txns.map { case (app, tv) => s"""{"txn":{"app":"$app","version":$tv}}""" } ++
+      live.toVector.map(f => s"""{"add":"$f"}"""))
       .mkString("", "\n", "\n")
     val tmp = logDir(table).resolve(s".cp_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -183,12 +231,8 @@ object CommitLog {
     latestCheckpoint(table, asOf) match {
       case None => liveFilesFull(table, asOf)
       case Some(cp) =>
-        val cpFile = checkpointFile(table, cp)
-        val (cpAdds, cpRemoves, _, _) =
-          parseActions(Files.readAllLines(cpFile).asScala, cpFile)
-        require(cpRemoves.isEmpty, s"checkpoint $cpFile contains removes")
         val live = scala.collection.mutable.LinkedHashSet.empty[String]
-        cpAdds.foreach(live.add)
+        readCheckpoint(table, cp).adds.foreach(live.add)
         ((cp + 1) to asOf).foreach { v =>
           val c = commits0(table, v)
           c.removes.foreach(live.remove)
@@ -215,11 +259,36 @@ object CommitLog {
     * schema (schema changes are versioned like file changes, so old
     * snapshots are bit-for-bit unchanged). Widening-only by contract
     * (ADD COLUMN / relaxed nullability — the evolutions parquet can
-    * serve without rewriting data); a rename or drop needs copy-on-write
-    * ([[replaceFiles]]), same as Delta without column mapping. */
+    * serve without rewriting data — and VALIDATED since round 14, see
+    * below); a rename or drop goes through [[renameColumn]] /
+    * [[dropColumn]] (round 14): copy-on-write + metadata in one commit,
+    * same as Delta without column mapping. */
   def evolveSchema(table: String,
                    schema: org.apache.spark.sql.types.StructType,
-                   maxRetries: Int = 50): Long = {
+                   maxRetries: Int = 50,
+                   baseline: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+    // WIDENING-ONLY is now VALIDATED, not just documented (r13 advice):
+    // the new schema must be a superset by field name+type of the
+    // table's current committed schema (or the caller-supplied
+    // `baseline` — e.g. the written frame's schema, for the first
+    // evolution on a table that never committed one); nullability may
+    // only relax. A rename or drop silently passing here would make
+    // spark.read.schema silently NULL the old column's data — against
+    // the fail-loud log-format convention; [[renameColumn]] /
+    // [[dropColumn]] are the sanctioned copy-on-write path for those.
+    baseline.orElse(schemaAt(table)).foreach { cur =>
+      val newByName = schema.fields.map(f => f.name -> f).toMap
+      cur.fields.foreach { old =>
+        val nf = newByName.getOrElse(old.name, throw new IllegalArgumentException(
+          s"evolveSchema is widening-only: column '${old.name}' missing from the " +
+            s"new schema on $table (use renameColumn/dropColumn for copy-on-write)"))
+        require(nf.dataType == old.dataType,
+          s"evolveSchema is widening-only: column '${old.name}' changes type " +
+            s"${old.dataType.simpleString} -> ${nf.dataType.simpleString} on $table")
+        require(nf.nullable || !old.nullable,
+          s"evolveSchema cannot tighten nullability of '${old.name}' on $table")
+      }
+    }
     val b64 = java.util.Base64.getEncoder
       .encodeToString(schema.json.getBytes("UTF-8"))
     var v = latestVersion(table) + 1
@@ -233,24 +302,38 @@ object CommitLog {
     v
   }
 
+  private def decodeSchema(b64: String): org.apache.spark.sql.types.StructType = {
+    val json = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
   /** The table's schema AS OF a version: the newest metadata action at
     * or below it (backward scan, stops at the first hit — the
-    * [[txnLatest]] walk). None = no evolution ever committed; readers
-    * then take the parquet footers' word as before. */
+    * [[txnLatest]] walk — OR at the newest COMPLETE checkpoint, whose
+    * folded meta answers for everything at or below it; r13 advice: a
+    * never-evolved table's read used to re-scan every commit back to 0
+    * on every snapshot read even when a checkpoint bounded the file
+    * fold). None = no evolution ever committed; readers then take the
+    * parquet footers' word as before. */
   def schemaAt(table: String, asOf: Long = -2L)
       : Option[org.apache.spark.sql.types.StructType] = {
     val vMax = if (asOf == -2L) latestVersion(table) else asOf
+    val cp = latestCheckpoint(table, vMax)
+      .map(c => c -> readCheckpoint(table, c))
+    val floor = cp match {
+      case Some((c, s)) if s.complete => c // checkpoint answers ≤ c
+      case _ => -1L                        // legacy/none: walk to genesis
+    }
     var v = vMax
-    while (v >= 0L) {
+    while (v > floor) {
       commits0(table, v).meta match {
-        case Some(b64) =>
-          val json = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
-          return Some(org.apache.spark.sql.types.DataType.fromJson(json)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        case Some(b64) => return Some(decodeSchema(b64))
         case None => v -= 1
       }
     }
-    None
+    cp.collect { case (c, s) if s.complete && c <= vMax => s.meta }
+      .flatten.map(decodeSchema)
   }
 
   /** Snapshot-isolated read. `asOf = None` pins the latest version AT
@@ -361,24 +444,36 @@ object CommitLog {
   /** Latest transaction version recorded for `appId` at or below table
     * version `asOf` (−1 if none) — the idempotence watermark. Scans the
     * log BACKWARD and stops at the FIRST commit carrying a txn for this
-    * appId: [[appendIdempotent]] requires per-app txnVersions to be
-    * monotone in commit order, so the newest txn commit holds the max.
-    * A long-running streaming sink (2 watermark reads per batch) thus
-    * pays O(commits since its last write) per batch — typically 1-2
-    * files — instead of the O(V) full-log scan that made the cumulative
-    * cost O(V²). (Delta folds txn actions into checkpoints instead;
-    * commit files here are never deleted, so the backward walk is
-    * always complete.) */
+    * appId ([[appendIdempotent]] requires per-app txnVersions to be
+    * monotone in commit order, so the newest txn commit holds the max)
+    * OR at the newest COMPLETE checkpoint, whose folded txn map answers
+    * for everything at or below it (round 14 — the Delta design the r12
+    * doc cited: txn actions fold into checkpoints, making the sink O(1)
+    * from any checkpoint instead of O(commits-since-last-write); an app
+    * that NEVER wrote no longer walks to genesis either). A legacy
+    * (pre-v2) checkpoint is walked past — old full-scan cost, never a
+    * wrong answer. */
   def txnLatest(table: String, appId: String, asOf: Long = -2L): Long = {
     val vMax = if (asOf == -2L) latestVersion(table) else asOf
+    val cp = latestCheckpoint(table, vMax)
+      .map(c => c -> readCheckpoint(table, c))
+    val floor = cp match {
+      case Some((c, s)) if s.complete => c
+      case _ => -1L
+    }
     var v = vMax
-    while (v >= 0L) {
+    while (v > floor) {
       val hit = commits0(table, v).txns
         .collect { case (app, tv) if app == appId => tv }
       if (hit.nonEmpty) return hit.max
       v -= 1
     }
-    -1L
+    cp match {
+      case Some((_, s)) if s.complete =>
+        val hit = s.txns.collect { case (app, tv) if app == appId => tv }
+        if (hit.nonEmpty) hit.max else -1L
+      case _ => -1L
+    }
   }
 
   /** EXACTLY-ONCE append for a replayable writer (the idempotent
@@ -427,6 +522,66 @@ object CommitLog {
     val v = readVersion + 1
     if (tryCommit(table, v, adds, removes)) Right(v)
     else Left(Conflict(v, latestVersion(table)))
+  }
+
+  /** RENAME COLUMN (round 14 — the non-widening half of schema
+    * evolution): copy-on-write + a schema metadata action in ONE
+    * serializable commit (Delta without column mapping does exactly
+    * this rewrite; with mapping it's metadata-only — the rewrite form
+    * is the one plain parquet footers can serve). The commit removes
+    * every current live file and adds the rewritten ones carrying the
+    * new column name, alongside the new schema's metadata action —
+    * readers at HEAD see the rename, readers AT ANY OLDER VERSION see
+    * that version's schema over that version's untouched files
+    * (bit-for-bit — schema changes are versioned like file changes).
+    * Commits at head+1 or returns the [[Conflict]], like every
+    * rewrite. */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Either[Conflict, Long] =
+    rewriteSchema(spark, table, s"rename '$from' -> '$to'") { df =>
+      require(df.columns.contains(from),
+        s"renameColumn: no column '$from' on $table (${df.columns.mkString(", ")})")
+      require(!df.columns.contains(to),
+        s"renameColumn: column '$to' already exists on $table")
+      df.withColumnRenamed(from, to)
+    }
+
+  /** DROP COLUMN — same copy-on-write + metadata shape as
+    * [[renameColumn]]; the dropped column's data survives in historical
+    * files (old-version reads still surface it) until vacuum passes
+    * them. */
+  def dropColumn(spark: SparkSession, table: String,
+                 name: String): Either[Conflict, Long] =
+    rewriteSchema(spark, table, s"drop '$name'") { df =>
+      require(df.columns.contains(name),
+        s"dropColumn: no column '$name' on $table (${df.columns.mkString(", ")})")
+      require(df.columns.length > 1,
+        s"dropColumn: cannot drop the last column '$name' of $table")
+      df.drop(name)
+    }
+
+  /** Shared copy-on-write schema rewrite: read HEAD, transform, stage,
+    * commit (removes = old live set, adds = rewrite, meta = new schema)
+    * at head+1 — or Conflict, cleaning up the staged files (the
+    * [[compact]] lost-race discipline). */
+  private def rewriteSchema(spark: SparkSession, table: String, what: String)
+                           (transform: DataFrame => DataFrame): Either[Conflict, Long] = {
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    val cur = read(spark, table, Some(head))
+    require(cur.columns.nonEmpty,
+      s"cannot $what on $table: no schema at version $head (no data or metadata yet)")
+    val rewritten = transform(cur)
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(rewritten.schema.json.getBytes("UTF-8"))
+    val removes = liveFiles(table, head)
+    val adds = if (removes.isEmpty) Nil else stage(table, rewritten)
+    if (tryCommit(table, head + 1, adds, removes, meta = Some(b64)))
+      Right(head + 1)
+    else {
+      adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+      Left(Conflict(head + 1, latestVersion(table)))
+    }
   }
 
   /** Files deletable under retain-last-N: referenced by NO snapshot in
@@ -593,6 +748,18 @@ object CommitLog {
   def tableChanges(spark: SparkSession, table: String, key: String): DataFrame = {
     val vMax = latestVersion(table)
     require(vMax >= 0, s"commit-log table $table has no commits")
+    // per-version schemas from ONE forward fold over the commits (r13
+    // advice: calling schemaAt per version made the CDF read O(V²) log
+    // reads — the same cumulative-cost class the txn checkpoint fix
+    // targets); decoded schemas memoized per distinct payload
+    val decoded = scala.collection.mutable.Map.empty[String,
+      org.apache.spark.sql.types.StructType]
+    val schemas: IndexedSeq[Option[org.apache.spark.sql.types.StructType]] =
+      commits(table, vMax)
+        .scanLeft(Option.empty[String])((acc, c) => c.meta.orElse(acc))
+        .tail
+        .map(_.map(b64 => decoded.getOrElseUpdate(b64, decodeSchema(b64))))
+        .toIndexedSeq
     // each version-step compares BOTH snapshots under the NEWER step's
     // schema: an ADD COLUMN evolution then changes no fingerprints (old
     // rows read NULL in the new column on both sides), so a metadata-only
@@ -605,7 +772,7 @@ object CommitLog {
       df.select(col(key), xxhash64(content: _*).as("row_fp"))
     }
     (0L to vMax).map { v =>
-      val sch = schemaAt(table, v)
+      val sch = schemas(v.toInt)
       val cur = fingerprinted(v, sch).withColumnRenamed("row_fp", "cur_fp")
       val prev =
         if (v == 0) cur.filter(lit(false)).select(col(key), col("cur_fp").as("prev_fp"))
