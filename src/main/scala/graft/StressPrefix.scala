@@ -67,6 +67,12 @@ object StressPrefix {
       time(s"${name}_exact") { Dedup.ngramJaccardPairs(docs) }
       time(s"${name}_prefix") { PrefixJoin.prefixJaccardPairs(docs) }
       time(s"${name}_hybrid") { PrefixJoin.hybridJaccardPairs(docs) }
+      // round-14 A/B: join-back df (production, skew-invariant-consistent)
+      // vs the demoted window-df twin — bounds the join-back's overhead
+      // at every regime incl. planted hot shingles; the window's 100 TB
+      // failure (one un-splittable hot partition) is structural and not
+      // reachable on one box
+      time(s"${name}_hybrid_windowdf") { PrefixJoin.hybridJaccardPairsWindowDf(docs) }
     }
     spark.stop()
   }

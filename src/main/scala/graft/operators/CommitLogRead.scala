@@ -165,6 +165,13 @@ object CommitLogRead {
       case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
     }
     CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 0)) // v0
+    // empty-corpus table: an all-empty append stages no data files, so
+    // there is no schema to rewrite — the normalized output is empty
+    // (the commitLogReadQ day-one convention)
+    if (CommitLog.read(spark, table, Some(0L)).columns.isEmpty)
+      return base.limit(0)
+        .select(lit(0L).as("version"), col("doc_id"), col("source"),
+          col("n_chars").as("len"))
     must(CommitLog.renameColumn(spark, table, "n_chars", "len")) // v1
     CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 1)
       .withColumnRenamed("n_chars", "len")) // v2

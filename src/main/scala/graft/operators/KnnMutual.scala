@@ -92,24 +92,36 @@ object KnnMutual {
     * [[MutualProbeGate]] FULL-ROW equality at BOTH gate SFs —
     * spec-pinned (AnnOracleSpec), which is what lets the registered
     * query share `knnMutualSql` as its oracle (the #36
-    * embedding_dedup_lsh promotion pattern). At 100 TB you raise
-    * NBits so buckets stay ~constant-size and retune mp — the dial is
-    * unchanged; cost is Σ bucket² id-pairs + |candidates| rerank rows,
-    * never corpus². */
+    * embedding_dedup_lsh promotion pattern). At 100 TB you raise `bits`
+    * so buckets stay ~constant-size and retune mp — and since round 14
+    * that dial is a REAL parameter, measured (MeasureMutual --x10, 10×
+    * vectors): the registered bits=5 geometry loses to brute at 10×
+    * (76 vs 38 s — buckets grow with n, so Σ bucket² grows with n²),
+    * while bits=8/mp=2 reads 35 s, crossing UNDER exact while staying
+    * full-row equal; the gap widens quadratically with n from there.
+    * Cost is Σ bucket² id-pairs + |candidates| rerank rows, never
+    * corpus². */
   def knnMutualLsh(embeddings: DataFrame, k: Int = K,
-                   multiProbe: Int = 0): DataFrame =
-    mutualOverCandidates(embeddings, lshCandidates(embeddings, multiProbe), k)
+                   multiProbe: Int = 0,
+                   tables: Int = Lsh.LshTables,
+                   bits: Int = Lsh.LshBits): DataFrame =
+    mutualOverCandidates(embeddings,
+      lshCandidates(embeddings, multiProbe, tables, bits), k)
 
   /** Canonical (id1 < id2) candidate pairs through the hyperplane
-    * buckets — id-only. */
-  private def lshCandidates(embeddings: DataFrame, multiProbe: Int): DataFrame = {
-    val b = Lsh.lshBuckets(embeddings).select(col("vec_id"), col("t"), col("key"))
+    * buckets — id-only. `(tables, bits)` is the corpus-size dial
+    * ([[Lsh.planesFor]]): buckets per table are 2^bits, so bits grows
+    * with log₂(corpus) to keep Σ bucket² linear-ish in n. */
+  private def lshCandidates(embeddings: DataFrame, multiProbe: Int,
+                            tables: Int, bits: Int): DataFrame = {
+    val b = Lsh.lshBuckets(embeddings, tables, bits)
+      .select(col("vec_id"), col("t"), col("key"))
     val a1 = b.select(col("vec_id").as("id1"), col("t"), col("key"))
     val a2base = b.select(col("vec_id").as("id2"), col("t"), col("key"))
     val a2 =
       if (multiProbe <= 0) a2base
       else {
-        val masks = (0 until (1 << Lsh.LshBits))
+        val masks = (0 until (1 << bits))
           .filter(m => Integer.bitCount(m) <= multiProbe)
         a2base.withColumn("key",
           explode(expr(s"transform(array(${masks.mkString(", ")}), m -> " +

@@ -179,18 +179,29 @@ object Lsh {
   val LshBits = 5
   val LshSeed = 42
 
-  /** Deterministic hyperplanes: LshTables*LshBits planes × 64 dims. */
-  lazy val Planes: IndexedSeq[IndexedSeq[Double]] = {
+  /** Deterministic hyperplane family for any (tables, bits) geometry:
+    * same seed, same fill order — `planesFor(LshTables, LshBits)` is
+    * bit-identical to the historical fixed matrix. The GEOMETRY is the
+    * 100 TB dial every LSH doc here cites ("raise NBits so buckets stay
+    * ~constant-size"): round 14 made it a real parameter after the
+    * mutual-kNN 10× measurement showed the fixed 32-bucket keyspace
+    * losing to brute at 10× corpus (buckets grow with n ⇒ Σ bucket²
+    * grows with n² — the dial, not the algorithm, was the bottleneck). */
+  def planesFor(tables: Int, bits: Int): IndexedSeq[IndexedSeq[Double]] = {
     val rnd = new scala.util.Random(LshSeed)
-    IndexedSeq.fill(LshTables * LshBits)(IndexedSeq.fill(64)(rnd.nextGaussian()))
+    IndexedSeq.fill(tables * bits)(IndexedSeq.fill(64)(rnd.nextGaussian()))
   }
+
+  /** Deterministic hyperplanes: LshTables*LshBits planes × 64 dims. */
+  lazy val Planes: IndexedSeq[IndexedSeq[Double]] = planesFor(LshTables, LshBits)
 
   /** vec → L bucket keys (sign pattern of NBits plane dots per table).
     * The plane matrix rides as ONE typed literal (array<array<double>>),
     * not 2,560 doubles of expression text — same plan, no parse bloat. */
-  def lshBuckets(embeddings: DataFrame): DataFrame =
+  def lshBuckets(embeddings: DataFrame,
+                 tables: Int = LshTables, bits: Int = LshBits): DataFrame =
     Similarity.withNorm(embeddings)
-      .withColumn("planes", typedLit(Planes.map(_.toSeq)))
+      .withColumn("planes", typedLit(planesFor(tables, bits).map(_.toSeq)))
       // bucket expression INLINE as the Generate child (not a named column
       // first): a named column would get InferFiltersFromGenerate's
       // size>0/isnotnull filter, and pushdown would inline the whole
@@ -198,10 +209,10 @@ object Lsh {
       // the dot products per vector (same pathology as Dedup.shingleExploded)
       .select(col("vec_id"), col("label"), col("vd"), col("norm"),
         explode(expr(
-          s"""transform(sequence(0, ${LshTables - 1}), t ->
+          s"""transform(sequence(0, ${tables - 1}), t ->
              |  named_struct('t', t, 'key',
-             |    aggregate(sequence(0, ${LshBits - 1}), 0L, (acc, p) ->
-             |      acc | (CASE WHEN graft_dot(vd, planes[t * $LshBits + p]) > 0.0
+             |    aggregate(sequence(0, ${bits - 1}), 0L, (acc, p) ->
+             |      acc | (CASE WHEN graft_dot(vd, planes[t * $bits + p]) > 0.0
              |                  THEN shiftleft(1L, p) ELSE 0L END))))""".stripMargin)).as("bk"))
       .select(col("vec_id"), col("label"), col("vd"), col("norm"),
         col("bk.t").as("t"), col("bk.key").as("key"))

@@ -63,11 +63,16 @@ object PairIndexStore {
     val spark = documents.sparkSession
     val dir = storeRoot.resolve(s"v1-${fingerprint(documents)}")
     if (!Files.exists(dir)) {
+      val mined = Dedup.pairIndex(documents)
+      // day-one totality: an EMPTY mine (empty corpus, or no shared
+      // shingles) is served directly — an AQE-empty write can produce a
+      // schema-less file-less directory that parquet cannot read back,
+      // and there is nothing to amortize anyway
+      if (mined.isEmpty) return mined
       Files.createDirectories(storeRoot)
       val tmp = storeRoot.resolve(
         s".build-${java.util.UUID.randomUUID().toString.take(8)}")
-      Dedup.pairIndex(documents)
-        .write.mode("overwrite").parquet(tmp.toString)
+      mined.write.mode("overwrite").parquet(tmp.toString)
       try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
         case e: java.nio.file.FileSystemException =>

@@ -131,6 +131,23 @@ object PrefixJoin {
     ex.join(dfs, Seq("sh")).localCheckpoint()
   }
 
+  /** MEASUREMENT-ONLY window-df twin (the SubstringDedup demoted-window
+    * precedent): the pre-round-14 production shape, df via `count over
+    * Window.partitionBy(sh)`. Kept private so StressPrefix can state the
+    * A/B honestly and PrefixJoinSpec can pin row identity — its 100 TB
+    * failure mode (one un-splittable reducer owning a df~10⁹ shingle's
+    * whole partition) is structural and NOT reachable on one box, so the
+    * gate numbers only bound the join-back's overhead, never demonstrate
+    * the window's failure. */
+  private[graft] def hybridJaccardPairsWindowDf(documents: DataFrame,
+                                                dfBand: Long = Dedup.HotDfFloor): DataFrame =
+    hybridCore(documents,
+      Dedup.shingleExploded(documents)
+        .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .localCheckpoint(),
+      dfBand, broadcastSizes = true)
+
   /** Df-BANDED hybrid of the plain inverted index and the prefix filter —
     * the registered `dedup_prefix` form (self-calibrated via
     * [[hybridJaccardAuto]] since round 13). The pure forms each own one

@@ -174,7 +174,14 @@ class EmptyInputSpec extends AnyFunSuite {
             StructField("ts", TimestampType))))),
       "pair_index" -> Dedup.pairIndex(d),
       "threshold_sweep_from_index" ->
-        ThresholdSweep.dedupThresholdSweepFromIndex(Dedup.pairIndex(d)))
+        ThresholdSweep.dedupThresholdSweepFromIndex(Dedup.pairIndex(d)),
+      // round 14: the store-backed twins (indexFor serves an empty mine
+      // directly — the no-store day-one path) + the rename/drop script
+      "dedup_ngram_jaccard_indexed" -> PairIndexStore.ngramJaccardIndexedQ(d),
+      "dedup_cluster_indexed" -> PairIndexStore.dedupClusterIndexedQ(d),
+      "dedup_threshold_sweep_indexed" -> PairIndexStore.dedupThresholdSweepIndexedQ(d),
+      "split_leakage_indexed" -> PairIndexStore.splitLeakageIndexedQ(d),
+      "commitlog_rename" -> CommitLogRead.commitLogRenameQ(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")

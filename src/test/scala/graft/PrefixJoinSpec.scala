@@ -124,6 +124,16 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(hotPlan.contains("ih#"), "hot corpus lost the probe stage")
   }
 
+  test("window-df measurement twin is row-identical to the join-back production form") {
+    // round 14: production df moved to the map-combinable groupBy +
+    // join-back (the unbounded-key skew invariant); the demoted window
+    // twin stays private for StressPrefix's A/B — identity here keeps
+    // the measurement honest (same rows, only the df PLUMBING differs)
+    val a = PrefixJoin.hybridJaccardPairs(docs).collect().map(_.toString).sorted
+    val b = PrefixJoin.hybridJaccardPairsWindowDf(docs).collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("plan: no cartesian/nested-loop join and no corpus-sized broadcast") {
     Seq(PrefixJoin.prefixJaccardQ(docs), PrefixJoin.hybridJaccardQ(docs))
       .foreach { q =>
