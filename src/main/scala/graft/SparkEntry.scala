@@ -337,6 +337,9 @@ object SparkEntry {
     "change_point_2" -> ((s, d) => ChangePoint.changePoint2Q(Tables.events(s, d))),
     "change_point_k" -> ((s, d) => ChangePoint.changePointKQ(Tables.events(s, d))),
     "acf_daily" -> ((s, d) => Acf.acfDailyQ(Tables.events(s, d))),
+    // round 14: truncated-kernel integer EWMA — the smoothed level
+    // between rate_spike's trailing mean and change_point's shifts
+    "ewma_daily" -> ((s, d) => Ewma.ewmaDailyQ(Tables.events(s, d))),
     "event_burstiness" -> ((s, d) => Burstiness.eventBurstinessQ(Tables.events(s, d))),
     "transition_stationary" -> ((s, d) => MarkovStationary.transitionStationaryQ(Tables.events(s, d))),
     "event_gaps" -> ((s, d) => EventGaps.eventGapsQ(Tables.events(s, d))),
@@ -573,6 +576,11 @@ object SparkEntry {
     // read under its own schema
     "commitlog_rename" -> ((s, d) =>
       CommitLogRead.commitLogRenameQ(Tables.documents(s, d))),
+    // round 14: FILE-GRANULAR DELETE through the log — only files
+    // containing matching rows are rewritten (granularity require'd
+    // in-query; values DuckDB-checked)
+    "commitlog_delete" -> ((s, d) =>
+      CommitLogRead.commitLogDeleteQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -868,6 +876,7 @@ object SparkEntry {
     "commitlog_history" -> CommitLogRead.commitLogHistorySql,
     "commitlog_incremental" -> CommitLogRead.commitLogIncrementalSql,
     "commitlog_rename" -> CommitLogRead.commitLogRenameSql,
+    "commitlog_delete" -> CommitLogRead.commitLogDeleteSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,
@@ -912,6 +921,7 @@ object SparkEntry {
     "change_point_2" -> ChangePoint.changePoint2Sql,
     "change_point_k" -> ChangePoint.changePointKSql,
     "acf_daily" -> Acf.acfDailySql,
+    "ewma_daily" -> Ewma.ewmaDailySql,
     "event_burstiness" -> Burstiness.eventBurstinessSql,
     "transition_stationary" -> MarkovStationary.transitionStationarySql,
     "event_gaps" -> EventGaps.eventGapsSql,

@@ -29,7 +29,9 @@ object StressEvents {
     // (one shared daily agg each), ACF (7 leads on one exchange), and
     // the hourly coverage-gap audit
     "change_point", "change_point_2", "change_point_k",
-    "acf_daily", "event_gaps", "event_burstiness", "transition_stationary")
+    "acf_daily", "event_gaps", "event_burstiness", "transition_stationary",
+    // round 14: the truncated-kernel EWMA (16 lags on one exchange)
+    "ewma_daily")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

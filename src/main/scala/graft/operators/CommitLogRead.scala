@@ -195,6 +195,68 @@ object CommitLogRead {
       .orderBy("version", "doc_id")
   }
 
+  /** FILE-GRANULAR DELETE in the gate (round 14): the [[CommitLog
+    * .deleteWhere]] verb on a deterministic script, with the
+    * granularity claim asserted IN-QUERY (file names are partitioning-
+    * dependent, so the oracle checks VALUES; the untouched-file
+    * survival is a require):
+    *  - v0 APPEND thirds-0                  (contains doc_id%5==0 rows)
+    *  - v1 APPEND thirds-1 WITHOUT %5==0    (contains none)
+    *  - v2 DELETE WHERE doc_id % 5 == 0     (must rewrite only v0 files)
+    *  - DELETE WHERE doc_id < 0             (no-op: commits NOTHING)
+    * Emits versions 0..2 normalized. */
+  def commitLogDeleteQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_del").resolve("t").toString
+    def must(r: Either[CommitLog.Conflict, Long]): Long = r match {
+      case Right(v) => v
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 0)) // v0
+    val untouched = CommitLog.append(spark, table,
+      base.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 =!= 0)) // v1
+    val v1Files = CommitLog.commits(table, untouched).last.adds.toSet
+    // v2 — if the corpus holds no %5==0 rows (a degenerate tiny corpus),
+    // deleteWhere no-ops WITHOUT committing (the Delta convention) and
+    // the "v2" emission reads the unchanged head: the oracle's v2 set
+    // equals its v1 set exactly then, so the rows still agree
+    val v2 = must(CommitLog.deleteWhere(spark, table, col("doc_id") % 5 === 0))
+    val afterDelete = CommitLog.liveFiles(table, CommitLog.latestVersion(table)).toSet
+    require(v1Files.subsetOf(afterDelete),
+      s"file-granular delete rewrote match-free files: ${v1Files -- afterDelete}")
+    // no-op delete: no commit, snapshot unchanged
+    val headBefore = CommitLog.latestVersion(table)
+    require(CommitLog.deleteWhere(spark, table, col("doc_id") < 0) == Right(headBefore),
+      "no-op delete must not commit")
+    require(CommitLog.latestVersion(table) == headBefore)
+    Seq(0L -> 0L, 1L -> 1L, 2L -> v2).map { case (tag, v) =>
+      val df = CommitLog.read(spark, table, Some(v))
+      val withSchema = if (df.columns.isEmpty) base.limit(0) else df
+      withSchema.select(lit(tag).as("version"), col("doc_id"), col("source"),
+        col("n_chars"))
+    }.reduce(_ unionByName _)
+      .orderBy("version", "doc_id")
+  }
+
+  /** Oracle: v0 = thirds-0; v1 adds match-free thirds-1; v2 = v1 minus
+    * the %5==0 rows (which can only live in thirds-0). */
+  val commitLogDeleteSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), v AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, * FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), * FROM base
+      |  WHERE doc_id % 3 = 0 OR (doc_id % 3 = 1 AND doc_id % 5 <> 0)
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), * FROM base
+      |  WHERE doc_id % 3 <= 1 AND doc_id % 5 <> 0
+      |)
+      |SELECT version, doc_id, source, n_chars
+      |FROM v
+      |ORDER BY version, doc_id""".stripMargin
+
   /** Oracle: the four versioned row sets straight from `documents` —
     * rename/drop must preserve every value across the rewrites. */
   val commitLogRenameSql: String =

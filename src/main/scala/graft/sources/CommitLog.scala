@@ -524,6 +524,46 @@ object CommitLog {
     else Left(Conflict(v, latestVersion(table)))
   }
 
+  /** DELETE WHERE through the log (round 14) — FILE-GRANULAR
+    * copy-on-write, the Delta DELETE shape: one scan tagged with
+    * `input_file_name()` finds the live files that CONTAIN matching
+    * rows, ONLY those files are rewritten without their matching rows,
+    * and removes+adds commit together serializably. Untouched files are
+    * never rewritten — at 100 TB a predicate touching 0.1% of files
+    * rewrites 0.1% of the table, not all of it (the GDPR-erasure /
+    * row-retention economics; the spec pins untouched-file-name
+    * survival). The affected-file list is a driver-side collect bounded
+    * by |live files| — log-scale metadata, never row data. A predicate
+    * matching nothing commits NOTHING and returns Right(head) (the
+    * Delta no-op-delete convention: no empty commit, snapshot
+    * unchanged). */
+  def deleteWhere(spark: SparkSession, table: String,
+                  cond: org.apache.spark.sql.Column): Either[Conflict, Long] = {
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    val live = liveFiles(table, head)
+    if (live.isEmpty) return Right(head)
+    val schema = schemaAt(table, head)
+    val paths = live.map(f => Paths.get(table, f).toString)
+    val tagged = (schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }).withColumn("_graft_file", input_file_name())
+    val affectedPaths = tagged.filter(cond).select("_graft_file")
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = live.filter(f =>
+      affectedPaths.exists(p => p.endsWith("/" + f) || p == f))
+    if (affected.isEmpty) return Right(head)
+    val keep = tagged
+      .filter(col("_graft_file").isin(affectedPaths.toSeq: _*))
+      .filter(!cond)
+      .drop("_graft_file")
+    val adds = stage(table, keep)
+    val res = replaceFiles(table, head, affected, adds)
+    if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    res
+  }
+
   /** RENAME COLUMN (round 14 — the non-widening half of schema
     * evolution): copy-on-write + a schema metadata action in ONE
     * serializable commit (Delta without column mapping does exactly

@@ -696,6 +696,30 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteWhere is FILE-GRANULAR: match-free files survive by NAME; no-op commits nothing") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a"), (5L, "e")).toDF("id", "s")) // v0: has id=5
+    CommitLog.append(spark, t, Seq((2L, "b"), (3L, "c")).toDF("id", "s")) // v1: match-free
+    val v1Files = CommitLog.commits(t, 1L).last.adds.toSet
+    assert(CommitLog.deleteWhere(spark, t, col("id") === 5L) == Right(2L))
+    val live = CommitLog.liveFiles(t, 2L).toSet
+    assert(v1Files.subsetOf(live),
+      s"match-free files were rewritten: ${v1Files -- live}")
+    assert(CommitLog.read(spark, t).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // the pre-delete snapshot still shows the row (copy-on-write history)
+    assert(CommitLog.read(spark, t, Some(1L)).count() == 4)
+    // deleting EVERY row of a file removes it without a zero-row re-add
+    // problem (adds may be empty; the commit is removes-only)
+    assert(CommitLog.deleteWhere(spark, t, col("id") === 1L).isRight)
+    assert(CommitLog.read(spark, t).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+    // no-op: nothing matches -> NO commit, head unchanged
+    val head = CommitLog.latestVersion(t)
+    assert(CommitLog.deleteWhere(spark, t, col("id") === 99L) == Right(head))
+    assert(CommitLog.latestVersion(t) == head)
+  }
+
   test("restore across an evolution: rows roll back, the evolved schema survives (log-level metadata)") {
     val t = tmpTable()
     CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0

@@ -150,6 +150,10 @@ class EmptyInputSpec extends AnyFunSuite {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
             StructField("ts", TimestampType))))),
+      "ewma_daily" -> Ewma.ewmaDaily(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
       "transition_stationary" -> MarkovStationary.transitionStationary(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("user_id", LongType),
@@ -181,7 +185,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "dedup_cluster_indexed" -> PairIndexStore.dedupClusterIndexedQ(d),
       "dedup_threshold_sweep_indexed" -> PairIndexStore.dedupThresholdSweepIndexedQ(d),
       "split_leakage_indexed" -> PairIndexStore.splitLeakageIndexedQ(d),
-      "commitlog_rename" -> CommitLogRead.commitLogRenameQ(d))
+      "commitlog_rename" -> CommitLogRead.commitLogRenameQ(d),
+      "commitlog_delete" -> CommitLogRead.commitLogDeleteQ(d))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
