@@ -202,6 +202,10 @@ object SparkEntry {
     // round 10: the hybrid's band dial derived from the observed shingle-df
     // distribution (report + plan in one frame, salting_plan pattern)
     "prefix_band_plan" -> ((s, d) => BandPlan.prefixBandPlanQ(Tables.documents(s, d))),
+    // round 14: the minhash S-curve banding advisor (bands×rows of the
+    // K=32 signature scored against the corpus's own near-dup pairs)
+    "minhash_band_plan" -> ((s, d) =>
+      MinhashBandPlan.minhashBandPlanQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
     "knn_mutual" -> ((s, d) => KnnMutual.knnMutualQ(Tables.embeddings(s, d))),
     "knn_mutual_clusters" -> ((s, d) => KnnMutual.knnMutualClustersQ(Tables.embeddings(s, d))),
@@ -741,6 +745,7 @@ object SparkEntry {
     "dedup_threshold_sweep" -> ThresholdSweep.dedupThresholdSweepSql,
     "dedup_prefix" -> Dedup.ngramJaccardSql,
     "prefix_band_plan" -> BandPlan.prefixBandPlanSql,
+    "minhash_band_plan" -> MinhashBandPlan.minhashBandPlanSql,
     "knn_cosine_brute" -> Similarity.knnCosineBruteSql,
     "knn_mutual" -> KnnMutual.knnMutualSql,
     "knn_mutual_clusters" -> KnnMutual.knnMutualClustersSql,

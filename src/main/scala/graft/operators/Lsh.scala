@@ -52,11 +52,17 @@ object Lsh {
     * batch-vs-corpus probe ([[Dedup.dedupIncrementalLsh]]). Signatures
     * are materialized once: Catalyst plans no ReusedExchange across a
     * bucket self-join, so without the checkpoint both consumers would
-    * recompute the whole signature aggregation. */
-  def bandedBuckets(documents: DataFrame): DataFrame = {
+    * recompute the whole signature aggregation. `(bands, rows)` is the
+    * S-curve geometry dial (round 14, [[MinhashBandPlan]]'s output):
+    * b·r ≤ K signature hashes split into b keys of r hashes each. */
+  def bandedBuckets(documents: DataFrame,
+                    bands: Int = MinhashBands,
+                    rows: Int = MinhashRows): DataFrame = {
+    require(bands >= 1 && rows >= 1 && bands * rows <= MinhashK,
+      s"banding $bands x $rows exceeds the $MinhashK-hash signature")
     val sigs = minhashSignatures(documents).localCheckpoint()
-    val bandKeys = (0 until MinhashBands).map { b =>
-      val cols = (0 until MinhashRows).map(i => s"mh_${b * MinhashRows + i}").mkString(", ")
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rows).map(i => s"mh_${b * rows + i}").mkString(", ")
       s"xxhash64($b, $cols)"
     }.mkString(", ")
     sigs.select(col("doc_id"), explode(expr(s"array($bandKeys)")).as("bkey"))
@@ -64,8 +70,10 @@ object Lsh {
 
   /** Banded-LSH candidate pairs, verified with exact Jaccard ≥ τ. */
   def minhashLshPairs(documents: DataFrame,
-                      threshold: Double = Dedup.JaccardThreshold): DataFrame = {
-    val buckets = bandedBuckets(documents)
+                      threshold: Double = Dedup.JaccardThreshold,
+                      bands: Int = MinhashBands,
+                      rows: Int = MinhashRows): DataFrame = {
+    val buckets = bandedBuckets(documents, bands, rows)
     val cand = buckets.as("a")
       .join(buckets.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))

@@ -56,6 +56,7 @@ class EmptyInputSpec extends AnyFunSuite {
       // exercises the no-hot fast path; a banded synthetic would need data)
       "dedup_prefix_hybrid" -> PrefixJoin.hybridJaccardPairs(d),
       "prefix_band_plan" -> BandPlan.prefixBandPlan(d),
+      "minhash_band_plan" -> MinhashBandPlan.minhashBandPlan(d),
       "freq_sketch" -> FreqSketch.freqSketch(d),
       "pareto_front" -> ParetoFront.paretoFront(d),
       "source_pagerank" -> SourceRank.sourcePagerank(d),
