@@ -395,6 +395,11 @@ object SparkEntry {
     "embedding_dedup_lsh" -> ((s, d) => Lsh.embeddingDedupLshQ(Tables.embeddings(s, d))),
     "knn_cosine_ivf" -> ((s, d) => Ivf.knnCosineIvfQ(Tables.embeddings(s, d))),
     "dedup_cluster" -> ((s, d) => Dedup.dedupClustersQ(Tables.documents(s, d))),
+    // round 14: incremental CC maintenance — old components merge
+    // through batch-touching pairs only; oracle = the FULL clustering
+    // (agreement proves the merge reproduces the from-scratch answer)
+    "dedup_cluster_incremental" -> ((s, d) =>
+      Dedup.dedupClustersIncrementalQ(Tables.documents(s, d))),
     // round 4: the full scale-path dedup pipeline (LSH candidates → verify
     // → CC); same closure oracle, valid because LSH == exact pair set on
     // the gate corpus (spec-pinned)
@@ -802,6 +807,7 @@ object SparkEntry {
     "embedding_dedup_lsh" -> Lsh.embeddingDedupLshSql,
     "dedup_cluster" -> Dedup.dedupClustersSql,
     "dedup_cluster_lsh" -> Dedup.dedupClustersSql,
+    "dedup_cluster_incremental" -> Dedup.dedupClustersSql,
     "dedup_incremental" -> Dedup.dedupIncrementalSql,
     "dedup_incremental_lsh" -> Dedup.dedupIncrementalSql,
     "corpus_split" -> TextOps.corpusSplitSql,

@@ -132,7 +132,9 @@ object CommitLogRead {
     val evolved = org.apache.spark.sql.types.StructType(
       base.schema.fields :+ org.apache.spark.sql.types.StructField(
         "score", org.apache.spark.sql.types.LongType))
-    CommitLog.evolveSchema(table, evolved) // v1
+    // baseline = the written frame's schema: first evolutions have no
+    // committed schema to validate against (round-14 widening check)
+    CommitLog.evolveSchema(table, evolved, baseline = Some(base.schema)) // v1
     CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 1)
       .withColumn("score", col("n_chars") * 2)) // v2
     CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 2)) // v3

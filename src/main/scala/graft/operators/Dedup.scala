@@ -378,6 +378,76 @@ object Dedup {
     clustersFromPairs(documents, Lsh.minhashLshPairs(documents, threshold), maxIters,
       saltNeighborMin)
 
+  /** INCREMENTAL connected-components maintenance (round 14) — the CC
+    * half of the incremental matrix ([[dedupIncremental]] answers
+    * per-batch ADMISSION; this answers "what do the cluster labels
+    * become" without re-pairing the corpus with itself). Classic
+    * super-vertex merge (union-find over components, public): existing
+    * component labels act as super-vertices; the ONLY new pair work is
+    * the batch-touching mine ([[pairIndexDelta]]'s bounded joins —
+    * Σ df_B·df per shingle, never corpus²); each delta pair projects to
+    * an edge between its endpoints' labels (a batch doc is its own
+    * label); CC over that LABEL GRAPH — |components|+|batch| vertices,
+    * |delta pairs| edges, catalog-sized next to the corpus — and the
+    * final label of every doc is the new label of its old label.
+    * Correct by the standard argument: components of the union graph
+    * are exactly old components merged through batch-touching edges,
+    * and min-ids compose (an old label IS its component's min doc_id,
+    * so the min over merged labels is the merged component's min).
+    *
+    * The registered query derives the old labels in-query from the
+    * corpus side (self-contained for the gate) and shares the FULL
+    * clustering's oracle — agreement proves the incremental merge
+    * reproduces the from-scratch answer exactly. A deployment feeds
+    * [[clustersIncrementalFromState]] persisted labels + a persisted
+    * delta instead (the pair-index store loop), paying only the delta
+    * mine + the label-graph CC per batch. */
+  def dedupClustersIncremental(documents: DataFrame,
+                               batchMod: Long = IncrementalBatchMod,
+                               threshold: Double = JaccardThreshold,
+                               maxIters: Int = 20): DataFrame = {
+    val corpus = documents.filter(col("doc_id") % batchMod =!= 0)
+    val oldLabels = dedupClusters(corpus, threshold, maxIters)
+      .select(col("doc_id"), col("cluster_id"))
+    val deltaPairs = pairsFromIndex(pairIndexDelta(documents, batchMod), threshold)
+      .select(col("id1"), col("id2"))
+    clustersIncrementalFromState(documents, oldLabels, deltaPairs,
+      batchMod, maxIters)
+  }
+
+  /** The deployment form: persisted corpus labels + the thresholded
+    * batch-touching delta pairs in, full updated labels out. */
+  def clustersIncrementalFromState(documents: DataFrame,
+                                   oldLabels: DataFrame,
+                                   deltaPairs: DataFrame,
+                                   batchMod: Long = IncrementalBatchMod,
+                                   maxIters: Int = 20): DataFrame = {
+    // label of an endpoint: its old component label (corpus doc) or
+    // itself (batch doc). oldLabels feeds the edge projection AND the
+    // final join-back — checkpoint per the multi-consumer invariant.
+    val lbl = oldLabels
+      .select(col("doc_id"), col("cluster_id").as("lbl"))
+      .unionAll(documents.filter(col("doc_id") % batchMod === 0)
+        .select(col("doc_id"), col("doc_id").as("lbl")))
+      .localCheckpoint()
+    val labelEdges = deltaPairs
+      .join(lbl.select(col("doc_id").as("id1"), col("lbl").as("l1")), Seq("id1"))
+      .join(lbl.select(col("doc_id").as("id2"), col("lbl").as("l2")), Seq("id2"))
+      .select(col("l1").as("id1"), col("l2").as("id2"))
+      .filter(col("id1") =!= col("id2"))
+    val superVertices = lbl.select(col("lbl").as("doc_id")).distinct()
+    val edges = labelEdges
+      .unionAll(labelEdges.select(col("id2").as("id1"), col("id1").as("id2")))
+    val (newLbl, _) = propagateMinLabels(superVertices, edges, maxIters)
+    lbl
+      .join(newLbl.select(col("doc_id").as("lbl"), col("label")), Seq("lbl"))
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  def dedupClustersIncrementalQ(documents: DataFrame): DataFrame =
+    dedupClustersIncremental(documents).orderBy("doc_id")
+
   /** Near-dup clustering with QUALITY-AWARE canonical choice (round 8):
     * the member a pipeline actually keeps from a near-dup cluster is the
     * BEST copy, not the lowest id — near-dup members genuinely differ

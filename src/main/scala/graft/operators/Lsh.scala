@@ -237,8 +237,9 @@ object Lsh {
     * index cost is unchanged — the right dial at 100 TB where re-bucketing
     * the corpus is the expensive side. */
   def knnCosineLsh(embeddings: DataFrame, k: Int = Similarity.KnnK,
-                   multiProbe: Int = 0): DataFrame = {
-    val b = lshBuckets(embeddings)
+                   multiProbe: Int = 0,
+                   tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
+    val b = lshBuckets(embeddings, tables, bits)
     val qb0 = b.filter(col("vec_id") % Similarity.QueryMod === 0)
       .select(col("vec_id").as("query_id"), col("vd").as("qv"), col("norm").as("qn"),
         col("t"), col("key"))
@@ -246,7 +247,7 @@ object Lsh {
       if (multiProbe <= 0) qb0
       else {
         // all key variants with ≤ multiProbe of the NBits bits flipped
-        val masks = (0 until (1 << LshBits))
+        val masks = (0 until (1 << bits))
           .filter(m => Integer.bitCount(m) <= multiProbe)
         qb0.withColumn("key",
           explode(expr(s"transform(array(${masks.mkString(", ")}), m -> " +
@@ -302,7 +303,8 @@ object Lsh {
     * precision exact since every candidate is cosine-verified. */
   def embeddingDedupLsh(embeddings: DataFrame,
                         threshold: Double = Similarity.DedupCosThreshold,
-                        multiProbe: Int = 0): DataFrame = {
+                        multiProbe: Int = 0,
+                        tables: Int = LshTables, bits: Int = LshBits): DataFrame = {
     // Candidate generation is ID-ONLY: the bucket self-join and the pair
     // dedup carry two longs per row, and the 64-dim double vectors join
     // back AFTER dropDuplicates — only |distinct pairs| rows ever carry
@@ -320,13 +322,14 @@ object Lsh {
     // trade at 100 TB (economics only; correctness is unaffected).
     val e = Similarity.withNorm(embeddings)
       .select(col("vec_id"), col("vd"), col("norm"))
-    val b = lshBuckets(embeddings).select(col("vec_id"), col("t"), col("key"))
+    val b = lshBuckets(embeddings, tables, bits)
+      .select(col("vec_id"), col("t"), col("key"))
     val a1 = b.select(col("vec_id").as("id1"), col("t"), col("key"))
     val a2base = b.select(col("vec_id").as("id2"), col("t"), col("key"))
     val a2 =
       if (multiProbe <= 0) a2base
       else {
-        val masks = (0 until (1 << LshBits))
+        val masks = (0 until (1 << bits))
           .filter(m => Integer.bitCount(m) <= multiProbe)
         a2base.withColumn("key",
           explode(expr(s"transform(array(${masks.mkString(", ")}), m -> " +

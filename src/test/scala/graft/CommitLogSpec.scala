@@ -439,6 +439,50 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.latestVersion(t) == v1, "replay created new versions")
   }
 
+  test("exactly-once PIPE: idempotent sink -> incremental source, end to end through one table") {
+    // round 14: the two exactly-once halves composed — a replayable
+    // writer lands each micro-batch once (appendIdempotent) while a
+    // DOWNSTREAM cursor consumer drains the same table between batches
+    // (readIncremental). The pipe's contract: the consumer's accumulated
+    // rows equal the source exactly once, and a full from-scratch sink
+    // replay moves NEITHER the table NOR the consumer's cursor.
+    import org.apache.spark.sql.streaming.Trigger
+    val t = tmpTable()
+    val src = Files.createTempDirectory("graft_pipe_src").toString
+    val events = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
+    val ordered = events.orderBy("event_id").collect()
+    var cursor = -1L
+    val drained = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def drain(): Unit = {
+      val (batch, c) = CommitLog.readIncremental(spark, t, cursor)
+      if (batch.columns.nonEmpty)
+        drained ++= batch.select("event_id").as[Long].collect()
+      cursor = c
+    }
+    def runStream(ckpt: String): Unit =
+      ordered.grouped(math.max(ordered.length / 4, 1)).zipWithIndex.foreach { case (c, i) =>
+        spark.createDataFrame(spark.sparkContext.parallelize(c.toSeq, 1), events.schema)
+          .write.mode("append").parquet(src)
+        val q = spark.readStream.schema(events.schema).parquet(src)
+          .writeStream
+          .foreachBatch(StreamingJobs.commitLogSinkBatch(t, "pipe_sink"))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        drain() // consumer keeps pace with the writer
+      }
+    runStream(Files.createTempDirectory("graft_pipe_ck1").toString)
+    assert(drained.sorted.toSeq == ordered.map(_.getLong(0)).sorted.toSeq,
+      "pipe must deliver every event to the consumer exactly once")
+    // from-scratch sink replay: batchIds restart, the table watermark
+    // rejects every re-delivery, and the consumer's cursor sees nothing
+    val cursorBefore = cursor
+    runStream(Files.createTempDirectory("graft_pipe_ck2").toString)
+    assert(drained.sorted.toSeq == ordered.map(_.getLong(0)).sorted.toSeq,
+      "replay leaked duplicate rows through the pipe")
+    assert(cursor == cursorBefore, "replay advanced the consumer cursor")
+  }
+
   test("history classifier: verbs derived from the log alone match the script; empty corpus total") {
     import graft.operators.CommitLogRead
     // small corpus: the classifier must label v2 replace (removes + fresh

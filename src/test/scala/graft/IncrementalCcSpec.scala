@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Incremental CC maintenance: a batch doc WELDS two previously-separate
+  * corpus components through the label graph, and the result equals the
+  * from-scratch clustering exactly — on a hand-built fixture whose
+  * Jaccards are computed in the comment, so the merge is forced, not
+  * incidental. */
+class IncrementalCcSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // M = w0..w20 (20 distinct bigrams). A drops M's last 2 bigrams, adds
+  // 2 unique -> j(M,A) = 18/22 = 0.818 >= 0.8; B drops M's first 2,
+  // adds 2 unique -> j(M,B) = 0.818; but j(A,B) = 16/24 = 0.667 < 0.8.
+  // So corpus {A, B} forms TWO components; batch doc M bridges them.
+  private val w = (0 to 20).map(i => s"w$i")
+  private val mTxt = w.mkString(" ")
+  private val aTxt = (w.take(19) ++ Seq("aa1", "aa2")).mkString(" ")
+  private val bTxt = (Seq("bb1", "bb2") ++ w.drop(2)).mkString(" ")
+
+  private def labels(df: DataFrame): Map[Long, Long] =
+    df.select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("batch bridge merges two old components; result equals the full clustering") {
+    // ids: corpus 1, 2 (not % 5 == 0), batch 5; plus an untouched
+    // corpus singleton 3 whose label must not move
+    val docs = Seq((1L, aTxt), (2L, bTxt), (3L, "lone text here"), (5L, mTxt))
+      .toDF("doc_id", "text")
+    val corpusOnly = docs.filter($"doc_id" % 5 =!= 0)
+    val before = labels(Dedup.dedupClusters(corpusOnly))
+    assert(before(1L) != before(2L), "fixture broken: A and B must start separate")
+    val inc = labels(Dedup.dedupClustersIncremental(docs))
+    val full = labels(Dedup.dedupClusters(docs))
+    assert(inc == full, s"incremental $inc != full $full")
+    assert(inc(1L) == 1L && inc(2L) == 1L && inc(5L) == 1L,
+      s"bridge must weld {1,2,5} under min-id 1: $inc")
+    assert(inc(3L) == 3L, "untouched singleton must keep its label")
+  }
+
+  test("no batch rows: labels are exactly the corpus labels") {
+    val docs = Seq((1L, aTxt), (2L, bTxt)).toDF("doc_id", "text")
+    assert(labels(Dedup.dedupClustersIncremental(docs)) ==
+      labels(Dedup.dedupClusters(docs)))
+  }
+}
