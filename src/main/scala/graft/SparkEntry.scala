@@ -225,6 +225,10 @@ object SparkEntry {
     // vectors vs the existing corpus only, the text family's economics
     "embedding_dedup_incremental" -> ((s, d) =>
       Similarity.embeddingDedupIncrementalQ(Tables.embeddings(s, d))),
+    // round 14: the bucket-probe twin — corpus index precomputed, batch
+    // probes multi-probe keys; completes the incremental matrix cell
+    "embedding_dedup_incremental_lsh" -> ((s, d) =>
+      Lsh.embeddingDedupIncrementalLshQ(Tables.embeddings(s, d))),
     // round 8: semantic CC — the embedding-side twin of dedup_cluster
     "embedding_cluster" -> ((s, d) =>
       Similarity.embeddingClustersQ(Tables.embeddings(s, d))),
@@ -761,6 +765,7 @@ object SparkEntry {
     "hard_negative_mine" -> HardNegative.hardNegativesSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,
     "embedding_dedup_incremental" -> Similarity.embeddingDedupIncrementalSql,
+    "embedding_dedup_incremental_lsh" -> Lsh.embeddingDedupIncrementalLshSql,
     "embedding_cluster" -> Similarity.embeddingClustersSql,
     "embedding_cluster_lsh" -> Similarity.embeddingClustersSql,
     "sessionize" -> Sessionize.sessionizeSql,

@@ -372,4 +372,77 @@ object Lsh {
   /** Valid at [[PairProbeRecallOne]] — AnnOracleSpec pins full-row
     * equality with the exact miner. */
   val embeddingDedupLshSql: String = Similarity.embeddingDedupSql
+
+  /** INCREMENTAL semantic admission through the hyperplane buckets
+    * (round 14) — the LSH twin of [[Similarity
+    * .embeddingDedupIncremental]], completing the incremental matrix
+    * cell the shingle side closed in round 6 ([[Dedup
+    * .dedupIncrementalLsh]]'s precedent): the corpus bucket index is
+    * the PRECOMPUTED side (at 100 TB: stored bucketed by (t, key),
+    * amortized across every future batch — the whole economics of
+    * incremental ingest), and only the BATCH side explodes multi-probe
+    * key variants — candidates are Σ_key |batch bucket|×|corpus
+    * bucket|, never batch×corpus. Candidates are id-only (vectors
+    * attach AFTER the distinct — the round-9 join-back economics),
+    * then exact-verified, and the per-batch-vec aggregate (n_matches /
+    * min-id dup_of / best cos) is the SAME tail as the exact twin.
+    * Output equals the exact operator whenever bucket recall is 1 on
+    * the batch×corpus qualifying pairs — a SUBSET of the pair set
+    * [[PairProbeRecallOne]] already certifies (n_matches counts EVERY
+    * match, so per-pair recall is the needed condition, same as the
+    * pair miner's — not just best-match recall); AnnOracleSpec pins
+    * full-row equality, which lets the registered query share the
+    * exact twin's oracle. */
+  def embeddingDedupIncrementalLsh(embeddings: DataFrame,
+                                   threshold: Double = Similarity.DedupCosThreshold,
+                                   batchMod: Long = Dedup.IncrementalBatchMod,
+                                   multiProbe: Int = 0,
+                                   tables: Int = LshTables,
+                                   bits: Int = LshBits): DataFrame = {
+    val b = lshBuckets(embeddings, tables, bits)
+      .select(col("vec_id"), col("t"), col("key"))
+    val batchB0 = b.filter(col("vec_id") % batchMod === 0)
+      .select(col("vec_id").as("bid"), col("t"), col("key"))
+    val batchB =
+      if (multiProbe <= 0) batchB0
+      else {
+        val masks = (0 until (1 << bits))
+          .filter(m => Integer.bitCount(m) <= multiProbe)
+        batchB0.withColumn("key",
+          explode(expr(s"transform(array(${masks.mkString(", ")}), m -> " +
+            "CAST(key AS BIGINT) ^ CAST(m AS BIGINT))")))
+      }
+    val corpusB = b.filter(col("vec_id") % batchMod =!= 0)
+      .select(col("vec_id").as("cid"), col("t"), col("key"))
+    val cand = broadcast(batchB).join(corpusB, Seq("t", "key"))
+      .select("bid", "cid").distinct()
+    val e = Similarity.withNorm(embeddings)
+      .select(col("vec_id"), col("vd"), col("norm"))
+    val stats = cand
+      .join(e.select(col("vec_id").as("bid"), col("vd").as("qv"),
+        col("norm").as("qn")), Seq("bid"))
+      .join(e.select(col("vec_id").as("cid"), col("vd"), col("norm")), Seq("cid"))
+      .withColumn("cos", expr(s"${Similarity.DotF} / (norm * qn)"))
+      .filter(col("cos") >= threshold)
+      .groupBy("bid")
+      .agg(count(lit(1)).as("nm"), min("cid").as("dup_of"),
+        max("cos").as("best_cos"))
+    embeddings.filter(col("vec_id") % batchMod === 0).select(col("vec_id"))
+      .join(stats, col("vec_id") === col("bid"), "left")
+      .withColumn("n_matches", coalesce(col("nm"), lit(0L)))
+      .withColumn("is_new", col("dup_of").isNull)
+      .select(col("vec_id"), col("n_matches"), col("dup_of"),
+        col("best_cos"), col("is_new"))
+  }
+
+  def embeddingDedupIncrementalLshQ(embeddings: DataFrame): DataFrame =
+    embeddingDedupIncrementalLsh(embeddings, multiProbe = PairProbeRecallOne)
+      .select(col("vec_id"), col("n_matches"), col("dup_of"),
+        Parity.r("best_cos", 4), col("is_new"))
+      .orderBy("vec_id")
+
+  /** Valid at [[PairProbeRecallOne]] — AnnOracleSpec pins full-row
+    * equality with the exact incremental twin. */
+  val embeddingDedupIncrementalLshSql: String =
+    Similarity.embeddingDedupIncrementalSql
 }

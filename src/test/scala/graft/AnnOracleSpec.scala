@@ -218,6 +218,20 @@ class AnnOracleSpec extends AnyFunSuite {
       s"mutual LSH clusters != exact at mp=${graft.operators.KnnMutual.MutualProbeGate}")
   }
 
+  test("incremental embedding admission through buckets equals the exact twin row-for-row") {
+    // embedding_dedup_incremental_lsh shares the exact twin's oracle —
+    // valid iff n_matches (EVERY match counted), min-id dup_of, and the
+    // rounded best cos are identical at the gate width on the gate
+    // corpus: per-pair recall is the needed condition (a subset of the
+    // pair set PairProbeRecallOne certifies), pinned here directly.
+    val emb = Tables.embeddings(spark, gateSf)
+    def rows(df: DataFrame): Array[String] = df.collect().map(_.toString).sorted
+    val exact = rows(Similarity.embeddingDedupIncrementalQ(emb))
+    val lsh = rows(graft.operators.Lsh.embeddingDedupIncrementalLshQ(emb))
+    assert(exact.nonEmpty && lsh.sameElements(exact),
+      s"gate-width incremental LSH != exact: ${lsh.length} vs ${exact.length}")
+  }
+
   test("maxDf cap: identity when loose, lossy-subset when tight") {
     val docs = Tables.documents(spark, sf)
     def pairSet(df: DataFrame): Set[(Long, Long)] =

@@ -319,6 +319,8 @@ class EmptyInputSpec extends AnyFunSuite {
       "knn_mutual_clusters_lsh" -> KnnMutual.knnMutualClustersLsh(e),
       "embedding_dedup" -> Similarity.embeddingDedup(e),
       "embedding_dedup_incremental" -> Similarity.embeddingDedupIncremental(e),
+      "embedding_dedup_incremental_lsh" ->
+        graft.operators.Lsh.embeddingDedupIncrementalLsh(e),
       "embedding_cluster" -> Similarity.embeddingClusters(e),
       // round 9
       "embedding_cluster_lsh" -> Similarity.embeddingClustersLsh(e),
