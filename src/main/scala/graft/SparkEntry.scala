@@ -205,7 +205,7 @@ object SparkEntry {
     // round 14: the minhash S-curve banding advisor (bands×rows of the
     // K=32 signature scored against the corpus's own near-dup pairs)
     "minhash_band_plan" -> ((s, d) =>
-      MinhashBandPlan.minhashBandPlanQ(Tables.documents(s, d))),
+      PairIndexStore.minhashBandPlanStoreQ(Tables.documents(s, d))),
     "knn_cosine_brute" -> ((s, d) => Similarity.knnCosineBruteQ(Tables.embeddings(s, d))),
     "knn_mutual" -> ((s, d) => KnnMutual.knnMutualQ(Tables.embeddings(s, d))),
     "knn_mutual_clusters" -> ((s, d) => KnnMutual.knnMutualClustersQ(Tables.embeddings(s, d))),
@@ -403,7 +403,7 @@ object SparkEntry {
     // through batch-touching pairs only; oracle = the FULL clustering
     // (agreement proves the merge reproduces the from-scratch answer)
     "dedup_cluster_incremental" -> ((s, d) =>
-      Dedup.dedupClustersIncrementalQ(Tables.documents(s, d))),
+      PairIndexStore.dedupClusterIncrementalStoreQ(Tables.documents(s, d))),
     // round 4: the full scale-path dedup pipeline (LSH candidates → verify
     // → CC); same closure oracle, valid because LSH == exact pair set on
     // the gate corpus (spec-pinned)

@@ -57,13 +57,18 @@ object PairIndexStore {
   private def storeRoot: Path =
     Paths.get(sys.props("java.io.tmpdir"), "graft_pair_index")
 
-  /** The τ=0 pair index for this corpus, from the store — mined and
-    * persisted on first use, read back (no re-mine) afterwards. */
-  def indexFor(documents: DataFrame): DataFrame = {
+  /** Generic fingerprint-keyed derived-frame store: `mk` runs ONCE per
+    * (tag, corpus content) pair and is read back afterwards — the same
+    * staleness/concurrency guarantees for ANY expensive derivation
+    * (pair index, cluster labels, …): a changed corpus changes the
+    * fingerprint, so a stale frame is unreachable by path
+    * construction. */
+  private[graft] def cachedFrame(tag: String, documents: DataFrame)
+                                (mk: => DataFrame): DataFrame = {
     val spark = documents.sparkSession
-    val dir = storeRoot.resolve(s"v1-${fingerprint(documents)}")
+    val dir = storeRoot.resolve(s"$tag-${fingerprint(documents)}")
     if (!Files.exists(dir)) {
-      val mined = Dedup.pairIndex(documents)
+      val mined = mk
       // day-one totality: an EMPTY mine (empty corpus, or no shared
       // shingles) is served directly — an AQE-empty write can produce a
       // schema-less file-less directory that parquet cannot read back,
@@ -82,6 +87,11 @@ object PairIndexStore {
     }
     spark.read.parquet(dir.toString)
   }
+
+  /** The τ=0 pair index for this corpus, from the store — mined and
+    * persisted on first use, read back (no re-mine) afterwards. */
+  def indexFor(documents: DataFrame): DataFrame =
+    cachedFrame("v1", documents)(Dedup.pairIndex(documents))
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
@@ -128,4 +138,35 @@ object PairIndexStore {
   def sourceDupRateIndexedQ(documents: DataFrame): DataFrame =
     SourceDupRate.sourceDupRateFromIndex(documents, indexFor(documents))
       .orderBy("source")
+
+  /** [[MinhashBandPlan]] fed from the store — the registered form
+    * (round 14): the advisor's only data-volume input IS the τ=0
+    * stats, so the registered query must not re-mine what the store
+    * holds (its own mine-once principle applied to itself). */
+  def minhashBandPlanStoreQ(documents: DataFrame): DataFrame =
+    MinhashBandPlan.minhashBandPlanFromIndex(indexFor(documents))
+      .orderBy(col("bands").desc)
+
+  /** [[Dedup.clustersIncrementalFromState]] with the corpus-side state
+    * derived THROUGH the store — the registered form (round 14): the
+    * corpus-only pair index is literally "yesterday's persisted index"
+    * in the incremental story (fingerprint-keyed separately from the
+    * full corpus), so the old labels come from stored stats and the
+    * only live mining is the batch-touching delta. Row-identical to
+    * the self-contained inline form (same oracle — the FULL
+    * clustering). */
+  def dedupClusterIncrementalStoreQ(documents: DataFrame): DataFrame = {
+    val corpus = documents.filter(col("doc_id") % Dedup.IncrementalBatchMod =!= 0)
+    // yesterday's LABELS are the persisted state of the incremental
+    // story — stored fingerprint-keyed like the index they derive from,
+    // so the per-batch cost is the delta mine + the label-graph CC only
+    val oldLabels = cachedFrame("cclabels-v1", corpus) {
+      Dedup.dedupClustersFromIndex(corpus, indexFor(corpus))
+        .select(col("doc_id"), col("cluster_id"))
+    }
+    val delta = Dedup.pairsFromIndex(Dedup.pairIndexDelta(documents))
+      .select(col("id1"), col("id2"))
+    Dedup.clustersIncrementalFromState(documents, oldLabels, delta)
+      .orderBy("doc_id")
+  }
 }
