@@ -238,6 +238,12 @@ object SparkEntry {
     // shares the exact closure oracle (the #38→#39 argument)
     "embedding_cluster_lsh" -> ((s, d) =>
       Similarity.embeddingClustersLshQ(Tables.embeddings(s, d))),
+    // round 14: the LAST incremental-matrix cell — semantic LABEL
+    // maintenance via the super-vertex merge (#250's argument on the
+    // embedding side); shares the FULL clustering's oracle, so the gate
+    // proves the merge reproduces the from-scratch labels
+    "embedding_cluster_incremental" -> ((s, d) =>
+      Similarity.embeddingClustersIncrementalQ(Tables.embeddings(s, d))),
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
     // native twin: Catalyst's own SessionWindow node, projected back to
@@ -348,6 +354,14 @@ object SparkEntry {
     // round 14: truncated-kernel integer EWMA — the smoothed level
     // between rate_spike's trailing mean and change_point's shifts
     "ewma_daily" -> ((s, d) => Ewma.ewmaDailyQ(Tables.events(s, d))),
+    // …and the ONLINE sequential detector: CUSUM via the exact
+    // reflection identity (two chained windows, no recursion) — catches
+    // sustained drifts change_point reads retrospectively
+    "cusum_alarm" -> ((s, d) => Cusum.cusumAlarmQ(Tables.events(s, d))),
+    // …and the classical additive decomposition: per-day trend/seasonal/
+    // residual with the exact reconstruction identity x·1000 = t+s+r
+    "seasonal_decompose" -> ((s, d) =>
+      SeasonalDecompose.seasonalDecomposeQ(Tables.events(s, d))),
     "event_burstiness" -> ((s, d) => Burstiness.eventBurstinessQ(Tables.events(s, d))),
     "transition_stationary" -> ((s, d) => MarkovStationary.transitionStationaryQ(Tables.events(s, d))),
     "event_gaps" -> ((s, d) => EventGaps.eventGapsQ(Tables.events(s, d))),
@@ -594,6 +608,11 @@ object SparkEntry {
     // in-query; values DuckDB-checked)
     "commitlog_delete" -> ((s, d) =>
       CommitLogRead.commitLogDeleteQ(Tables.documents(s, d))),
+    // …and UPDATE WHERE ... SET, the last DML verb: same file-granular
+    // copy-on-write, SET applied to matching rows only, schema
+    // preservation require'd
+    "commitlog_update" -> ((s, d) =>
+      CommitLogRead.commitLogUpdateQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -768,6 +787,7 @@ object SparkEntry {
     "embedding_dedup_incremental_lsh" -> Lsh.embeddingDedupIncrementalLshSql,
     "embedding_cluster" -> Similarity.embeddingClustersSql,
     "embedding_cluster_lsh" -> Similarity.embeddingClustersSql,
+    "embedding_cluster_incremental" -> Similarity.embeddingClustersSql,
     "sessionize" -> Sessionize.sessionizeSql,
     "sessionize_native" -> Sessionize.sessionizeSql,
     "session_gap_sweep" -> SessionGapSweep.sessionGapSweepSql,
@@ -893,6 +913,7 @@ object SparkEntry {
     "commitlog_incremental" -> CommitLogRead.commitLogIncrementalSql,
     "commitlog_rename" -> CommitLogRead.commitLogRenameSql,
     "commitlog_delete" -> CommitLogRead.commitLogDeleteSql,
+    "commitlog_update" -> CommitLogRead.commitLogUpdateSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,
@@ -938,6 +959,8 @@ object SparkEntry {
     "change_point_k" -> ChangePoint.changePointKSql,
     "acf_daily" -> Acf.acfDailySql,
     "ewma_daily" -> Ewma.ewmaDailySql,
+    "cusum_alarm" -> Cusum.cusumAlarmSql,
+    "seasonal_decompose" -> SeasonalDecompose.seasonalDecomposeSql,
     "event_burstiness" -> Burstiness.eventBurstinessSql,
     "transition_stationary" -> MarkovStationary.transitionStationarySql,
     "event_gaps" -> EventGaps.eventGapsSql,

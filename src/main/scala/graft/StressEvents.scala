@@ -30,8 +30,9 @@ object StressEvents {
     // the hourly coverage-gap audit
     "change_point", "change_point_2", "change_point_k",
     "acf_daily", "event_gaps", "event_burstiness", "transition_stationary",
-    // round 14: the truncated-kernel EWMA (16 lags on one exchange)
-    "ewma_daily")
+    // round 14: the truncated-kernel EWMA (16 lags on one exchange) and
+    // the CUSUM drift alarm (reflection identity — 3 windows, one exchange)
+    "ewma_daily", "cusum_alarm", "seasonal_decompose")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -69,8 +70,10 @@ object StressEvents {
       passes.min
     }
 
-    Queries.foreach(time(_, baseDir)) // warmup
-    Queries.foreach { q =>
+    // optional extra args = query subset (focused re-measurement)
+    val qs = if (args.length > 2) args.drop(2).toSeq else Queries
+    qs.foreach(time(_, baseDir)) // warmup
+    qs.foreach { q =>
       val t1 = time(q, baseDir)
       val t10 = time(q, workDir)
       println(f"TIME query=$q sf01=$t1%.2f x10=$t10%.2f factor=${t10 / math.max(t1, 0.01)}%.1f")

@@ -241,6 +241,80 @@ object CommitLogRead {
       .orderBy("version", "doc_id")
   }
 
+  /** FILE-GRANULAR UPDATE in the gate (round 14, completing the DML
+    * verb set next to [[commitLogDeleteQ]]): the [[CommitLog
+    * .updateWhere]] verb on the same deterministic script shape, with
+    * the granularity claim asserted IN-QUERY (file names are
+    * partitioning-dependent, so the oracle checks VALUES):
+    *  - v0 APPEND thirds-0                  (contains doc_id%5==0 rows)
+    *  - v1 APPEND thirds-1 WITHOUT %5==0    (contains none)
+    *  - v2 UPDATE WHERE doc_id % 5 == 0
+    *       SET n_chars = n_chars*10+7, source = 'redacted'
+    *       (must rewrite only v0 files; non-matching rows of those
+    *        files survive verbatim — value-checked by the oracle)
+    *  - UPDATE WHERE doc_id < 0 SET n_chars = 0   (no-op: commits NOTHING)
+    * Emits versions 0..2 normalized — v0/v1 prove pre-update snapshots
+    * read the ORIGINAL values after the copy-on-write. */
+  def commitLogUpdateQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_upd").resolve("t").toString
+    def must(r: Either[CommitLog.Conflict, Long]): Long = r match {
+      case Right(v) => v
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 0)) // v0
+    val untouched = CommitLog.append(spark, table,
+      base.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 =!= 0)) // v1
+    val v1Files = CommitLog.commits(table, untouched).last.adds.toSet
+    // v2 — a corpus with no %5==0 rows no-ops WITHOUT committing (the
+    // delete convention): the "v2" emission then reads the unchanged
+    // head and the oracle's v2 set equals its v1 set (update of zero
+    // rows), so the rows still agree
+    val v2 = must(CommitLog.updateWhere(spark, table, col("doc_id") % 5 === 0,
+      Seq("n_chars" -> (col("n_chars") * 10 + 7), "source" -> lit("redacted"))))
+    val afterUpdate = CommitLog.liveFiles(table, CommitLog.latestVersion(table)).toSet
+    require(v1Files.subsetOf(afterUpdate),
+      s"file-granular update rewrote match-free files: ${v1Files -- afterUpdate}")
+    // no-op update: no commit, snapshot unchanged
+    val headBefore = CommitLog.latestVersion(table)
+    require(CommitLog.updateWhere(spark, table, col("doc_id") < 0,
+      Seq("n_chars" -> lit(0L))) == Right(headBefore),
+      "no-op update must not commit")
+    require(CommitLog.latestVersion(table) == headBefore)
+    Seq(0L -> 0L, 1L -> 1L, 2L -> v2).map { case (tag, v) =>
+      val df = CommitLog.read(spark, table, Some(v))
+      val withSchema = if (df.columns.isEmpty) base.limit(0) else df
+      withSchema.select(lit(tag).as("version"), col("doc_id"), col("source"),
+        col("n_chars"))
+    }.reduce(_ unionByName _)
+      .orderBy("version", "doc_id")
+  }
+
+  /** Oracle: v0 = thirds-0; v1 adds match-free thirds-1; v2 = v1 with
+    * the SET expressions applied to its %5==0 rows (which can only live
+    * in thirds-0 — v1's append excluded them). */
+  val commitLogUpdateSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), v01 AS (
+      |  SELECT doc_id, source, n_chars FROM base
+      |  WHERE doc_id % 3 = 0 OR (doc_id % 3 = 1 AND doc_id % 5 <> 0)
+      |), v AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, doc_id, source, n_chars
+      |  FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), doc_id, source, n_chars FROM v01
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), doc_id,
+      |         CASE WHEN doc_id % 5 = 0 THEN 'redacted' ELSE source END,
+      |         CASE WHEN doc_id % 5 = 0 THEN n_chars * 10 + 7 ELSE n_chars END
+      |  FROM v01
+      |)
+      |SELECT version, doc_id, source, n_chars
+      |FROM v
+      |ORDER BY version, doc_id""".stripMargin
+
   /** Oracle: v0 = thirds-0; v1 adds match-free thirds-1; v2 = v1 minus
     * the %5==0 rows (which can only live in thirds-0). */
   val commitLogDeleteSql: String =

@@ -281,6 +281,52 @@ object Similarity {
     embeddingClustersLsh(embeddings, multiProbe = ClusterProbeGate)
       .orderBy("vec_id")
 
+  /** INCREMENTAL semantic-cluster maintenance (round 14) — the LAST cell
+    * of the incremental matrix: shingle admission (#41), shingle labels
+    * (#250), semantic admission (#74/#251) exist; this answers "what do
+    * the SEMANTIC labels become when a batch arrives" without re-pairing
+    * the corpus with itself. Same super-vertex merge as
+    * [[Dedup.clustersIncrementalFromState]] (old component labels are
+    * super-vertices, min-ids compose): the only new pair work is
+    * batch-TOUCHING cosine pairs — batch×corpus (the #74 broadcast
+    * product; at 100 TB the [[Lsh.embeddingDedupIncrementalLsh]] bucket
+    * probe mines the same candidates at Σ bucket² cost) plus
+    * batch×batch (two new vectors forming a brand-new cluster —
+    * admission never needs this edge class, the CC merge does). CC runs
+    * on the LABEL GRAPH — |components|+|batch| vertices, catalog-sized
+    * next to the corpus. The registered query derives old labels
+    * in-query (self-contained for the gate) and shares the FULL
+    * clustering's oracle, so the gate PROVES the merge reproduces the
+    * from-scratch labeling exactly — the #250 precedent on the
+    * embedding side. */
+  def embeddingClustersIncremental(embeddings: DataFrame,
+                                   threshold: Double = DedupCosThreshold,
+                                   batchMod: Long = Dedup.IncrementalBatchMod,
+                                   maxIters: Int = 20): DataFrame = {
+    val oldLabels = embeddingClusters(
+      embeddings.filter(col("vec_id") % batchMod =!= 0), threshold, maxIters)
+      .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    val e = withNorm(embeddings)
+    val batch = e.filter(col("vec_id") % batchMod === 0)
+      .select(col("vec_id").as("bid"), col("vd").as("qv"), col("norm").as("qn"))
+    val corpusN = e.filter(col("vec_id") % batchMod =!= 0)
+      .select(col("vec_id"), col("vd"), col("norm"))
+    val bc = corpusN.crossJoin(broadcast(batch))
+      .withColumn("cos", expr(s"$DotF / (norm * qn)"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_id").as("id1"), col("bid").as("id2"))
+    val bb = embeddingDedup(
+      embeddings.filter(col("vec_id") % batchMod === 0), threshold)
+      .select(col("id1"), col("id2"))
+    Dedup.clustersIncrementalFromState(
+      embeddings.select(col("vec_id").as("doc_id")),
+      oldLabels, bc.unionAll(bb), batchMod, maxIters)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+  }
+
+  def embeddingClustersIncrementalQ(embeddings: DataFrame): DataFrame =
+    embeddingClustersIncremental(embeddings).orderBy("vec_id")
+
   /** DuckDB twin: the [[embeddingDedupSql]] pair CTEs + the recursive-CTE
     * transitive closure of [[Dedup.dedupClustersSql]] — min reachable id
     * per vector. */

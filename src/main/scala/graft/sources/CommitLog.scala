@@ -564,6 +564,76 @@ object CommitLog {
     res
   }
 
+  /** UPDATE WHERE ... SET through the log (round 14) — the last DML
+    * verb (append/MERGE/DELETE/OPTIMIZE/RESTORE exist): FILE-GRANULAR
+    * copy-on-write, the Delta UPDATE shape. One `input_file_name()`-
+    * tagged scan finds the live files CONTAINING matching rows; ONLY
+    * those files are rewritten with the SET expressions applied to
+    * their matching rows (every row of an affected file is carried —
+    * matched rows transformed, the rest verbatim), and removes+adds
+    * commit together serializably. Untouched files are never rewritten
+    * — the [[deleteWhere]] economics: a predicate touching 0.1% of
+    * files rewrites 0.1% of the table. SQL UPDATE semantics: the
+    * predicate AND every SET right-hand side evaluate against the OLD
+    * row (both materialize before any assignment — a SET column in the
+    * predicate or in another SET's value cannot feed back), and each
+    * SET value is cast to
+    * the column's existing type — the schema is REQUIRED to survive
+    * bit-for-bit (an update must never be a stealth evolution; rename/
+    * drop/widen have their own sanctioned verbs). A predicate matching
+    * nothing commits NOTHING and returns Right(head) (the no-op
+    * convention shared with delete). */
+  def updateWhere(spark: SparkSession, table: String, cond: org.apache.spark.sql.Column,
+                  sets: Seq[(String, org.apache.spark.sql.Column)]): Either[Conflict, Long] = {
+    require(sets.nonEmpty, s"updateWhere on $table: no SET clauses")
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    val live = liveFiles(table, head)
+    if (live.isEmpty) return Right(head)
+    val schema = schemaAt(table, head)
+    val paths = live.map(f => Paths.get(table, f).toString)
+    val base = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    sets.foreach { case (name, _) =>
+      require(base.columns.contains(name),
+        s"updateWhere: no column '$name' on $table (${base.columns.mkString(", ")})")
+    }
+    val tagged = base.withColumn("_graft_file", input_file_name())
+    val affectedPaths = tagged.filter(cond).select("_graft_file")
+      .distinct().collect().map(_.getString(0)).toSet
+    val affected = live.filter(f =>
+      affectedPaths.exists(p => p.endsWith("/" + f) || p == f))
+    if (affected.isEmpty) return Right(head)
+    // flag AND all SET values materialize first: both the predicate and
+    // every SET right-hand side see the OLD row (standard UPDATE
+    // semantics — a later SET must not read an earlier SET's result)
+    val flagged = tagged
+      .filter(col("_graft_file").isin(affectedPaths.toSeq: _*))
+      .withColumn("_graft_match", cond)
+    val valued = sets.zipWithIndex.foldLeft(flagged) {
+      case (df, ((name, value), i)) =>
+        df.withColumn(s"_graft_set_$i", value.cast(base.schema(name).dataType))
+    }
+    val assigned = sets.zipWithIndex.foldLeft(valued) {
+      case (df, ((name, _), i)) =>
+        df.withColumn(name,
+          when(col("_graft_match"), col(s"_graft_set_$i")).otherwise(col(name)))
+    }
+    val updated = assigned.drop(
+      "_graft_file" +: "_graft_match" +: sets.indices.map(i => s"_graft_set_$i"): _*)
+    require(
+      updated.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        base.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"updateWhere must preserve the schema of $table: " +
+        s"${base.schema.simpleString} -> ${updated.schema.simpleString}")
+    val adds = stage(table, updated)
+    val res = replaceFiles(table, head, affected, adds)
+    if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    res
+  }
+
   /** RENAME COLUMN (round 14 — the non-widening half of schema
     * evolution): copy-on-write + a schema metadata action in ONE
     * serializable commit (Delta without column mapping does exactly

@@ -764,6 +764,54 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.latestVersion(t) == head)
   }
 
+  test("updateWhere is FILE-GRANULAR with OLD-ROW predicate semantics; schema preserved; no-op commits nothing") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, 10L), (5L, 50L)).toDF("id", "v")) // v0: has id=5
+    CommitLog.append(spark, t, Seq((2L, 20L), (3L, 30L)).toDF("id", "v")) // v1: match-free
+    val v1Files = CommitLog.commits(t, 1L).last.adds.toSet
+    // the predicate READS a SET column: cond must see the OLD value —
+    // v = 50 matches and becomes 0; no row can match its own new value
+    assert(CommitLog.updateWhere(spark, t, col("v") === 50L,
+      Seq("v" -> lit(0L), "id" -> (col("id") + 100L))) == Right(2L))
+    val live = CommitLog.liveFiles(t, 2L).toSet
+    assert(v1Files.subsetOf(live),
+      s"match-free files were rewritten: ${v1Files -- live}")
+    val rows = CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(rows == Set(1L -> 10L, 105L -> 0L, 2L -> 20L, 3L -> 30L),
+      s"old-row semantics violated: $rows")
+    // count conservation: update rewrites values, never row sets
+    assert(CommitLog.read(spark, t).count() == 4)
+    // the pre-update snapshot still reads the ORIGINAL values
+    assert(CommitLog.read(spark, t, Some(1L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      == Set(1L -> 10L, 5L -> 50L, 2L -> 20L, 3L -> 30L))
+    // SET value is cast to the column's existing type — an INT literal
+    // lands as the column's LONG, schema surviving bit-for-bit
+    assert(CommitLog.updateWhere(spark, t, col("id") === 1L,
+      Seq("v" -> lit(7))).isRight)
+    assert(CommitLog.read(spark, t).schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // every SET right-hand side reads the OLD row: v takes the
+    // PRE-update id even though an earlier SET in the SAME statement
+    // rewrites id
+    assert(CommitLog.updateWhere(spark, t, col("id") === 2L,
+      Seq("id" -> (col("id") + 100L), "v" -> col("id"))).isRight)
+    assert(CommitLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet.contains(102L -> 2L),
+      "SET RHS must evaluate against the old row, not an earlier SET's result")
+    // unknown SET column fails loudly, nothing committed
+    val head = CommitLog.latestVersion(t)
+    intercept[IllegalArgumentException] {
+      CommitLog.updateWhere(spark, t, col("id") === 1L, Seq("nope" -> lit(1L)))
+    }
+    assert(CommitLog.latestVersion(t) == head)
+    // no-op: nothing matches -> NO commit, head unchanged
+    assert(CommitLog.updateWhere(spark, t, col("id") === 99L,
+      Seq("v" -> lit(0L))) == Right(head))
+    assert(CommitLog.latestVersion(t) == head)
+  }
+
   test("restore across an evolution: rows roll back, the evolved schema survives (log-level metadata)") {
     val t = tmpTable()
     CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s")) // v0

@@ -187,7 +187,16 @@ class EmptyInputSpec extends AnyFunSuite {
       "dedup_threshold_sweep_indexed" -> PairIndexStore.dedupThresholdSweepIndexedQ(d),
       "split_leakage_indexed" -> PairIndexStore.splitLeakageIndexedQ(d),
       "commitlog_rename" -> CommitLogRead.commitLogRenameQ(d),
-      "commitlog_delete" -> CommitLogRead.commitLogDeleteQ(d))
+      "commitlog_delete" -> CommitLogRead.commitLogDeleteQ(d),
+      "commitlog_update" -> CommitLogRead.commitLogUpdateQ(d),
+      "cusum_alarm" -> Cusum.cusumAlarm(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
+      "seasonal_decompose" -> SeasonalDecompose.seasonalDecompose(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
         case e: Throwable => fail(s"$name threw on empty corpus: $e")
@@ -322,6 +331,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "embedding_dedup_incremental_lsh" ->
         graft.operators.Lsh.embeddingDedupIncrementalLsh(e),
       "embedding_cluster" -> Similarity.embeddingClusters(e),
+      "embedding_cluster_incremental" -> Similarity.embeddingClustersIncremental(e),
       // round 9
       "embedding_cluster_lsh" -> Similarity.embeddingClustersLsh(e),
       "semantic_keep_best" -> SemanticKeepBest.semanticKeepBest(e),

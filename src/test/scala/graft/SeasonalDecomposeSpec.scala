@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SeasonalDecompose
+
+/** Classical-decomposition semantics on planted daily series, checked
+  * EXACTLY against a transparent in-test integer reference, with the
+  * reconstruction identity `x·1000 = trend + seas + resid` pinned on
+  * every row (the truncations must cancel by construction). */
+class SeasonalDecomposeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val UsPerDay = 86400000000L
+
+  private def eventsFor(countsByDay: Seq[Long], tpe: String = "a") = {
+    val rows = countsByDay.zipWithIndex.flatMap { case (c, d) =>
+      (0L until c).map(i => (d.toLong * 1000 + i, 1L, d.toLong * UsPerDay, tpe))
+    }
+    rows.toDF("event_id", "user_id", "t_us", "event_type")
+      .withColumn("ts", expr("timestamp_micros(t_us)"))
+  }
+
+  /** The operator's own integer arithmetic on a dense 0-based series
+    * (fixture day == index, so dow == index % 7). */
+  private def reference(xs: Seq[Long]): Seq[(Long, Long, Long)] = {
+    val n = xs.length
+    val trend = xs.indices.map { d =>
+      val lo = math.max(0, d - 3); val hi = math.min(n - 1, d + 3)
+      (lo to hi).map(xs).sum * 1000L / (hi - lo + 1)
+    }
+    val detr = xs.indices.map(d => xs(d) * 1000L - trend(d))
+    val seas = (0 until 7).map { w =>
+      val idx = xs.indices.filter(_ % 7 == w)
+      if (idx.isEmpty) 0L
+      else {
+        val ds = idx.map(detr).sum
+        if (ds < 0) -((-ds) / idx.length) else ds / idx.length
+      }
+    }
+    xs.indices.map(d => (trend(d), seas(d % 7), detr(d) - seas(d % 7)))
+  }
+
+  private def got(countsByDay: Seq[Long]): Seq[(Long, Long, Long, Long)] =
+    SeasonalDecompose.seasonalDecompose(eventsFor(countsByDay)).orderBy("day")
+      .select("n_events", "trend_milli", "seas_milli", "resid_milli")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+  test("matches the integer reference; reconstruction identity exact on every row") {
+    val xs = (0 until 35).map(d => ((d * 11 + 5) % 17).toLong)
+    val g = got(xs)
+    val ref = reference(xs)
+    assert(g.map(t => (t._2, t._3, t._4)) == ref,
+      s"diverges from reference: $g vs $ref")
+    g.foreach { case (x, tr, se, re) =>
+      assert(x * 1000L == tr + se + re,
+        s"reconstruction broken: $x*1000 != $tr + $se + $re")
+    }
+  }
+
+  test("constant series decomposes to trend = level, seasonal = 0, residual = 0") {
+    val g = got(Seq.fill(21)(6L))
+    assert(g.forall { case (x, tr, se, re) =>
+      x == 6L && tr == 6000L && se == 0L && re == 0L }, s"constant: $g")
+  }
+
+  test("linear ramp: interior trend IS the ramp (centered mean of linear is exact)") {
+    // 1-based: a 0-count day 0 would never reach the raw stream and the
+    // observed span would start at day 1 (the dense-axis convention)
+    val xs = (1L to 21L).toSeq
+    val g = got(xs)
+    assert(g.map(t => (t._2, t._3, t._4)) == reference(xs))
+    (3 until 18).foreach { d =>
+      assert(g(d)._2 == xs(d) * 1000L,
+        s"interior trend must equal the ramp at $d: ${g(d)}")
+    }
+  }
+
+  test("planted weekly spike surfaces in the dow-0 seasonal, not the residual") {
+    // level 50 with +70 every dow 0, four full weeks
+    val xs = (0 until 28).map(d => if (d % 7 == 0) 120L else 50L)
+    val g = got(xs)
+    assert(g.map(t => (t._2, t._3, t._4)) == reference(xs))
+    val seasByDow = g.zipWithIndex.map { case (t, d) => d % 7 -> t._3 }.toMap
+    assert((1 to 6).forall(w => seasByDow(0) > seasByDow(w) + 50000),
+      s"the weekly spike must load on the dow-0 seasonal: $seasByDow")
+    // residuals carry only edge effects — far smaller than the spike
+    assert(g.forall(_._4.abs < 35000L), s"residual must not absorb the spike: $g")
+  }
+}
