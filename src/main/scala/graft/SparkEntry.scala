@@ -613,6 +613,11 @@ object SparkEntry {
     // preservation require'd
     "commitlog_update" -> ((s, d) =>
       CommitLogRead.commitLogUpdateQ(Tables.documents(s, d))),
+    // …and the ZOrder advisor loop CLOSED: the advisor's own Morton key
+    // drives a real clustered OPTIMIZE, the layout claim measured on
+    // the actual files (require'd in-query; values DuckDB-checked)
+    "commitlog_zorder" -> ((s, d) =>
+      CommitLogRead.commitLogZorderQ(Tables.events(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -914,6 +919,7 @@ object SparkEntry {
     "commitlog_rename" -> CommitLogRead.commitLogRenameSql,
     "commitlog_delete" -> CommitLogRead.commitLogDeleteSql,
     "commitlog_update" -> CommitLogRead.commitLogUpdateSql,
+    "commitlog_zorder" -> CommitLogRead.commitLogZorderSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

@@ -291,6 +291,80 @@ object CommitLogRead {
       .orderBy("version", "doc_id")
   }
 
+  /** CLUSTERED OPTIMIZE (ZORDER) in the gate (round 14) — the ZOrder
+    * advisor loop CLOSED through the log (salting_plan→saltedJoinPlanned
+    * precedent, applied to physical layout): [[ZOrder.mortonKeyExpr]]'s
+    * generator text — the SAME one `zorder_plan` buckets its audit by —
+    * feeds [[CommitLog.compactClustered]] for a real copy-on-write
+    * rewrite, and the layout claim is then measured on the ACTUAL
+    * parquet files, not on synthetic buckets:
+    *  - v0 APPEND the (user_id, day) event projection
+    *  - v1 OPTIMIZE clustered by the Morton key (targetFiles = 8)
+    *  - v2 OPTIMIZE clustered by day (the time-sorted strawman)
+    * In-query require (file-level facts are partitioning-dependent; the
+    * oracle checks VALUES): the mean per-file user_id SPAN under the
+    * z-order layout is STRICTLY smaller than under the time-sorted one
+    * — the multi-dimensional-clustering claim, demonstrated on disk.
+    * Emits all three versions' grouped counts — OPTIMIZE must never
+    * change content, under either clustering key. */
+  def commitLogZorderQ(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val base = ZOrder.baseFrame(events)
+    val out = base.groupBy("user_id", "day").agg(count(lit(1)).as("n")).limit(0)
+    val table = Files.createTempDirectory("graft_cl_zo").resolve("t").toString
+    def must(r: Either[CommitLog.Conflict, Long]): Long = r match {
+      case Right(v) => v
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    CommitLog.append(spark, table, base) // v0
+    val v0r = CommitLog.read(spark, table, Some(0L))
+    // day-one: an empty corpus (no schema, or schema over zero rows)
+    // has no files to cluster and no layout claim to measure
+    if (v0r.columns.isEmpty || v0r.isEmpty)
+      return out.select(lit(0L).as("version"), col("user_id"), col("day"), col("n"))
+    must(CommitLog.compactClustered(spark, table,
+      df => ZOrder.mortonKeyExpr(df), targetFiles = 8)) // v1
+    def meanUserSpan(v: Long): Double = {
+      val spans = CommitLog.read(spark, table, Some(v))
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("user_id") - min("user_id")).as("span"))
+        .collect().map(_.getLong(1))
+      spans.sum.toDouble / spans.length
+    }
+    val zorderSpan = meanUserSpan(1L)
+    must(CommitLog.compactClustered(spark, table, _ => col("day"), 8)) // v2
+    val timeSpan = meanUserSpan(2L)
+    require(zorderSpan < timeSpan,
+      f"z-order must bound the user dimension per file: $zorderSpan%.0f !< $timeSpan%.0f")
+    (0L to 2L).map { v =>
+      CommitLog.read(spark, table, Some(v))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+        .select(lit(v).as("version"), col("user_id"), col("day"), col("n"))
+    }.reduce(_ unionByName _)
+      .orderBy("version", "user_id", "day")
+  }
+
+  /** Oracle: the same grouped counts straight from events, three times —
+    * an OPTIMIZE never changes content. */
+  val commitLogZorderSql: String =
+    s"""WITH base AS (
+      |  SELECT user_id,
+      |         epoch_us(date_trunc('microseconds', ts)) // 86400000000 AS day
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+      |  FROM base GROUP BY 1, 2
+      |)
+      |SELECT version, user_id, day, n FROM (
+      |  SELECT CAST(0 AS BIGINT) AS version, * FROM g
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), * FROM g
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), * FROM g
+      |)
+      |ORDER BY version, user_id, day""".stripMargin
+
   /** Oracle: v0 = thirds-0; v1 adds match-free thirds-1; v2 = v1 with
     * the SET expressions applied to its %5==0 rows (which can only live
     * in thirds-0 — v1's append excluded them). */

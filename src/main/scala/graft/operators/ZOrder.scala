@@ -61,6 +61,23 @@ object ZOrder {
   private def normExpr(v: String, lo: String, hi: String, divOp: String): String =
     s"((($v - $lo) * $MaxCode) $divOp (CASE WHEN $hi > $lo THEN $hi - $lo ELSE 1 END))"
 
+  /** The Morton key as a SELF-CONTAINED Column over a (user_id, day)
+    * frame, min-max stats inlined as literals via a 1-row driver probe
+    * (the documented bounded-probe class) — the form
+    * [[graft.sources.CommitLog.compactClustered]] can range-partition
+    * by (a range partitioner needs a plain sort key, not a
+    * stats-joined frame). Same generator text as [[mortonKeyed]]. */
+  private[graft] def mortonKeyExpr(frame: DataFrame): org.apache.spark.sql.Column = {
+    val r = frame.agg(min("user_id"), max("user_id"),
+      min("day"), max("day")).head
+    if (r.isNullAt(0)) lit(0L)
+    else {
+      val xn = normExpr("user_id", r.getLong(0).toString, r.getLong(1).toString, "div")
+      val yn = normExpr("day", r.getLong(2).toString, r.getLong(3).toString, "div")
+      expr(mortonExpr(xn, yn, "div"))
+    }
+  }
+
   /** (user_id, epoch-day) projection shared with [[ZoneMapPrune]]. */
   private[graft] def baseFrame(events: DataFrame): DataFrame =
     events.select(col("user_id"),
@@ -69,14 +86,26 @@ object ZOrder {
   def zorderPlan(events: DataFrame): DataFrame =
     zorderPlanFromBase(baseFrame(events))
 
-  private[graft] def zorderPlanFromBase(base: DataFrame): DataFrame = {
+  /** base + the normalized Morton key `zkey` — the advisor's own
+    * clustering expression, factored out so the PHYSICAL rewrite
+    * ([[graft.sources.CommitLog.compactClustered]], round 14) consumes
+    * the IDENTICAL key text the plan audit buckets by: one generator
+    * powers both the advice and the apply (the salting_plan loop
+    * pattern). */
+  private[graft] def mortonKeyed(base: DataFrame): DataFrame = {
     val stats = base.agg(min("user_id").as("lo_u"), max("user_id").as("hi_u"),
       min("day").as("lo_d"), max("day").as("hi_d"))
     val xn = normExpr("user_id", "lo_u", "hi_u", "div")
     val yn = normExpr("day", "lo_d", "hi_d", "div")
     val m = mortonExpr(xn, yn, "div")
     base.join(broadcast(stats))
-      .withColumn("bucket", expr(s"$m div $BucketDiv"))
+      .withColumn("zkey", expr(m))
+      .drop("lo_u", "hi_u", "lo_d", "hi_d")
+  }
+
+  private[graft] def zorderPlanFromBase(base: DataFrame): DataFrame = {
+    mortonKeyed(base)
+      .withColumn("bucket", expr(s"zkey div $BucketDiv"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_events"),
         min("user_id").as("min_user"), max("user_id").as("max_user"),

@@ -564,6 +564,35 @@ object CommitLog {
     res
   }
 
+  /** CLUSTERED OPTIMIZE (round 14) — the `OPTIMIZE ... ZORDER BY`
+    * physical half of the [[graft.operators.ZOrder]] advisor loop
+    * (the salting_plan→saltedJoinPlanned pattern applied to layout):
+    * content-identical copy-on-write rewrite of the live set into
+    * `targetFiles` files RANGE-PARTITIONED AND SORTED by `key(df)` —
+    * pass the advisor's own Morton-key expression and the rewrite IS
+    * z-order clustering (each output file covers one contiguous key
+    * range, so BOTH normalized dimensions are bounded per file — the
+    * zone maps zorder_plan emits as an audit become the actual parquet
+    * footers a scan planner prunes with). Same verb economics as
+    * [[compact]]: an OPTIMIZE commits removes+adds serializably and
+    * never changes row content. */
+  def compactClustered(spark: SparkSession, table: String,
+                       key: DataFrame => org.apache.spark.sql.Column,
+                       targetFiles: Int): Either[Conflict, Long] = {
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    val current = liveFiles(table, head)
+    if (current.isEmpty) return replaceFiles(table, head, Nil, Nil)
+    val cur = read(spark, table, Some(head))
+    val clustered = cur
+      .repartitionByRange(targetFiles, key(cur))
+      .sortWithinPartitions(key(cur))
+    val adds = stage(table, clustered)
+    val res = replaceFiles(table, head, current, adds)
+    if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    res
+  }
+
   /** UPDATE WHERE ... SET through the log (round 14) — the last DML
     * verb (append/MERGE/DELETE/OPTIMIZE/RESTORE exist): FILE-GRANULAR
     * copy-on-write, the Delta UPDATE shape. One `input_file_name()`-

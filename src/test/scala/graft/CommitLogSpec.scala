@@ -764,6 +764,30 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.latestVersion(t) == head)
   }
 
+  test("compactClustered: content identity under any key; range files carry disjoint key ranges") {
+    val t = tmpTable()
+    // 4×4 (user, day) grid — a day-sorted layout gives every file the
+    // full user range; a user-range layout bounds it
+    val grid = for { u <- 0L to 3L; d <- 0L to 3L } yield (u * 10, d, u * 10 + d)
+    CommitLog.append(spark, t, grid.toDF("user_id", "day", "v")) // v0
+    assert(CommitLog.compactClustered(spark, t, df => df("user_id"), 4) == Right(1L))
+    val rows = CommitLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == grid.toSet, "clustered OPTIMIZE must never change content")
+    assert(CommitLog.read(spark, t, Some(0L)).count() == 16)
+    // range partitioning: per-file user ranges are DISJOINT (each file
+    // one contiguous key range — the zone-map-prunable layout)
+    val ranges = CommitLog.read(spark, t)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("user_id").as("lo"), max("user_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file key ranges must be disjoint: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
   test("updateWhere is FILE-GRANULAR with OLD-ROW predicate semantics; schema preserved; no-op commits nothing") {
     val t = tmpTable()
     CommitLog.append(spark, t, Seq((1L, 10L), (5L, 50L)).toDF("id", "v")) // v0: has id=5

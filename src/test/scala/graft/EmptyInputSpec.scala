@@ -189,6 +189,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "commitlog_rename" -> CommitLogRead.commitLogRenameQ(d),
       "commitlog_delete" -> CommitLogRead.commitLogDeleteQ(d),
       "commitlog_update" -> CommitLogRead.commitLogUpdateQ(d),
+      "commitlog_zorder" -> CommitLogRead.commitLogZorderQ(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("user_id", LongType),
+            StructField("ts", TimestampType))))),
       "cusum_alarm" -> Cusum.cusumAlarm(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
