@@ -1074,4 +1074,100 @@ object StreamingJobs {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(attributionFn)
   }
+
+  // ------------------------------------------------------- streaming CUSUM
+
+  private val CusumUsPerDay = 86400000000L
+  private val CusumMsPerDay = 86400000L
+
+  case class CusumEvent(event_type: String, t_us: Long, ts: java.sql.Timestamp)
+  case class CusumDayRow(event_type: String, day: Long, n_events: Long,
+                         cusum_milli: Long, alarm: Int)
+  /** lastClosed = newest day already emitted; open = per-day counts the
+    * watermark has not yet passed (bounded by the DELAY window in days —
+    * state grows with the lateness model, never with volume). */
+  case class CusumStreamState(lastClosed: Long, s: Long, open: Map[Long, Long])
+
+  /** Per-type fold: a day CLOSES (its CUSUM row emits, exactly once) when
+    * the event-time watermark passes its end — from then on no admissible
+    * event can change its count. Closure densifies: every day between the
+    * last closed one and the watermark emits, a silent day as x = 0 (the
+    * batch operator's hole contract — for a monitoring stream, silence IS
+    * evidence of downward drift). A row below the watermark whose day
+    * already closed is DROPPED (the standard watermark contract; stated,
+    * spec-pinned). The textbook recursion is the RIGHT shape here — state
+    * is one (S, day) pair per type and each closure is O(1) — where the
+    * batch twin needed the reflection identity to avoid serializing a
+    * partition through one task. */
+  def cusumStreamFn(mu: Map[String, Long], h: Long = graft.operators.Cusum.H)(
+      tpe: String, events: Iterator[CusumEvent],
+      state: GroupState[CusumStreamState]): Iterator[CusumDayRow] = {
+    val m = mu.getOrElse(tpe, 0L)
+    val slack = m / 2
+    val gate = h * math.max(m, 1000L)
+    val wmDay = state.getCurrentWatermarkMs() / CusumMsPerDay
+    // materialize this batch's arrivals once (single-pass iterator;
+    // per-type per-batch volume is micro-batch-bounded)
+    val arrivals = if (state.hasTimedOut) Seq.empty[CusumEvent] else events.toSeq
+    val st0 = state.getOption.getOrElse {
+      val firstDay =
+        if (arrivals.isEmpty) wmDay
+        else arrivals.iterator.map(_.t_us / CusumUsPerDay).min
+      CusumStreamState(firstDay - 1, 0L, Map.empty)
+    }
+    val withCounts = arrivals.foldLeft(st0) { (st, e) =>
+      val d = e.t_us / CusumUsPerDay
+      if (d <= st.lastClosed) st // below an already-closed day: dropped
+      else st.copy(open = st.open.updated(d, st.open.getOrElse(d, 0L) + 1L))
+    }
+    // close (and densify) every day the watermark has passed
+    val out = scala.collection.mutable.ArrayBuffer.empty[CusumDayRow]
+    var s = withCounts.s
+    var open = withCounts.open
+    var d = withCounts.lastClosed + 1
+    while (d < wmDay) {
+      val x = open.getOrElse(d, 0L)
+      open -= d
+      s = math.max(0L, s + (x * 1000L - m - slack))
+      out += CusumDayRow(tpe, d, x, s, if (s > gate) 1 else 0)
+      d += 1
+    }
+    state.update(CusumStreamState(
+      math.max(wmDay - 1, withCounts.lastClosed), s, open))
+    // re-arm: fire when the watermark enters the NEXT day — strictly
+    // ahead of the current watermark by construction (wm < (wmDay+1)·day)
+    state.setTimeoutTimestamp((wmDay + 1) * CusumMsPerDay + 1)
+    out.iterator
+  }
+
+  /** Streaming CUSUM drift alarm — the ONLINE deployment of
+    * [[graft.operators.Cusum.cusumAlarm]] (§D): per-type daily counts
+    * accumulate in keyed state, each day's CUSUM row emits EXACTLY ONCE
+    * when the watermark passes it, and the alarm fires the day the
+    * evidence crosses the gate — while the batch twin re-reads the whole
+    * series per run. The baseline μ is the STREAM-STATIC half (the
+    * lm_score/contamination refresh contract): CUSUM against a KNOWN
+    * baseline is the textbook form, and at run (re)start the caller
+    * derives `mu` per type from the batch operator over the static
+    * corpus snapshot — the self-calibrating global μ cannot exist over
+    * an unbounded stream (stated divergence; the spec wires exactly
+    * that derivation). State: one (S, lastClosed, open-day counts)
+    * record per type, open bounded by the delay window. */
+  def cusumStream(spark: SparkSession, dir: String, delay: String,
+                  mu: Map[String, Long]): Dataset[CusumDayRow] = {
+    import spark.implicits._
+    val (tsIsLong, tUs) = eventsTsProbe(spark, dir)
+    spark.readStream
+      .schema(eventsRawSchema(tsIsLong))
+      .parquet(dir)
+      .withColumn("ts",
+        if (tsIsLong) expr("timestamp_micros(ts div 1000)")
+        else col("ts").cast("timestamp"))
+      .select(col("event_type"), expr("unix_micros(ts)").as("t_us"), col("ts"))
+      .withWatermark("ts", delay)
+      .as[CusumEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        cusumStreamFn(mu))
+  }
 }
