@@ -87,6 +87,11 @@ object StressStreaming {
       s"${us / 1000000 + 1} seconds"
     }
 
+    val cusumMu: Map[String, Long] =
+      graft.operators.Cusum.cusumAlarm(Tables.events(spark, baseDir))
+        .select("event_type", "mu_milli").distinct().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
     // ---- the battery ---------------------------------------------------
     // each entry: name, chunk root pair (1x, 10x), job constructor
     val jobs: Seq[(String, (String, String), (SparkSession, String) => DataFrame)] = Seq(
@@ -116,7 +121,15 @@ object StressStreaming {
       // until the watermark passes them (the NULL-emission contract);
       // state should track the inner twin's, not blow past it
       ("ss_outer", ("ev1", "ev10"),
-        (s, d) => StreamingJobs.clickPurchaseOuterJoinStream(s, d, wmDelay)))
+        (s, d) => StreamingJobs.clickPurchaseOuterJoinStream(s, d, wmDelay)),
+      // round-14 addition: the streaming CUSUM — state is ONE record per
+      // type (catalog-bounded) with open-day counts bounded by the delay
+      // window; μ is derived once from the 1× batch operator (the
+      // stream-static contract; at 10× the counts outrun the 1× baseline
+      // and S just grows — the battery measures exec/state, parity is
+      // CusumStreamSpec's job)
+      ("cusum", ("ev1", "ev10"),
+        (s, d) => StreamingJobs.cusumStream(s, d, wmDelay, cusumMu).toDF))
 
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(',').toSeq) else None
