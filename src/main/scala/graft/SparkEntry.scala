@@ -241,9 +241,11 @@ object SparkEntry {
     // round 14: the LAST incremental-matrix cell — semantic LABEL
     // maintenance via the super-vertex merge (#250's argument on the
     // embedding side); shares the FULL clustering's oracle, so the gate
-    // proves the merge reproduces the from-scratch labels
+    // proves the merge reproduces the from-scratch labels. Registered
+    // form reads yesterday's corpus labels from the fingerprint-keyed
+    // store (the #250 ladder) — only the batch-touching pairs mine live
     "embedding_cluster_incremental" -> ((s, d) =>
-      Similarity.embeddingClustersIncrementalQ(Tables.embeddings(s, d))),
+      PairIndexStore.embeddingClusterIncrementalStoreQ(Tables.embeddings(s, d))),
     // §B event analytics
     "sessionize" -> ((s, d) => Sessionize.sessionizeQ(Tables.events(s, d))),
     // native twin: Catalyst's own SessionWindow node, projected back to

@@ -45,11 +45,18 @@ object PairIndexStore {
     * commutative/associative and overflow-free (ANSI-safe, unlike sum),
     * and the second seed breaks the pairwise-cancellation weakness of a
     * single XOR word. */
-  private[graft] def fingerprint(documents: DataFrame): String = {
-    val r = documents.agg(
+  private[graft] def fingerprint(documents: DataFrame): String =
+    fingerprintOf(documents, "doc_id", "coalesce(text, '')")
+
+  /** The same order-free content fingerprint over ANY (id, content)
+    * column pair — xxhash64 hashes arrays element-wise, so an embedding
+    * column works as content directly. */
+  private[graft] def fingerprintOf(df: DataFrame, id: String,
+                                   content: String): String = {
+    val r = df.agg(
       count(lit(1)).as("n"),
-      coalesce(expr("bit_xor(xxhash64(doc_id, coalesce(text, '')))"), lit(0L)),
-      coalesce(expr("bit_xor(xxhash64(1, doc_id, coalesce(text, '')))"), lit(0L)))
+      coalesce(expr(s"bit_xor(xxhash64($id, $content))"), lit(0L)),
+      coalesce(expr(s"bit_xor(xxhash64(1, $id, $content))"), lit(0L)))
       .head()
     f"${r.getLong(0)}%x-${r.getLong(1)}%016x-${r.getLong(2)}%016x"
   }
@@ -64,9 +71,16 @@ object PairIndexStore {
     * fingerprint, so a stale frame is unreachable by path
     * construction. */
   private[graft] def cachedFrame(tag: String, documents: DataFrame)
-                                (mk: => DataFrame): DataFrame = {
-    val spark = documents.sparkSession
-    val dir = storeRoot.resolve(s"$tag-${fingerprint(documents)}")
+                                (mk: => DataFrame): DataFrame =
+    cachedFrameKeyed(s"$tag-${fingerprint(documents)}",
+      documents.sparkSession)(mk)
+
+  /** [[cachedFrame]] with the fingerprint key precomputed — for frames
+    * whose content lives in non-document columns (embeddings). */
+  private[graft] def cachedFrameKeyed(key: String,
+                                      spark: org.apache.spark.sql.SparkSession)
+                                     (mk: => DataFrame): DataFrame = {
+    val dir = storeRoot.resolve(key)
     if (!Files.exists(dir)) {
       val mined = mk
       // day-one totality: an EMPTY mine (empty corpus, or no shared
@@ -168,5 +182,28 @@ object PairIndexStore {
       .select(col("id1"), col("id2"))
     Dedup.clustersIncrementalFromState(documents, oldLabels, delta)
       .orderBy("doc_id")
+  }
+
+  /** [[Similarity.embeddingClustersIncremental]]'s corpus-side labels
+    * THROUGH the store — the registered form (round 14, the #250
+    * pattern on the embedding side): the corpus clustering is
+    * yesterday's persisted state (fingerprint-keyed over the embedding
+    * content via [[fingerprintOf]]), so the per-batch cost is the
+    * batch-touching pair mine + the catalog-sized label-graph CC; the
+    * corpus×corpus pair stage never re-runs. Row-identical to the
+    * self-contained inline form (IncrementalCcSpec pins it), same
+    * oracle — the FULL clustering's closure SQL. */
+  def embeddingClusterIncrementalStoreQ(embeddings: DataFrame): DataFrame = {
+    val corpus = embeddings.filter(
+      col("vec_id") % Dedup.IncrementalBatchMod =!= 0)
+    val oldLabels = cachedFrameKeyed(
+      s"semlabels-v1-${fingerprintOf(corpus, "vec_id", "embedding")}",
+      embeddings.sparkSession) {
+      Similarity.embeddingClusters(corpus)
+        .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    }
+    Similarity.clustersIncrementalFromLabels(embeddings, oldLabels,
+      Similarity.DedupCosThreshold, Dedup.IncrementalBatchMod, maxIters = 20)
+      .orderBy("vec_id")
   }
 }

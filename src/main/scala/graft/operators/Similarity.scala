@@ -306,6 +306,15 @@ object Similarity {
     val oldLabels = embeddingClusters(
       embeddings.filter(col("vec_id") % batchMod =!= 0), threshold, maxIters)
       .select(col("vec_id").as("doc_id"), col("cluster_id"))
+    clustersIncrementalFromLabels(embeddings, oldLabels, threshold,
+      batchMod, maxIters)
+  }
+
+  /** Batch-TOUCHING cosine pairs — the only live pair work of the
+    * incremental merge: batch×corpus (the #74 broadcast product) plus
+    * batch×batch (the edge class admission never needs but CC does). */
+  private[operators] def batchTouchingSemanticPairs(
+      embeddings: DataFrame, threshold: Double, batchMod: Long): DataFrame = {
     val e = withNorm(embeddings)
     val batch = e.filter(col("vec_id") % batchMod === 0)
       .select(col("vec_id").as("bid"), col("vd").as("qv"), col("norm").as("qn"))
@@ -318,11 +327,21 @@ object Similarity {
     val bb = embeddingDedup(
       embeddings.filter(col("vec_id") % batchMod === 0), threshold)
       .select(col("id1"), col("id2"))
+    bc.unionAll(bb)
+  }
+
+  /** The deployment form: persisted corpus labels in (doc_id = vec_id,
+    * cluster_id), live delta mine, full updated labels out — the
+    * semantic face of [[Dedup.clustersIncrementalFromState]]. */
+  private[operators] def clustersIncrementalFromLabels(
+      embeddings: DataFrame, oldLabels: DataFrame, threshold: Double,
+      batchMod: Long, maxIters: Int): DataFrame =
     Dedup.clustersIncrementalFromState(
       embeddings.select(col("vec_id").as("doc_id")),
-      oldLabels, bc.unionAll(bb), batchMod, maxIters)
+      oldLabels,
+      batchTouchingSemanticPairs(embeddings, threshold, batchMod),
+      batchMod, maxIters)
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
-  }
 
   def embeddingClustersIncrementalQ(embeddings: DataFrame): DataFrame =
     embeddingClustersIncremental(embeddings).orderBy("vec_id")

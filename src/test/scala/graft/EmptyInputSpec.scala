@@ -336,6 +336,8 @@ class EmptyInputSpec extends AnyFunSuite {
         graft.operators.Lsh.embeddingDedupIncrementalLsh(e),
       "embedding_cluster" -> Similarity.embeddingClusters(e),
       "embedding_cluster_incremental" -> Similarity.embeddingClustersIncremental(e),
+      "embedding_cluster_incremental_store" ->
+        PairIndexStore.embeddingClusterIncrementalStoreQ(e),
       // round 9
       "embedding_cluster_lsh" -> Similarity.embeddingClustersLsh(e),
       "semantic_keep_best" -> SemanticKeepBest.semanticKeepBest(e),

@@ -81,6 +81,23 @@ class IncrementalCcSpec extends AnyFunSuite {
       s"batch-only pair must form a new cluster under min-id 10: $inc")
   }
 
+  test("semantic: the store-backed registered form is row-identical to the inline merge") {
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)),
+      (5L, Seq(1f, 1f, 0f, 0f)),
+      (10L, Seq(0f, 0f, 0f, 1f)), (15L, Seq(0f, 0f, 0.1f, 1f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: DataFrame) = df.select("vec_id", "cluster_id", "is_canonical")
+      .collect().map(_.toString).sorted.toSeq
+    val stored = rows(graft.operators.PairIndexStore
+      .embeddingClusterIncrementalStoreQ(emb))
+    assert(stored == rows(Similarity.embeddingClustersIncremental(emb)))
+    // second call reads the persisted labels back — still identical
+    assert(stored == rows(graft.operators.PairIndexStore
+      .embeddingClusterIncrementalStoreQ(emb)))
+  }
+
   test("semantic: no batch rows — labels are exactly the corpus labels") {
     val emb = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f, 0f)))
       .toDF("vec_id", "embedding")
