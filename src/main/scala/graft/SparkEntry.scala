@@ -212,9 +212,14 @@ object SparkEntry {
     // round 14: the sub-quadratic candidate-path twins (hyperplane-bucket
     // candidates + exact rerank; recall-1 width spec-pinned — the #36
     // promotion pattern, sharing the exact operators' oracles)
-    "knn_mutual_lsh" -> ((s, d) => KnnMutual.knnMutualLshQ(Tables.embeddings(s, d))),
+    // round 14 close: both mutual-LSH queries consume ONE stored pair
+    // mine (the pair stage is their whole cost and is deterministic per
+    // (content, geometry) — the tau=0 store economics); inline miners
+    // kept and spec-pinned row-identical (AnnOracleSpec)
+    "knn_mutual_lsh" -> ((s, d) =>
+      PairIndexStore.knnMutualLshStoreQ(Tables.embeddings(s, d))),
     "knn_mutual_clusters_lsh" -> ((s, d) =>
-      KnnMutual.knnMutualClustersLshQ(Tables.embeddings(s, d))),
+      PairIndexStore.knnMutualClustersLshStoreQ(Tables.embeddings(s, d))),
     // round 10: top principal axis via integer power iteration — the
     // iterative fixed point over vectors (pagerank's dims-for-nodes twin)
     "embedding_principal" -> ((s, d) =>

@@ -228,9 +228,9 @@ object KnnMutual {
 
   /** Shared CC tail: symmetrize the mutual pairs, propagate min labels
     * (pointer jumping, per-round checkpoints), emit the #81 convention. */
-  private def clustersOverMutualPairs(embeddings: DataFrame,
-                                      mutualPairs: DataFrame,
-                                      maxIters: Int): DataFrame = {
+  private[operators] def clustersOverMutualPairs(embeddings: DataFrame,
+                                                 mutualPairs: DataFrame,
+                                                 maxIters: Int = 20): DataFrame = {
     val pairs = mutualPairs
       .select(col("id1"), col("id2")).localCheckpoint()
     val edges = pairs

@@ -184,6 +184,40 @@ object PairIndexStore {
       .orderBy("doc_id")
   }
 
+  /** The LSH-mined MUTUAL k-NN pair frame from the store (round 14):
+    * the candidate+rerank pair stage is essentially the WHOLE cost of
+    * both mutual-LSH queries (#238 emits the pairs; #239 runs a
+    * catalog-sized CC over them), and it is deterministic per
+    * (embedding content, geometry) — so it mines ONCE per corpus and
+    * both consumers read it back, the same economics the τ=0 store
+    * gives the shingle family. Keyed by the embedding fingerprint AND
+    * the (k, mp, tables, bits) geometry — a dial change is a different
+    * pair set, so it hashes to a different path. */
+  private[graft] def mutualLshPairsFor(embeddings: DataFrame): DataFrame =
+    cachedFrameKeyed(
+      s"mutualknn-v1-k${KnnMutual.K}-mp${KnnMutual.MutualProbeGate}" +
+        s"-t${Lsh.LshTables}b${Lsh.LshBits}-" +
+        fingerprintOf(embeddings, "vec_id", "embedding"),
+      embeddings.sparkSession) {
+      KnnMutual.knnMutualLsh(embeddings,
+        multiProbe = KnnMutual.MutualProbeGate)
+    }
+
+  /** #238 from the store — row-identical to the inline form by
+    * construction (same miner, persisted), same shared exact oracle. */
+  def knnMutualLshStoreQ(embeddings: DataFrame): DataFrame =
+    mutualLshPairsFor(embeddings)
+      .select(col("id1"), col("id2"), col("rank12"), col("rank21"),
+        Parity.r("cos", 4))
+      .orderBy("id1", "id2")
+
+  /** #239 from the store — the CC consumes the SAME stored pair frame
+    * #238 emitted; the pair stage never runs twice. */
+  def knnMutualClustersLshStoreQ(embeddings: DataFrame): DataFrame =
+    KnnMutual.clustersOverMutualPairs(embeddings,
+      mutualLshPairsFor(embeddings))
+      .orderBy("vec_id")
+
   /** [[Similarity.embeddingClustersIncremental]]'s corpus-side labels
     * THROUGH the store — the registered form (round 14, the #250
     * pattern on the embedding side): the corpus clustering is

@@ -218,6 +218,24 @@ class AnnOracleSpec extends AnyFunSuite {
       s"mutual LSH clusters != exact at mp=${graft.operators.KnnMutual.MutualProbeGate}")
   }
 
+  test("mutual-kNN store-backed registered forms are row-identical to the inline miners") {
+    // round-14 close: both registered mutual-LSH queries consume ONE
+    // stored pair mine (PairIndexStore.mutualLshPairsFor). Identity to
+    // the inline forms must hold on first build AND on read-back — a
+    // parquet round-trip that moved a cosine or a rank would silently
+    // invalidate the shared exact oracle.
+    val emb = Tables.embeddings(spark, gateSf)
+    def rows(df: DataFrame): Array[String] = df.collect().map(_.toString).sorted
+    val pairsStored = rows(graft.operators.PairIndexStore.knnMutualLshStoreQ(emb))
+    assert(pairsStored.sameElements(
+      rows(graft.operators.KnnMutual.knnMutualLshQ(emb))))
+    // second call = pure read-back; still identical
+    assert(pairsStored.sameElements(
+      rows(graft.operators.PairIndexStore.knnMutualLshStoreQ(emb))))
+    assert(rows(graft.operators.PairIndexStore.knnMutualClustersLshStoreQ(emb))
+      .sameElements(rows(graft.operators.KnnMutual.knnMutualClustersLshQ(emb))))
+  }
+
   test("incremental embedding admission through buckets equals the exact twin row-for-row") {
     // embedding_dedup_incremental_lsh shares the exact twin's oracle —
     // valid iff n_matches (EVERY match counted), min-id dup_of, and the

@@ -330,6 +330,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "knn_mutual_clusters" -> KnnMutual.knnMutualClusters(e),
       "knn_mutual_lsh" -> KnnMutual.knnMutualLsh(e),
       "knn_mutual_clusters_lsh" -> KnnMutual.knnMutualClustersLsh(e),
+      "knn_mutual_lsh_store" -> PairIndexStore.knnMutualLshStoreQ(e),
+      "knn_mutual_clusters_lsh_store" ->
+        PairIndexStore.knnMutualClustersLshStoreQ(e),
       "embedding_dedup" -> Similarity.embeddingDedup(e),
       "embedding_dedup_incremental" -> Similarity.embeddingDedupIncremental(e),
       "embedding_dedup_incremental_lsh" ->
