@@ -358,6 +358,9 @@ object SparkEntry {
     "change_point_2" -> ((s, d) => ChangePoint.changePoint2Q(Tables.events(s, d))),
     "change_point_k" -> ((s, d) => ChangePoint.changePointKQ(Tables.events(s, d))),
     "acf_daily" -> ((s, d) => Acf.acfDailyQ(Tables.events(s, d))),
+    // round 14 (late): the pairwise completion of acf — lead/lag
+    // cross-correlation between type pairs on the global day clock
+    "xcorr_daily" -> ((s, d) => Xcorr.xcorrDailyQ(Tables.events(s, d))),
     // round 14: truncated-kernel integer EWMA — the smoothed level
     // between rate_spike's trailing mean and change_point's shifts
     "ewma_daily" -> ((s, d) => Ewma.ewmaDailyQ(Tables.events(s, d))),
@@ -973,6 +976,7 @@ object SparkEntry {
     "acf_daily" -> Acf.acfDailySql,
     "ewma_daily" -> Ewma.ewmaDailySql,
     "cusum_alarm" -> Cusum.cusumAlarmSql,
+    "xcorr_daily" -> Xcorr.xcorrDailySql,
     "seasonal_decompose" -> SeasonalDecompose.seasonalDecomposeSql,
     "event_burstiness" -> Burstiness.eventBurstinessSql,
     "transition_stationary" -> MarkovStationary.transitionStationarySql,

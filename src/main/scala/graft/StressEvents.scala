@@ -32,7 +32,7 @@ object StressEvents {
     "acf_daily", "event_gaps", "event_burstiness", "transition_stationary",
     // round 14: the truncated-kernel EWMA (16 lags on one exchange) and
     // the CUSUM drift alarm (reflection identity — 3 windows, one exchange)
-    "ewma_daily", "cusum_alarm", "seasonal_decompose")
+    "ewma_daily", "cusum_alarm", "seasonal_decompose", "xcorr_daily")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")

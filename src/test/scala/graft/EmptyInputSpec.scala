@@ -200,6 +200,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "seasonal_decompose" -> SeasonalDecompose.seasonalDecompose(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
+      "xcorr_daily" -> Xcorr.xcorrDaily(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
             StructField("ts", TimestampType))))))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
