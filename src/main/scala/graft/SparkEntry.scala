@@ -628,6 +628,11 @@ object SparkEntry {
     // the actual files (require'd in-query; values DuckDB-checked)
     "commitlog_zorder" -> ((s, d) =>
       CommitLogRead.commitLogZorderQ(Tables.events(s, d))),
+    // round 14 (late): retention vacuum with both horizon sides proved
+    // on disk — swept files gone, pre-horizon read fails loudly, the
+    // retained head survives byte-for-byte (values DuckDB-checked)
+    "commitlog_vacuum" -> ((s, d) =>
+      CommitLogRead.commitLogVacuumQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -930,6 +935,7 @@ object SparkEntry {
     "commitlog_delete" -> CommitLogRead.commitLogDeleteSql,
     "commitlog_update" -> CommitLogRead.commitLogUpdateSql,
     "commitlog_zorder" -> CommitLogRead.commitLogZorderSql,
+    "commitlog_vacuum" -> CommitLogRead.commitLogVacuumSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

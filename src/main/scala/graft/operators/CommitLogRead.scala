@@ -291,6 +291,59 @@ object CommitLogRead {
       .orderBy("version", "doc_id")
   }
 
+  /** RETENTION VACUUM in the gate (round 14, late) — the last lake verb
+    * without driver-checked evidence ([[CommitLog.vacuum]] was
+    * spec-only; vacuum_plan is the advisor): run a real retention sweep
+    * and prove BOTH sides of the horizon on disk —
+    *  - v0 APPEND thirds-0               (contains even doc_ids)
+    *  - v1 DELETE WHERE doc_id % 2 == 0  (rewrites affected files; the
+    *                                      originals are now referenced
+    *                                      ONLY by v0)
+    *  - VACUUM retain=1                  (v0 leaves the window)
+    * In-query requires (file-level facts; the oracle checks VALUES):
+    * the sweep returned a NON-empty deletable set and those files are
+    * physically GONE (a post-vacuum read at v0 fails loudly — the
+    * horizon contract, eager-checked), while the head read stays
+    * intact. Emits the head's rows — the retained snapshot survives its
+    * own vacuum byte-for-byte, DuckDB-checked. */
+  def commitLogVacuumQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_vac").resolve("t").toString
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 0)) // v0
+    val v0r = CommitLog.read(spark, table, Some(0L))
+    if (v0r.columns.isEmpty || v0r.isEmpty)
+      return base.limit(0)
+        .select(lit(1L).as("version"), col("doc_id"), col("source"), col("n_chars"))
+    val v1 = CommitLog.deleteWhere(spark, table, col("doc_id") % 2 === 0) match {
+      case Right(v) => v
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    require(v1 == 1L, s"gate corpus must contain even thirds-0 rows (v1=$v1)")
+    val swept = CommitLog.vacuum(table, retainVersions = 1L)
+    require(swept.nonEmpty, "retention sweep must retire v0's replaced files")
+    swept.foreach { f =>
+      require(!Files.exists(java.nio.file.Paths.get(table, f)),
+        s"vacuum reported but did not delete $f")
+    }
+    // past the horizon: the v0 snapshot's files are gone — reading it
+    // must fail LOUDLY, never silently return partial rows
+    val v0Fails =
+      try { CommitLog.read(spark, table, Some(0L)).count(); false }
+      catch { case _: Throwable => true }
+    require(v0Fails, "pre-horizon read must fail loudly after vacuum")
+    CommitLog.read(spark, table, Some(1L))
+      .select(lit(1L).as("version"), col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the retained head = thirds-0 minus its even rows. */
+  val commitLogVacuumSql: String =
+    """SELECT CAST(1 AS BIGINT) AS version, doc_id, source, n_chars
+      |FROM documents
+      |WHERE doc_id % 3 = 0 AND doc_id % 2 <> 0
+      |ORDER BY doc_id""".stripMargin
+
   /** CLUSTERED OPTIMIZE (ZORDER) in the gate (round 14) — the ZOrder
     * advisor loop CLOSED through the log (salting_plan→saltedJoinPlanned
     * precedent, applied to physical layout): [[ZOrder.mortonKeyExpr]]'s

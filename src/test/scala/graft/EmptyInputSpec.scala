@@ -189,6 +189,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "commitlog_rename" -> CommitLogRead.commitLogRenameQ(d),
       "commitlog_delete" -> CommitLogRead.commitLogDeleteQ(d),
       "commitlog_update" -> CommitLogRead.commitLogUpdateQ(d),
+      "commitlog_vacuum" -> CommitLogRead.commitLogVacuumQ(d),
       "commitlog_zorder" -> CommitLogRead.commitLogZorderQ(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("user_id", LongType),
