@@ -220,6 +220,22 @@ object SparkEntry {
       PairIndexStore.knnMutualLshStoreQ(Tables.embeddings(s, d))),
     "knn_mutual_clusters_lsh" -> ((s, d) =>
       PairIndexStore.knnMutualClustersLshStoreQ(Tables.embeddings(s, d))),
+    // round 15: the hyperplane-LSH GEOMETRY advisor (the r14 weak
+    // finding closed) — (bits, mp) per family from the corpus count +
+    // the sampled k-th-neighbor cosine floor, integer-ppm S-curve
+    // certificates (exact-rational p lower bound, no transcendentals),
+    // cost model vs brute in milli-rows; recommends BRUTE below the
+    // measured crossover (the honest gate-size answer)
+    "lsh_geometry_plan" -> ((s, d) =>
+      LshGeometryPlan.lshGeometryPlanQ(Tables.embeddings(s, d))),
+    // …and its planned consumers (the hybridJaccardPlanned pattern):
+    // exact oracles either way — at gate SFs the plan says brute, the
+    // LSH arm is spec-pinned on a planted replica corpus and measured
+    // at 10x (MeasureGeometry --advisor)
+    "knn_mutual_planned" -> ((s, d) =>
+      LshGeometryPlan.knnMutualPlannedQ(Tables.embeddings(s, d))),
+    "embedding_dedup_planned" -> ((s, d) =>
+      LshGeometryPlan.embeddingDedupPlannedQ(Tables.embeddings(s, d))),
     // round 10: top principal axis via integer power iteration — the
     // iterative fixed point over vectors (pagerank's dims-for-nodes twin)
     "embedding_principal" -> ((s, d) =>
@@ -633,6 +649,17 @@ object SparkEntry {
     // retained head survives byte-for-byte (values DuckDB-checked)
     "commitlog_vacuum" -> ((s, d) =>
       CommitLogRead.commitLogVacuumQ(Tables.documents(s, d))),
+    // round 15: TIMESTAMP AS OF — commit timestamps recorded IN the
+    // action lines, monotonized resolution (the out-of-order commit is
+    // part of the script, so the contract itself is DuckDB-checked)
+    "commitlog_read_at_ts" -> ((s, d) =>
+      CommitLogRead.commitLogReadAtTsQ(Tables.documents(s, d))),
+    // round 15: DATA-SKIPPING file stats — per-file min/max committed in
+    // the add actions, a selective range read pruned on the ACTUAL file
+    // census (require'd in-query, incl. stats folding through a
+    // checkpoint); values DuckDB-checked
+    "commitlog_skipping" -> ((s, d) =>
+      CommitLogRead.commitLogSkippingQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -800,6 +827,9 @@ object SparkEntry {
     // valid at MutualProbeGate — AnnOracleSpec pins full-row equality
     "knn_mutual_lsh" -> KnnMutual.knnMutualSql,
     "knn_mutual_clusters_lsh" -> KnnMutual.knnMutualClustersSql,
+    "lsh_geometry_plan" -> LshGeometryPlan.lshGeometryPlanSql,
+    "knn_mutual_planned" -> LshGeometryPlan.knnMutualPlannedSql,
+    "embedding_dedup_planned" -> LshGeometryPlan.embeddingDedupPlannedSql,
     "embedding_principal" -> EmbeddingPrincipal.embeddingPrincipalSql,
     "hard_negative_mine" -> HardNegative.hardNegativesSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,
@@ -936,6 +966,8 @@ object SparkEntry {
     "commitlog_update" -> CommitLogRead.commitLogUpdateSql,
     "commitlog_zorder" -> CommitLogRead.commitLogZorderSql,
     "commitlog_vacuum" -> CommitLogRead.commitLogVacuumSql,
+    "commitlog_read_at_ts" -> CommitLogRead.commitLogReadAtTsSql,
+    "commitlog_skipping" -> CommitLogRead.commitLogSkippingSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

@@ -319,7 +319,15 @@ object CommitLogRead {
       case Right(v) => v
       case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
     }
-    require(v1 == 1L, s"gate corpus must contain even thirds-0 rows (v1=$v1)")
+    // a corpus whose thirds-0 subset has no even ids makes the delete a
+    // no-op (Right(0), nothing committed) — there is then nothing to
+    // sweep and no horizon to prove; emit the unchanged head tagged
+    // version 1, which equals the oracle's thirds-0-minus-evens exactly
+    // (r14 advice: keep the query total over corpus shapes)
+    if (v1 == 0L)
+      return CommitLog.read(spark, table, Some(0L))
+        .select(lit(1L).as("version"), col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     val swept = CommitLog.vacuum(table, retainVersions = 1L)
     require(swept.nonEmpty, "retention sweep must retire v0's replaced files")
     swept.foreach { f =>
@@ -336,6 +344,124 @@ object CommitLogRead {
       .select(lit(1L).as("version"), col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
   }
+
+  /** TIMESTAMP AS OF in the gate (round 15 — the r14 verdict's #3
+    * order, extending #194's script-oracle pattern): a three-append
+    * script with INJECTED commit timestamps — including an
+    * out-of-order one, so the monotonization contract itself is
+    * DuckDB-checked:
+    *  - v0 APPEND thirds-0 at cts=1000
+    *  - v1 APPEND thirds-1 at cts=3000
+    *  - v2 APPEND thirds-2 at cts=2000  (wall clock ran BACKWARD —
+    *    monotonized to v1's instant 3000: version order wins)
+    * Probes (each emitted as that timestamp's resolved row set):
+    *  - ts=1000 → v0;  ts=2500 → v0 (v2's RAW 2000 must not win —
+    *    the monotonization pin);  ts=2999 → v0;  ts=3000 → v2 (last
+    *    version at-or-before the instant both late commits share).
+    * A probe BEFORE the first commit must fail loudly (require'd
+    * in-query — there is no table state to serve there). */
+  def commitLogReadAtTsQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_ts").resolve("t").toString
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 0),
+      ctsMillis = Some(1000L)) // v0
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 1),
+      ctsMillis = Some(3000L)) // v1
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 2),
+      ctsMillis = Some(2000L)) // v2 — out of order
+    val preFirstFails =
+      try { CommitLog.versionAtTimestamp(table, 999L); false }
+      catch { case _: IllegalArgumentException => true }
+    require(preFirstFails, "a timestamp before the first commit must fail loudly")
+    require(CommitLog.versionAtTimestamp(table, 1000L) == 0L)
+    require(CommitLog.versionAtTimestamp(table, 2500L) == 0L,
+      "v2's raw out-of-order timestamp must not resolve ahead of v1's")
+    require(CommitLog.versionAtTimestamp(table, 3000L) == 2L)
+    Seq(1000L, 2500L, 2999L, 3000L).map { ts =>
+      val df = CommitLog.readAtTimestamp(spark, table, ts)
+      val withSchema = if (df.columns.isEmpty) base.limit(0) else df
+      withSchema.select(lit(ts).as("probe_ts"), col("doc_id"), col("source"),
+        col("n_chars"))
+    }.reduce(_ unionByName _)
+      .orderBy("probe_ts", "doc_id")
+  }
+
+  /** Oracle: probes 1000/2500/2999 resolve the thirds-0 snapshot, 3000
+    * the full union — derived straight from `documents`. */
+  val commitLogReadAtTsSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), v AS (
+      |  SELECT CAST(1000 AS BIGINT) AS probe_ts, * FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(2500 AS BIGINT), * FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(2999 AS BIGINT), * FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(3000 AS BIGINT), * FROM base
+      |)
+      |SELECT probe_ts, doc_id, source, n_chars
+      |FROM v
+      |ORDER BY probe_ts, doc_id""".stripMargin
+
+  /** DATA-SKIPPING file stats in the gate (round 15 — the r14 verdict's
+    * #2 order): per-file min/max stats committed IN the add actions
+    * ([[CommitLog.appendWithStats]]), then a selective range read through
+    * [[CommitLog.readWhere]] with the pruning proved on the ACTUAL file
+    * census (the commitlog_zorder pattern — file-level facts are
+    * require'd in-query, the oracle checks VALUES):
+    *  - v0 APPEND-WITH-STATS, range-clustered by doc_id into 8 files
+    *    (disjoint per-file doc_id ranges — the layout stats skipping
+    *    exists for; [[CommitLog.compactClustered]] produces it at scale)
+    *  - CHECKPOINT — the stats must FOLD THROUGH it (the census is
+    *    re-taken after and require'd identical)
+    *  - READ WHERE doc_id in the corpus's middle [span/4, span/2] band
+    * Requires: the pruned census is STRICTLY smaller than the live set
+    * (when the corpus can distinguish: ≥2 files and a ≥8-wide id span),
+    * and is unchanged when resolved from the checkpoint. Emits the
+    * pruned read's rows — row-identical to an unpruned filter by the
+    * oracle. */
+  def commitLogSkippingQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_skip").resolve("t").toString
+    CommitLog.appendWithStats(spark, table,
+      base.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")) // v0
+    val v0r = CommitLog.read(spark, table, Some(0L))
+    if (v0r.columns.isEmpty || v0r.isEmpty)
+      return base.limit(0)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    val b = v0r.agg(min("doc_id"), max("doc_id")).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+    val cond = col("doc_id") >= lo && col("doc_id") <= hi
+    val nLive = CommitLog.liveFiles(table, 0L).size
+    val kept = CommitLog.prunedLiveFiles(spark, table, cond)
+    if (nLive >= 2 && mx - mn >= 8)
+      require(kept.size < nLive,
+        s"stats must prune a disjoint-range layout: kept ${kept.size} of $nLive")
+    CommitLog.checkpoint(table)
+    val keptFromCp = CommitLog.prunedLiveFiles(spark, table, cond)
+    require(keptFromCp.sorted == kept.sorted,
+      "per-file stats must fold through checkpoints unchanged")
+    CommitLog.readWhere(spark, table, cond)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the same middle band straight from `documents` — integer
+    * bound arithmetic shared with the engine side. */
+  val commitLogSkippingSql: String =
+    """WITH b AS (
+      |  SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents
+      |)
+      |SELECT d.doc_id, d.source, d.n_chars
+      |FROM documents d, b
+      |WHERE d.doc_id >= b.mn + (b.mx - b.mn) // 4
+      |  AND d.doc_id <= b.mn + (b.mx - b.mn) // 2
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Oracle: the retained head = thirds-0 minus its even rows. */
   val commitLogVacuumSql: String =
@@ -388,8 +514,16 @@ object CommitLogRead {
     val zorderSpan = meanUserSpan(1L)
     must(CommitLog.compactClustered(spark, table, _ => col("day"), 8)) // v2
     val timeSpan = meanUserSpan(2L)
-    require(zorderSpan < timeSpan,
-      f"z-order must bound the user dimension per file: $zorderSpan%.0f !< $timeSpan%.0f")
+    // the strict layout claim needs a corpus that CAN distinguish
+    // layouts: with a single user (or rows too few to fill the target
+    // files) both spans tie at 0 and `<` would throw on a healthy verb
+    // (r14 advice) — the content identity below still gate-checks
+    val distinguishable = base.agg(
+      countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+      .head() match { case r => r.getLong(0) >= 2 && r.getLong(1) >= 16 }
+    if (distinguishable)
+      require(zorderSpan < timeSpan,
+        f"z-order must bound the user dimension per file: $zorderSpan%.0f !< $timeSpan%.0f")
     (0L to 2L).map { v =>
       CommitLog.read(spark, table, Some(v))
         .groupBy("user_id", "day").agg(count(lit(1)).as("n"))

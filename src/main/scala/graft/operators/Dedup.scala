@@ -206,30 +206,41 @@ object Dedup {
     * (set identity also spec-pinned corpus∪delta == full). */
   def pairIndexDelta(documents: DataFrame,
                      batchMod: Long = IncrementalBatchMod,
-                     broadcastSizes: Boolean = true): DataFrame = {
+                     broadcastSizes: Boolean = true): DataFrame =
+    pairIndexDeltaFrames(
+      documents.filter(col("doc_id") % batchMod =!= 0),
+      documents.filter(col("doc_id") % batchMod === 0),
+      broadcastSizes)
+
+  /** [[pairIndexDelta]] with the batch identified by FRAME rather than
+    * id arithmetic — the streaming label-maintenance form (round 15):
+    * corpus and batch arrive as separate frames (the arrived table and
+    * the micro-batch), same two bounded joins, same output contract. */
+  def pairIndexDeltaFrames(corpus: DataFrame, batch: DataFrame,
+                           broadcastSizes: Boolean = true): DataFrame = {
     // broadcastSizes: same dial and rationale as [[ngramJaccardPairs]] —
     // the sizes frame is ONE ROW PER DOCUMENT; default true covers every
     // broadcast-sized-doc-count invocation, false drops the hints for
     // corpora where even the doc spine is too big to ship
     def dim(df: DataFrame): DataFrame = if (broadcastSizes) broadcast(df) else df
-    def ex(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      shingleExploded(documents.filter(pred(col("doc_id"))))
-        .select(col("doc_id"), expr("xxhash64(s)").as("sh"))
+    def ex(df: DataFrame) =
+      shingleExploded(df).select(col("doc_id"), expr("xxhash64(s)").as("sh"))
     // the BATCH-side exploded stream feeds three join sides (bCross's
     // probe + both sides of bWithin) — batch-sized, so materializing it
     // once is cheap and saves two filter+split+shingle map passes (the
     // multi-consumer invariant; the CORPUS side stays single-consumer
     // and is deliberately NOT checkpointed — it is the 100 TB side)
-    val bEx = ex(_ % batchMod === 0).localCheckpoint()
+    val bEx = ex(batch).localCheckpoint()
     val bCross = bEx.select(col("doc_id").as("ida"), col("sh"))
-      .join(ex(_ % batchMod =!= 0).select(col("doc_id").as("idb"), col("sh")), Seq("sh"))
+      .join(ex(corpus).select(col("doc_id").as("idb"), col("sh")), Seq("sh"))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
     val bWithin = bEx.select(col("doc_id").as("id1"), col("sh"))
       .join(bEx.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
-    val sizes = shingleSets(documents).select(col("doc_id"), col("nsh"))
+    val sizes = shingleSets(corpus.unionByName(batch))
+      .select(col("doc_id"), col("nsh"))
     bCross.unionAll(bWithin)
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter"))
@@ -421,14 +432,26 @@ object Dedup {
                                    oldLabels: DataFrame,
                                    deltaPairs: DataFrame,
                                    batchMod: Long = IncrementalBatchMod,
-                                   maxIters: Int = 20): DataFrame = {
+                                   maxIters: Int = 20): DataFrame =
+    clustersIncrementalFromFrames(oldLabels,
+      documents.filter(col("doc_id") % batchMod === 0).select(col("doc_id")),
+      deltaPairs, maxIters)
+
+  /** [[clustersIncrementalFromState]] with the batch identified by FRAME
+    * (its doc-id spine) rather than id arithmetic — the streaming
+    * label-maintenance form (round 15): old labels + the new batch's ids
+    * + the thresholded batch-touching pairs in, full updated labels
+    * out. */
+  def clustersIncrementalFromFrames(oldLabels: DataFrame,
+                                    batchIds: DataFrame,
+                                    deltaPairs: DataFrame,
+                                    maxIters: Int = 20): DataFrame = {
     // label of an endpoint: its old component label (corpus doc) or
     // itself (batch doc). oldLabels feeds the edge projection AND the
     // final join-back — checkpoint per the multi-consumer invariant.
     val lbl = oldLabels
       .select(col("doc_id"), col("cluster_id").as("lbl"))
-      .unionAll(documents.filter(col("doc_id") % batchMod === 0)
-        .select(col("doc_id"), col("doc_id").as("lbl")))
+      .unionAll(batchIds.select(col("doc_id"), col("doc_id").as("lbl")))
       .localCheckpoint()
     val labelEdges = deltaPairs
       .join(lbl.select(col("doc_id").as("id1"), col("lbl").as("l1")), Seq("id1"))

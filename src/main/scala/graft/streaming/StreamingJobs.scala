@@ -844,6 +844,85 @@ object StreamingJobs {
     ()
   }
 
+  /** STREAMING INCREMENTAL CLUSTERING (round 15 — the r14 verdict's #4
+    * order): near-dup LABEL MAINTENANCE as a foreachBatch sink over the
+    * exactly-once pipe, the §D twin of `dedup_cluster_incremental`
+    * (#250). State = two [[graft.sources.CommitLog]] tables:
+    *  - `docsTable` — the arrived corpus, landed exactly-once by the
+    *    idempotent-append watermark;
+    *  - `labelsTable` — the label CATALOG ((doc_id, cluster_id) only:
+    *    never pair state, never text — the state-growth claim the
+    *    stress row measures), copy-on-write-replaced per batch WITH the
+    *    same (appId, batchId) txn action.
+    * Per batch: mine ONLY the batch-touching pairs against the
+    * already-arrived corpus ([[graft.operators.Dedup
+    * .pairIndexDeltaFrames]] — Σ df_B·df per shingle, never corpus²),
+    * super-vertex-merge into the standing labels
+    * ([[graft.operators.Dedup.clustersIncrementalFromFrames]] — CC over
+    * the catalog-sized label graph), and commit the new catalog.
+    *
+    * EXACTLY-ONCE across BOTH tables: each table carries its own txn
+    * watermark for (appId, batchId), and the two commits are ordered
+    * docs-then-labels — so a replay after any crash point is safe:
+    *  - replayed batch, both landed → both watermarks skip;
+    *  - crash BETWEEN the commits → docs skips, labels re-merges from
+    *    the recovered batch rows (the docs commit that carries this
+    *    batchId's txn is found in the log; its adds ARE the batch) —
+    *    the merge re-runs on identical inputs, so the labels commit is
+    *    a pure retry. Append-only unique doc ids are the incremental
+    *    contract (same as the batch twin's). */
+  def clusterMaintainBatch(docsTable: String, labelsTable: String,
+                           appId: String,
+                           threshold: Double = graft.operators.Dedup.JaccardThreshold)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val spark = batch.sparkSession
+    import graft.sources.CommitLog
+    import graft.operators.Dedup
+    val docsV = CommitLog.appendIdempotent(
+      spark, docsTable, batch, appId, batchId) match {
+      case Some(v) => v
+      case None =>
+        // docs already landed (replay): recover the version that carried
+        // this batch's txn — a bounded backward walk over tiny log files
+        val head = CommitLog.latestVersion(docsTable)
+        (0L to head).reverse.find(v => CommitLog.commits(docsTable, v)
+          .last.txns.exists { case (a, tv) => a == appId && tv == batchId })
+          .getOrElse(throw new IllegalStateException(
+            s"watermark claims batch $batchId landed but no commit carries it"))
+    }
+    if (CommitLog.txnLatest(labelsTable, appId) >= batchId) ()
+    else {
+      // the batch's own rows from ITS docs commit (identical to the
+      // delivered frame on first run; the recovery source on replay),
+      // the corpus = everything arrived before it
+      val (batchRows, _) = CommitLog.readIncremental(
+        spark, docsTable, docsV - 1, docsV)
+      val corpus =
+        if (docsV == 0) batchRows.limit(0)
+        else CommitLog.read(spark, docsTable, Some(docsV - 1))
+      val lHead = CommitLog.latestVersion(labelsTable)
+      val oldLabels =
+        if (lHead < 0)
+          batchRows.select(col("doc_id"), col("doc_id").as("cluster_id")).limit(0)
+        else CommitLog.read(spark, labelsTable, Some(lHead))
+      val delta = Dedup.pairsFromIndex(
+        Dedup.pairIndexDeltaFrames(corpus, batchRows), threshold)
+        .select(col("id1"), col("id2"))
+      val newLabels = Dedup.clustersIncrementalFromFrames(oldLabels,
+        batchRows.select(col("doc_id")), delta)
+        .select(col("doc_id"), col("cluster_id"))
+      val adds = CommitLog.stage(labelsTable, newLabels)
+      val removes = if (lHead < 0) Nil else CommitLog.liveFiles(labelsTable, lHead)
+      // single maintenance writer per catalog (the streaming-sink
+      // contract); a lost race here means a second maintainer — loud
+      if (!CommitLog.tryCommit(labelsTable, lHead + 1, adds, removes,
+        txn = Some((appId, batchId))))
+        throw new IllegalStateException(
+          s"label catalog $labelsTable has a concurrent writer at ${lHead + 1}")
+    }
+    ()
+  }
+
   // ------------------------------------------- stream-stream range join
 
   /** STREAM-STREAM inner join — the one Structured Streaming join class

@@ -854,4 +854,99 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.read(spark, t, Some(2L)).count() == 2)
     assert(CommitLog.read(spark, t, Some(0L)).columns.toSeq == Seq("id", "s"))
   }
+
+  // ------------------------------------------- round 15: TIMESTAMP AS OF
+
+  test("timestamp resolution: at-or-before, monotonized, loud before genesis") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"), ctsMillis = Some(100L))
+    CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"), ctsMillis = Some(300L))
+    // wall clock ran BACKWARD on the third writer: version order wins —
+    // v2 resolves at v1's instant, never ahead of it
+    CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"), ctsMillis = Some(200L))
+    assert(CommitLog.versionAtTimestamp(t, 100L) == 0L)
+    assert(CommitLog.versionAtTimestamp(t, 250L) == 0L,
+      "the raw out-of-order 200 must not win over v1's 300")
+    assert(CommitLog.versionAtTimestamp(t, 300L) == 2L)
+    assert(CommitLog.versionAtTimestamp(t, Long.MaxValue) == 2L)
+    assert(CommitLog.readAtTimestamp(spark, t, 299L).count() == 1)
+    assert(CommitLog.readAtTimestamp(spark, t, 300L).count() == 3)
+    intercept[IllegalArgumentException] {
+      CommitLog.versionAtTimestamp(t, 99L)
+    }
+  }
+
+  // ----------------------------------------- round 15: data-skipping stats
+
+  private def statsTable(): String = {
+    val t = tmpTable()
+    // 3 files with DISJOINT id ranges (the clustered layout skipping
+    // exists for), stats committed in the add actions
+    CommitLog.appendWithStats(spark, t,
+      (0L until 30L).map(i => (i, s"s$i")).toDF("id", "s")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id"))
+    t
+  }
+
+  test("data skipping: selective predicate prunes files, rows identical to full filter") {
+    val t = statsTable()
+    assert(CommitLog.liveFiles(t, 0L).size == 3)
+    val cond = col("id") >= 10L && col("id") <= 14L
+    val kept = CommitLog.prunedLiveFiles(spark, t, cond)
+    assert(kept.size < 3, s"middle band must prune: kept $kept")
+    val pruned = CommitLog.readWhere(spark, t, cond)
+      .select("id").as[Long].collect().sorted.toSeq
+    val full = CommitLog.read(spark, t).filter(cond)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(pruned == full && full == (10L to 14L).toSeq)
+    // OR composition: a predicate reaching both END files prunes exactly
+    // the middle one — per-disjunct necessary conditions, OR'd
+    val both = col("id") === 0L || col("id") === 29L
+    assert(CommitLog.prunedLiveFiles(spark, t, both).size == 2)
+    assert(CommitLog.readWhere(spark, t, both)
+      .select("id").as[Long].collect().toSet == Set(0L, 29L))
+  }
+
+  test("data skipping: stats-less adds (legacy/rewrite) are never pruned") {
+    val t = statsTable()
+    // a plain append carries no stats — its file must survive EVERY prune
+    CommitLog.append(spark, t, Seq((100L, "x")).toDF("id", "s"))
+    val legacy = CommitLog.commits(t, 1L).last.adds.toSet
+    val kept = CommitLog.prunedLiveFiles(spark, t, col("id") === 12L).toSet
+    assert(legacy.subsetOf(kept), "stats-less files must always survive")
+    assert(CommitLog.readWhere(spark, t, col("id") === 100L)
+      .count() == 1, "the row in the stats-less file must be found")
+  }
+
+  test("data skipping: stats fold through checkpoints; unknown predicates keep everything") {
+    val t = statsTable()
+    val cond = col("id") >= 10L && col("id") <= 14L
+    val before = CommitLog.prunedLiveFiles(spark, t, cond).sorted
+    CommitLog.checkpoint(t)
+    // the fold now starts from the checkpoint — identical census
+    assert(CommitLog.prunedLiveFiles(spark, t, cond).sorted == before)
+    // a predicate the rewrite does not understand prunes NOTHING
+    assert(CommitLog.prunedLiveFiles(spark, t,
+      expr("id % 7 = 3")).size == 3)
+    // column-column comparison: unknown, keep all
+    assert(CommitLog.prunedLiveFiles(spark, t, col("id") === col("id")).size == 3)
+  }
+
+  test("data skipping: null-census predicates and all-null columns stay sound") {
+    val t = tmpTable()
+    CommitLog.appendWithStats(spark, t,
+      Seq((1L, Option("a")), (2L, Option("b"))).toDF("id", "s")
+        .repartition(1))
+    CommitLog.appendWithStats(spark, t,
+      Seq((3L, Option.empty[String]), (4L, Option.empty[String])).toDF("id", "s")
+        .repartition(1))
+    // IS NULL can skip the no-null file; IS NOT NULL the all-null one
+    val isNull = CommitLog.prunedLiveFiles(spark, t, col("s").isNull)
+    val notNull = CommitLog.prunedLiveFiles(spark, t, col("s").isNotNull)
+    assert(isNull.size == 1 && notNull.size == 1 && isNull != notNull)
+    assert(CommitLog.readWhere(spark, t, col("s").isNull)
+      .select("id").as[Long].collect().toSet == Set(3L, 4L))
+    // equality on the all-null column's file: min/max are null → kept
+    assert(CommitLog.readWhere(spark, t, col("s") === "a").count() == 1)
+  }
 }

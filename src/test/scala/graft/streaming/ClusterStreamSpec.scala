@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.operators.Dedup
+import graft.sources.CommitLog
+
+/** The §D LABEL-MAINTENANCE twin (round 15 — the r14 verdict's #4
+  * order): documents arrive as a stream, each micro-batch merges into
+  * the standing near-dup clustering through the exactly-once pipe, and
+  * the maintained label catalog equals the from-scratch clustering at
+  * every drain point — the IncrementalCcSpec weld fixture ARRIVING
+  * ACROSS CHUNKS, so the merge that welds two old components happens in
+  * a genuinely later micro-batch. Replay (fresh streaming checkpoint)
+  * moves neither state table; the crash-between-commits window replays
+  * into a consistent merge (the two-txn recovery path). */
+class ClusterStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // the IncrementalCcSpec weld: j(M,A) = j(M,B) = 18/22 = 0.818 ≥ 0.8,
+  // j(A,B) = 16/24 = 0.667 < 0.8 — A and B cluster ONLY through M
+  private val w = (0 to 20).map(i => s"w$i")
+  private val mTxt = w.mkString(" ")
+  private val aTxt = (w.take(19) ++ Seq("aa1", "aa2")).mkString(" ")
+  private val bTxt = (Seq("bb1", "bb2") ++ w.drop(2)).mkString(" ")
+
+  private val chunks: Seq[Seq[(Long, String)]] = Seq(
+    Seq(1L -> aTxt, 3L -> "lone text here"),
+    Seq(2L -> bTxt),           // A and B now both present — still separate
+    Seq(5L -> mTxt))           // the weld arrives LAST
+
+  private def labels(df: DataFrame): Map[Long, Long] =
+    df.select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("weld across micro-batches: maintained catalog == from-scratch at every drain") {
+    val src = Files.createTempDirectory("graft_cs_src").toString
+    val docsT = Files.createTempDirectory("graft_cs_docs").resolve("t").toString
+    val labelsT = Files.createTempDirectory("graft_cs_lbl").resolve("t").toString
+    val ckpt = Files.createTempDirectory("graft_cs_ck").toString
+    val schema = docsDf(chunks.head).schema
+    var arrived = Seq.empty[(Long, String)]
+    chunks.foreach { chunk =>
+      docsDf(chunk).coalesce(1).write.mode("append").parquet(src)
+      arrived ++= chunk
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream
+        .foreachBatch(StreamingJobs.clusterMaintainBatch(docsT, labelsT, "cs_app"))
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // drain point: the maintained catalog equals the from-scratch
+      // clustering of everything that has arrived
+      val maintained = labels(CommitLog.read(spark, labelsT))
+      val fromScratch = labels(Dedup.dedupClusters(docsDf(arrived)))
+      assert(maintained == fromScratch,
+        s"after ${arrived.map(_._1)}: $maintained != $fromScratch")
+    }
+    // the weld actually happened across chunks: A(1), B(2), M(5) share
+    // min-id label 1; the singleton kept its own
+    val fin = labels(CommitLog.read(spark, labelsT))
+    assert(fin(1L) == 1L && fin(2L) == 1L && fin(5L) == 1L, s"no weld: $fin")
+    assert(fin(3L) == 3L)
+    // full replay with a FRESH streaming checkpoint: batchIds restart,
+    // both tables' txn watermarks reject every re-delivery — neither
+    // table moves
+    val docsV = CommitLog.latestVersion(docsT)
+    val lblV = CommitLog.latestVersion(labelsT)
+    val q2 = spark.readStream.schema(schema).parquet(src)
+      .writeStream
+      .foreachBatch(StreamingJobs.clusterMaintainBatch(docsT, labelsT, "cs_app"))
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cs_ck2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    assert(CommitLog.latestVersion(docsT) == docsV, "replay moved the docs table")
+    assert(CommitLog.latestVersion(labelsT) == lblV, "replay moved the catalog")
+    assert(labels(CommitLog.read(spark, labelsT)) == fin)
+  }
+
+  test("crash between the two commits replays into a consistent merge") {
+    val docsT = Files.createTempDirectory("graft_cs2_docs").resolve("t").toString
+    val labelsT = Files.createTempDirectory("graft_cs2_lbl").resolve("t").toString
+    val fn = StreamingJobs.clusterMaintainBatch(docsT, labelsT, "cs2_app")
+    fn(docsDf(Seq(1L -> aTxt, 2L -> bTxt)), 0L)
+    // simulate the crash window for batch 1: the DOCS commit landed
+    // (idempotent append) but the process died before the labels commit
+    CommitLog.appendIdempotent(spark, docsT, docsDf(Seq(5L -> mTxt)), "cs2_app", 1L)
+    assert(CommitLog.txnLatest(labelsT, "cs2_app") == 0L,
+      "fixture: labels must not have seen batch 1 yet")
+    // the replayed delivery: docs watermark skips, labels recover the
+    // batch rows from the docs commit and merge
+    fn(docsDf(Seq(5L -> mTxt)), 1L)
+    val maintained = labels(CommitLog.read(spark, labelsT))
+    val fromScratch = labels(Dedup.dedupClusters(
+      docsDf(Seq(1L -> aTxt, 2L -> bTxt, 5L -> mTxt))))
+    assert(maintained == fromScratch, s"$maintained != $fromScratch")
+    assert(maintained(5L) == 1L, "recovery must still weld through M")
+    // and a SECOND replay of the same batch is a double no-op
+    val dv = CommitLog.latestVersion(docsT)
+    val lv = CommitLog.latestVersion(labelsT)
+    fn(docsDf(Seq(5L -> mTxt)), 1L)
+    assert(CommitLog.latestVersion(docsT) == dv)
+    assert(CommitLog.latestVersion(labelsT) == lv)
+  }
+
+  test("state is the label catalog: two slim columns, one row per doc") {
+    val docsT = Files.createTempDirectory("graft_cs3_docs").resolve("t").toString
+    val labelsT = Files.createTempDirectory("graft_cs3_lbl").resolve("t").toString
+    val fn = StreamingJobs.clusterMaintainBatch(docsT, labelsT, "cs3_app")
+    fn(docsDf(chunks(0)), 0L)
+    fn(docsDf(chunks(1)), 1L)
+    fn(docsDf(chunks(2)), 2L)
+    val cat = CommitLog.read(spark, labelsT)
+    assert(cat.columns.toSeq == Seq("doc_id", "cluster_id"),
+      "the catalog must carry labels only — no text, no pair state")
+    assert(cat.count() == 4L)
+  }
+}
