@@ -660,6 +660,11 @@ object SparkEntry {
     // checkpoint); values DuckDB-checked
     "commitlog_skipping" -> ((s, d) =>
       CommitLogRead.commitLogSkippingQ(Tables.documents(s, d))),
+    // round 15: SHALLOW CLONE — zero-copy snapshot fork via external
+    // file references (zero data files require'd at clone time), both
+    // sides diverging independently; vacuum never touches external refs
+    "commitlog_clone" -> ((s, d) =>
+      CommitLogRead.commitLogCloneQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -968,6 +973,7 @@ object SparkEntry {
     "commitlog_vacuum" -> CommitLogRead.commitLogVacuumSql,
     "commitlog_read_at_ts" -> CommitLogRead.commitLogReadAtTsSql,
     "commitlog_skipping" -> CommitLogRead.commitLogSkippingSql,
+    "commitlog_clone" -> CommitLogRead.commitLogCloneSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

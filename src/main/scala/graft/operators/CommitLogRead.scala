@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -462,6 +464,66 @@ object CommitLogRead {
       |WHERE d.doc_id >= b.mn + (b.mx - b.mn) // 4
       |  AND d.doc_id <= b.mn + (b.mx - b.mn) // 2
       |ORDER BY d.doc_id""".stripMargin
+
+  /** SHALLOW CLONE in the gate (round 15 — the r14 verdict's #8 order):
+    * [[CommitLog.shallowClone]] forks the source at a snapshot with
+    * ZERO data copy (require'd in-query: the clone directory holds no
+    * parquet at clone time — the v0 snapshot is served entirely through
+    * external references), then both sides diverge independently:
+    *  - SRC v0 APPEND thirds-0
+    *  - TGT = clone(SRC)          (zero-copy fork)
+    *  - TGT v1 APPEND thirds-1    (clone-local files)
+    *  - SRC v1 APPEND thirds-2    (source moves under the clone)
+    * Emits (side, version) row sets: the clone's v0 must still read the
+    * SOURCE SNAPSHOT (thirds-0 — isolation from the source's later
+    * append), its head the fork + its own write, the source's head its
+    * own divergent history. The vacuum-on-source limitation (a source
+    * vacuum can retire files a clone references — reads then fail
+    * loudly) is CommitLogSpec's row, the Delta-documented behavior. */
+  def commitLogCloneQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val root = Files.createTempDirectory("graft_cl_clone")
+    val src = root.resolve("src").toString
+    val tgt = root.resolve("tgt").toString
+    CommitLog.append(spark, src, base.filter(col("doc_id") % 3 === 0)) // src v0
+    CommitLog.shallowClone(src, tgt)
+    // zero-copy: the clone directory holds log metadata only
+    val copied = {
+      val s = Files.list(java.nio.file.Paths.get(tgt))
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    require(copied == 0, s"shallow clone copied $copied data files")
+    CommitLog.append(spark, tgt, base.filter(col("doc_id") % 3 === 1)) // tgt v1
+    CommitLog.append(spark, src, base.filter(col("doc_id") % 3 === 2)) // src v1
+    def emit(side: String, table: String, v: Long): DataFrame = {
+      val df = CommitLog.read(spark, table, Some(v))
+      val withSchema = if (df.columns.isEmpty) base.limit(0) else df
+      withSchema.select(lit(side).as("side"), lit(v).as("version"),
+        col("doc_id"), col("source"), col("n_chars"))
+    }
+    Seq(emit("src", src, 1L), emit("tgt", tgt, 0L), emit("tgt", tgt, 1L))
+      .reduce(_ unionByName _)
+      .orderBy("side", "version", "doc_id")
+  }
+
+  /** Oracle: src head = thirds-0∪2; clone v0 = the forked snapshot
+    * (thirds-0); clone head = thirds-0∪1. */
+  val commitLogCloneSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), v AS (
+      |  SELECT 'src' AS side, CAST(1 AS BIGINT) AS version, *
+      |  FROM base WHERE doc_id % 3 = 0 OR doc_id % 3 = 2
+      |  UNION ALL
+      |  SELECT 'tgt', CAST(0 AS BIGINT), * FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'tgt', CAST(1 AS BIGINT), * FROM base WHERE doc_id % 3 <= 1
+      |)
+      |SELECT side, version, doc_id, source, n_chars
+      |FROM v
+      |ORDER BY side, version, doc_id""".stripMargin
 
   /** Oracle: the retained head = thirds-0 minus its even rows. */
   val commitLogVacuumSql: String =

@@ -858,8 +858,7 @@ object CommitLog {
     }).withColumn("_graft_file", input_file_name())
     val affectedPaths = tagged.filter(cond).select("_graft_file")
       .distinct().collect().map(_.getString(0)).toSet
-    val affected = live.filter(f =>
-      affectedPaths.exists(p => p.endsWith("/" + f) || p == f))
+    val affected = affectedOf(live, affectedPaths)
     if (affected.isEmpty) return Right(head)
     val keep = tagged
       .filter(col("_graft_file").isin(affectedPaths.toSeq: _*))
@@ -949,8 +948,7 @@ object CommitLog {
     val tagged = base.withColumn("_graft_file", input_file_name())
     val affectedPaths = tagged.filter(cond).select("_graft_file")
       .distinct().collect().map(_.getString(0)).toSet
-    val affected = live.filter(f =>
-      affectedPaths.exists(p => p.endsWith("/" + f) || p == f))
+    val affected = affectedOf(live, affectedPaths)
     if (affected.isEmpty) return Right(head)
     // flag AND all SET values materialize first: both the predicate and
     // every SET right-hand side see the OLD row (standard UPDATE
@@ -1040,11 +1038,46 @@ object CommitLog {
     }
   }
 
+  /** SHALLOW CLONE (round 15 — Delta's public design): fork a table at a
+    * snapshot WITHOUT copying data — the clone's v0 references the
+    * source's live files by RELATIVE path (an "external reference": any
+    * add containing a path separator), carrying their stats and the
+    * source's schema metadata. Zero-copy by construction: the clone
+    * directory holds no data files until its own writers stage some.
+    * Writes diverge from there — appends stage clone-local files, and a
+    * file-granular DELETE/UPDATE touching an external file rewrites its
+    * survivors into clone-local files and drops the reference (never the
+    * source file). [[vacuum]]/[[vacuumable]]/[[orphanFiles]] NEVER
+    * delete external references (they belong to the source), and —
+    * Delta's own documented shallow-clone limitation, spec-pinned — a
+    * vacuum on the SOURCE can retire files a clone still references:
+    * the clone's read then fails loudly on the missing file, exactly
+    * like a pre-horizon time travel. */
+  def shallowClone(source: String, target: String,
+                   asOf: Option[Long] = None): Long = {
+    val v = asOf.getOrElse(latestVersion(source))
+    require(v >= 0, s"commit-log table $source has no commits")
+    require(latestVersion(target) == -1L,
+      s"clone target $target already has commits")
+    val rel = Paths.get(target).toAbsolutePath.normalize
+      .relativize(Paths.get(source).toAbsolutePath.normalize).toString
+    val adds = liveAdds(source, v)
+    val refs = adds.map { case (f, _) => s"$rel/$f" }
+    val stats = adds.collect { case (f, Some(st)) => s"$rel/$f" -> st }.toMap
+    val meta = schemaAt(source, v).map(s => java.util.Base64.getEncoder
+      .encodeToString(s.json.getBytes("UTF-8")))
+    require(tryCommit(target, 0L, refs, Nil, meta = meta, addStats = stats),
+      s"clone target $target saw a concurrent commit")
+    0L
+  }
+
   /** Files deletable under retain-last-N: referenced by NO snapshot in
     * the retention window `(vMax - retain, vMax]` — the file-granular
     * analog of [[graft.operators.VacuumPlan]]'s entry-level report
     * (`version > v_max - RetainVersions`, plus everything the retained
-    * snapshots themselves still reference). */
+    * snapshots themselves still reference). External (cloned-in)
+    * references are never deletable — they belong to the source table
+    * ([[shallowClone]]). */
   def vacuumable(table: String, retainVersions: Long): Seq[String] = {
     // retain = 0 would empty the retained window and delete every live
     // data file out from under the current snapshot — the same guard as
@@ -1054,7 +1087,29 @@ object CommitLog {
     require(vMax >= 0, s"commit-log table $table has no commits")
     val retained = ((vMax - retainVersions + 1).max(0L) to vMax)
       .flatMap(liveFiles(table, _)).toSet
-    commits(table, vMax).flatMap(_.adds).distinct.filterNot(retained)
+    commits(table, vMax).flatMap(_.adds).distinct
+      .filterNot(retained)
+      .filterNot(isExternalRef)
+  }
+
+  /** An add that points outside the table directory — a [[shallowClone]]
+    * reference. Never vacuumed, never counted as a local part file. */
+  private def isExternalRef(f: String): Boolean = f.contains("/")
+
+  /** Map `input_file_name()` URIs back to live add entries — by final
+    * name component, so external (cloned-in) references match too.
+    * uuid-part staging makes basenames unique; an actual collision
+    * fails loudly rather than mis-target a copy-on-write. */
+  private def affectedOf(live: Seq[String], paths: Set[String]): Seq[String] = {
+    val byBase = live.groupBy(f => Paths.get(f).getFileName.toString)
+    byBase.collect { case (b, fs) if fs.size > 1 => (b, fs) }.foreach {
+      case (b, fs) => throw new IllegalStateException(
+        s"live files share the basename '$b': ${fs.mkString(", ")}")
+    }
+    live.filter { f =>
+      val base = Paths.get(f).getFileName.toString
+      paths.exists(p => p.endsWith("/" + base) || p == base)
+    }
   }
 
   private val PartFileRe = """[0-9a-f]{8}-part-\d{5}\.parquet""".r

@@ -3,6 +3,8 @@ package graft
 import java.nio.file.Files
 import java.util.concurrent.{Callable, CountDownLatch, Executors}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -948,5 +950,67 @@ class CommitLogSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet == Set(3L, 4L))
     // equality on the all-null column's file: min/max are null → kept
     assert(CommitLog.readWhere(spark, t, col("s") === "a").count() == 1)
+  }
+
+  // ------------------------------------------- round 15: shallow clone
+
+  private def cloned(): (String, String) = {
+    val root = Files.createTempDirectory("graft_clone")
+    val src = root.resolve("src").toString
+    val tgt = root.resolve("tgt").toString
+    CommitLog.append(spark, src, (0L until 10L).map(i => (i, s"s$i")).toDF("id", "s"))
+    CommitLog.shallowClone(src, tgt)
+    (src, tgt)
+  }
+
+  test("shallow clone: zero-copy snapshot isolation, writes diverge both ways") {
+    val (src, tgt) = cloned()
+    // zero-copy: no parquet landed in the clone dir
+    val s0 = Files.list(java.nio.file.Paths.get(tgt))
+    val copied = try s0.iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")) finally s0.close()
+    assert(copied == 0)
+    assert(CommitLog.read(spark, tgt).count() == 10)
+    // source moves — the clone's snapshot doesn't
+    CommitLog.append(spark, src, Seq((100L, "x")).toDF("id", "s"))
+    assert(CommitLog.read(spark, tgt).count() == 10)
+    // clone moves — the source doesn't
+    CommitLog.append(spark, tgt, Seq((200L, "y")).toDF("id", "s"))
+    assert(CommitLog.read(spark, tgt).count() == 11)
+    assert(CommitLog.read(spark, src).count() == 11) // 10 + its own append
+    assert(CommitLog.read(spark, src).filter(col("id") === 200L).count() == 0)
+    // stats rode the external references: skipping works on the clone
+    intercept[IllegalArgumentException] {
+      CommitLog.shallowClone(src, tgt) // target exists — loud
+    }
+  }
+
+  test("shallow clone: DML on the clone rewrites locally, never the source file") {
+    val (src, tgt) = cloned()
+    val srcFiles = CommitLog.liveFiles(src, 0L)
+      .map(f => java.nio.file.Paths.get(src, f))
+    assert(CommitLog.deleteWhere(spark, tgt, col("id") % 2 === 0).isRight)
+    // the clone sees the delete; the source is bit-for-bit untouched
+    assert(CommitLog.read(spark, tgt).select("id").as[Long].collect().toSet ==
+      Set(1L, 3L, 5L, 7L, 9L))
+    assert(CommitLog.read(spark, src).count() == 10)
+    srcFiles.foreach(p => assert(Files.exists(p), s"clone DML deleted source $p"))
+    // and the clone's vacuum never lists the external refs as deletable
+    assert(CommitLog.vacuum(tgt, retainVersions = 1L)
+      .forall(!_.contains("/")), "vacuum must never touch external refs")
+    srcFiles.foreach(p => assert(Files.exists(p)))
+  }
+
+  test("shallow clone: the Delta-documented limitation — a source vacuum breaks the clone loudly") {
+    val (src, tgt) = cloned()
+    // rewrite the source so its original files leave the retention window
+    assert(CommitLog.deleteWhere(spark, src, col("id") >= 0L).isRight)
+    val swept = CommitLog.vacuum(src, retainVersions = 1L)
+    assert(swept.nonEmpty, "fixture: the source rewrite must free v0's files")
+    // the clone still references them: reads fail LOUDLY, never silently
+    // partial (the pre-horizon time-travel contract, across tables)
+    intercept[Throwable] {
+      CommitLog.read(spark, tgt).count()
+    }
   }
 }
