@@ -236,6 +236,8 @@ object SparkEntry {
       LshGeometryPlan.knnMutualPlannedQ(Tables.embeddings(s, d))),
     "embedding_dedup_planned" -> ((s, d) =>
       LshGeometryPlan.embeddingDedupPlannedQ(Tables.embeddings(s, d))),
+    "knn_cosine_planned" -> ((s, d) =>
+      LshGeometryPlan.knnCosinePlannedQ(Tables.embeddings(s, d))),
     // round 10: top principal axis via integer power iteration — the
     // iterative fixed point over vectors (pagerank's dims-for-nodes twin)
     "embedding_principal" -> ((s, d) =>
@@ -835,6 +837,7 @@ object SparkEntry {
     "lsh_geometry_plan" -> LshGeometryPlan.lshGeometryPlanSql,
     "knn_mutual_planned" -> LshGeometryPlan.knnMutualPlannedSql,
     "embedding_dedup_planned" -> LshGeometryPlan.embeddingDedupPlannedSql,
+    "knn_cosine_planned" -> LshGeometryPlan.knnCosinePlannedSql,
     "embedding_principal" -> EmbeddingPrincipal.embeddingPrincipalSql,
     "hard_negative_mine" -> HardNegative.hardNegativesSql,
     "embedding_dedup" -> Similarity.embeddingDedupSql,

@@ -173,6 +173,50 @@ object StressStreaming {
         f"maxbatch1=${a.maxBatchS}%.2f maxbatch10=${b.maxBatchS}%.2f")
       }
     }
+
+    // round-15 addition: the label-maintenance twin (clusterMaintainBatch)
+    // — its state is TWO CommitLog tables, not a Spark state store, so it
+    // gets its own replay: per-chunk wall measured directly; "state" = the
+    // label CATALOG (one (doc_id, cluster_id) row per arrived doc — never
+    // pair state, never text; bytes reported to make the slimness
+    // measurable). Work per chunk is the batch-touching delta mine + the
+    // catalog-sized label CC — the pair_index_delta economics in stream
+    // clothes.
+    if (!only.exists(fs => !fs.exists("cluster_maintain".contains))) {
+      def replayCluster(chunkRoot: String): (Double, Double, Long, Long) = {
+        val src = Files.createTempDirectory("graft-ss-cm-src").toString
+        val docsT = Files.createTempDirectory("graft-ss-cm-docs").resolve("t").toString
+        val labelsT = Files.createTempDirectory("graft-ss-cm-lbl").resolve("t").toString
+        val ckpt = Files.createTempDirectory("graft-ss-cm-ck").toString
+        val schema = spark.read.parquet(s"$workDir/$chunkRoot/c0").schema
+        var exec = 0.0; var maxB = 0.0
+        (0 until Chunks).foreach { k =>
+          spark.read.parquet(s"$workDir/$chunkRoot/c$k")
+            .write.mode("append").parquet(src)
+          val t0 = System.nanoTime()
+          val q = spark.readStream.schema(schema).parquet(src)
+            .writeStream
+            .foreachBatch(StreamingJobs.clusterMaintainBatch(docsT, labelsT, "stress_cm"))
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination(600000)
+          val dt = (System.nanoTime() - t0) / 1e9
+          exec += dt; maxB = math.max(maxB, dt)
+        }
+        val cat = graft.sources.CommitLog.read(spark, labelsT)
+        val rows = cat.count()
+        val bytes = graft.sources.CommitLog
+          .liveFiles(labelsT, graft.sources.CommitLog.latestVersion(labelsT))
+          .map(f => new java.io.File(labelsT, f).length()).sum
+        (exec, maxB, rows, bytes)
+      }
+      val (e1, m1, r1, b1) = replayCluster("doc1")
+      val (e10, m10, r10, b10) = replayCluster("doc10")
+      println(f"STREAM job=cluster_maintain chunks=$Chunks " +
+        f"exec1=$e1%.2f exec10=$e10%.2f factor=${e10 / math.max(e1, 0.01)}%.1f " +
+        f"state1=$r1(${b1 / 1024}KiB) state10=$r10(${b10 / 1024}KiB) " +
+        f"maxbatch1=$m1%.2f maxbatch10=$m10%.2f")
+    }
     spark.stop()
   }
 }

@@ -205,6 +205,9 @@ object LshGeometryPlan {
     }
     flag("est_pair_mrows", "mp_pair", "recommended_pair")(
       flag("est_mutual_mrows", "mp_mutual", "recommended_mutual")(withEst))
+      // day-one totality: an EMPTY corpus has no geometry to advise —
+      // zero rows (the MinhashBandPlan convention), not 9 degenerate arms
+      .filter(col("n_vectors") > 0)
   }
 
   def lshGeometryPlanQ(embeddings: DataFrame): DataFrame =
@@ -246,6 +249,24 @@ object LshGeometryPlan {
         multiProbe = mp, bits = b)
       case None => Similarity.embeddingDedup(embeddings)
     }
+
+  /** PLAN-AS-DATA top-k ANN — the third consumer family: the mutual
+    * certificate is exactly the top-k recall condition (min rank-k
+    * cosine over the query sample — and here the queries ARE the
+    * sample), so the mutual-family geometry serves it; shares
+    * [[Similarity.knnCosineBruteSql]]. */
+  def knnCosinePlanned(embeddings: DataFrame, plan: DataFrame): DataFrame =
+    geometryFromPlan(plan, "mutual") match {
+      case Some((b, mp)) => Lsh.knnCosineLsh(embeddings,
+        multiProbe = mp, bits = b)
+      case None => Similarity.knnCosineBrute(embeddings)
+    }
+
+  def knnCosinePlannedQ(embeddings: DataFrame): DataFrame =
+    knnCosinePlanned(embeddings, lshGeometryPlan(embeddings))
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        Parity.r("cos", 4), col("label"))
+      .orderBy("query_id", "rank")
 
   def knnMutualPlannedQ(embeddings: DataFrame): DataFrame =
     knnMutualPlanned(embeddings, lshGeometryPlan(embeddings))
@@ -339,9 +360,11 @@ object LshGeometryPlan {
        |       qual_m AND COALESCE(est_mutual_mrows = best_em AND bits = best_bm, FALSE) AS recommended_mutual,
        |       qual_p AND COALESCE(est_pair_mrows = best_ep AND bits = best_bp, FALSE) AS recommended_pair
        |FROM flagged2
+       |WHERE n_vectors > 0
        |ORDER BY bits""".stripMargin
   }
 
   val knnMutualPlannedSql: String = KnnMutual.knnMutualSql
   val embeddingDedupPlannedSql: String = Similarity.embeddingDedupSql
+  val knnCosinePlannedSql: String = Similarity.knnCosineBruteSql
 }

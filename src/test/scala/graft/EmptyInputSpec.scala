@@ -190,6 +190,11 @@ class EmptyInputSpec extends AnyFunSuite {
       "commitlog_delete" -> CommitLogRead.commitLogDeleteQ(d),
       "commitlog_update" -> CommitLogRead.commitLogUpdateQ(d),
       "commitlog_vacuum" -> CommitLogRead.commitLogVacuumQ(d),
+      // round 15: timestamp resolution, data skipping, and the clone
+      // fork all run their scripts on zero-row appends
+      "commitlog_read_at_ts" -> CommitLogRead.commitLogReadAtTsQ(d),
+      "commitlog_skipping" -> CommitLogRead.commitLogSkippingQ(d),
+      "commitlog_clone" -> CommitLogRead.commitLogCloneQ(d),
       "commitlog_zorder" -> CommitLogRead.commitLogZorderQ(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("user_id", LongType),
@@ -338,6 +343,13 @@ class EmptyInputSpec extends AnyFunSuite {
       "knn_mutual_lsh_store" -> PairIndexStore.knnMutualLshStoreQ(e),
       "knn_mutual_clusters_lsh_store" ->
         PairIndexStore.knnMutualClustersLshStoreQ(e),
+      // round 15: the geometry advisor emits ZERO arms on an empty corpus
+      // (nothing to advise) and both planned consumers fall back to the
+      // exact operators through the no-recommendation path
+      "lsh_geometry_plan" -> LshGeometryPlan.lshGeometryPlanQ(e),
+      "knn_mutual_planned" -> LshGeometryPlan.knnMutualPlannedQ(e),
+      "embedding_dedup_planned" -> LshGeometryPlan.embeddingDedupPlannedQ(e),
+      "knn_cosine_planned" -> LshGeometryPlan.knnCosinePlannedQ(e),
       "embedding_dedup" -> Similarity.embeddingDedup(e),
       "embedding_dedup_incremental" -> Similarity.embeddingDedupIncremental(e),
       "embedding_dedup_incremental_lsh" ->

@@ -58,6 +58,17 @@ class LshGeometrySpec extends AnyFunSuite {
       s"planned(bits=$bits, mp=$mp) diverges: " +
         s"missing=${(exact.toSet -- planned.toSet).take(2)} " +
         s"extra=${(planned.toSet -- exact.toSet).take(2)}")
+    // the third consumer family: top-k ANN at the same mutual-certified
+    // geometry equals brute on the sampled queries
+    def knnRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("neighbor_id"),
+        org.apache.spark.sql.functions.col("rank"),
+        graft.operators.Parity.r("cos", 4))
+        .collect().map(_.toString).sorted.toSeq
+    val knnExact = knnRows(Similarity.knnCosineBrute(emb))
+    val knnPlanned = knnRows(LshGeometryPlan.knnCosinePlanned(emb, plan))
+    assert(knnExact.nonEmpty && knnPlanned == knnExact)
   }
 
   test("gate corpus: advisor honestly recommends brute; planned == exact wiring") {
