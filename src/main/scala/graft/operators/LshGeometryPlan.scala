@@ -148,66 +148,99 @@ object LshGeometryPlan {
     "CASE WHEN kth_cos >= 0.0 THEN CAST(floor((1.0 - sqrt(1.0 - kth_cos) " +
       "/ 2.0) * 1000000.0) AS BIGINT) END"
 
+  /** One arm of the report — the full output row shape. */
+  private case class Arm(bits: Long, tables: Long, buckets: Long,
+                         n: Long, kthCos: Option[Double], pPpm: Option[Long],
+                         mpMutual: Option[Long], keysMutual: Option[Long],
+                         certMutual: Option[Long],
+                         mpPair: Option[Long], keysPair: Option[Long],
+                         certPair: Option[Long])
+
   def lshGeometryPlan(embeddings: DataFrame): DataFrame = {
-    // the sampled k-th-neighbor floor: min rank-k cosine over the #31
-    // query sample, min AFTER the shared round-4 (identical both engines)
-    val kth = Similarity.knnCosineBrute(embeddings)
-      .filter(col("rank") === Similarity.KnnK)
-      .agg(min(expr(Parity.rexpr("cos", 4))).as("kth_cos"))
-    val stats = embeddings.agg(count(lit(1)).as("n_vectors"))
-      .crossJoin(kth)
-      .withColumn("p_ppm", expr(pPpmText))
-      .withColumn("q_ppm", expr("1000000 - p_ppm"))
-      .localCheckpoint() // |ArmBits| arm consumers (the invariant)
+    val spark = embeddings.sparkSession
+    // the TWO data inputs, via one bounded driver probe each (the
+    // documented 1-row-aggregate collect class): the corpus count, and
+    // the sampled k-th-neighbor floor — min rank-k cosine over the #31
+    // query sample, min AFTER the shared round-4 (identical both
+    // engines). Everything downstream is literal integer arithmetic
+    // over a 9-arm catalog frame, so it runs DRIVER-SIDE with the SAME
+    // truncating folds the DuckDB oracle evaluates in SQL (certPpm is
+    // one Scala/SQL-identical function; an in-engine expression form
+    // measured identical but blew the 64 KB codegen method limit on the
+    // 9-row frame — metadata-scale work belongs at metadata altitude).
+    val statsRow = embeddings.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(Similarity.knnCosineBrute(embeddings)
+        .filter(col("rank") === Similarity.KnnK)
+        .agg(min(expr(Parity.rexpr("cos", 4))).as("kth_cos")))
+      .head()
+    val n = statsRow.getLong(0)
+    val kthCos: Option[Double] =
+      if (statsRow.isNullAt(1)) None else Some(statsRow.getDouble(1))
+    // p lower bound (see the scaladoc): valid only on cos ∈ [0, 1]
+    val pPpm: Option[Long] = kthCos.filter(c => c >= 0.0 && c <= 1.0)
+      .map(c => math.floor((1.0 - math.sqrt(1.0 - c) / 2.0) * 1000000.0).toLong)
     val arms = ArmBits.map { b =>
-      val certs = (0 to MpMax).map(m => certText(b, m, "p_ppm", "q_ppm", "div"))
-      val mpCase = "CASE " + (0 to MpMax).map(m =>
-        s"WHEN ${certs(m)} >= $RecallFloorPpm THEN CAST($m AS BIGINT)")
-        .mkString(" ") + " END"
+      val mutual = pPpm.flatMap(p =>
+        (0 to MpMax).map(m => (m, certPpm(b, m, p)))
+          .find(_._2 >= RecallFloorPpm))
       val pair = pairWidth(b)
-      stats.select(
-        lit(b.toLong).as("bits"),
-        lit(Lsh.LshTables.toLong).as("tables"),
-        lit(1L << b).as("buckets_per_table"),
-        col("n_vectors"), col("kth_cos"), col("p_ppm"), col("q_ppm"),
-        expr(mpCase).as("mp_mutual"))
-        .withColumn("cert_mutual_ppm", expr("CASE mp_mutual " +
-          (0 to MpMax).map(m => s"WHEN $m THEN ${certs(m)}").mkString(" ") +
-          " END"))
-        .withColumn("probe_keys_mutual", expr("CASE mp_mutual " +
-          (0 to MpMax).map(m => s"WHEN $m THEN CAST(${probeKeys(b, m)} AS BIGINT)")
-            .mkString(" ") + " END"))
-        .withColumn("mp_pair",
-          pair.map(p => lit(p._1.toLong)).getOrElse(lit(null)).cast("long"))
-        .withColumn("cert_pair_ppm",
-          pair.map(p => lit(p._2)).getOrElse(lit(null)).cast("long"))
-        .withColumn("probe_keys_pair",
-          pair.map(p => lit(p._3)).getOrElse(lit(null)).cast("long"))
-        .drop("q_ppm")
-    }.reduce(_ unionByName _)
-    val whole = Window.partitionBy()
-    val withEst = arms
-      .withColumn("est_mutual_mrows",
-        expr("tables * probe_keys_mutual * ((n_vectors * 1000) div buckets_per_table)"))
-      .withColumn("est_pair_mrows",
-        expr("tables * probe_keys_pair * ((n_vectors * 1000) div buckets_per_table)"))
-      .withColumn("brute_mrows", expr("greatest(n_vectors - 1, 0) * 1000"))
-      .withColumn("fits", col("buckets_per_table") <= col("n_vectors"))
-    def flag(est: String, mp: String, out: String)(df: DataFrame): DataFrame = {
-      val qual = col("fits") && col(mp).isNotNull && col(est) < col("brute_mrows")
-      df.withColumn("_best_est", min(when(qual, col(est))).over(whole))
-        .withColumn("_best_bits",
-          min(when(qual && col(est) === col("_best_est"), col("bits"))).over(whole))
-        .withColumn(out, qual && coalesce(
-          col(est) === col("_best_est") && col("bits") === col("_best_bits"),
-          lit(false)))
-        .drop("_best_est", "_best_bits")
+      Arm(b.toLong, Lsh.LshTables.toLong, 1L << b, n, kthCos, pPpm,
+        mutual.map(_._1.toLong), mutual.map(x => probeKeys(b, x._1)),
+        mutual.map(_._2),
+        pair.map(_._1.toLong), pair.map(_._3), pair.map(_._2))
     }
-    flag("est_pair_mrows", "mp_pair", "recommended_pair")(
-      flag("est_mutual_mrows", "mp_mutual", "recommended_mutual")(withEst))
-      // day-one totality: an EMPTY corpus has no geometry to advise —
-      // zero rows (the MinhashBandPlan convention), not 9 degenerate arms
-      .filter(col("n_vectors") > 0)
+    def est(a: Arm, keys: Option[Long]): Option[Long] =
+      keys.map(k => a.tables * k * ((a.n * 1000L) / a.buckets))
+    val brute = math.max(n - 1, 0L) * 1000L
+    def recommendedBits(getKeys: Arm => Option[Long],
+                        getMp: Arm => Option[Long]): Option[Long] = {
+      val qual = arms.filter(a => a.buckets <= a.n && getMp(a).isDefined &&
+        est(a, getKeys(a)).exists(_ < brute))
+      if (qual.isEmpty) None
+      else {
+        val bestEst = qual.flatMap(a => est(a, getKeys(a))).min
+        Some(qual.filter(a => est(a, getKeys(a)).contains(bestEst))
+          .map(_.bits).min)
+      }
+    }
+    val bestM = recommendedBits(_.keysMutual, _.mpMutual)
+    val bestP = recommendedBits(_.keysPair, _.mpPair)
+    def l(v: Option[Long]): Any = v.map(Long.box).orNull
+    val rows = arms.map { a =>
+      org.apache.spark.sql.Row(
+        a.bits, a.tables, a.buckets, a.n,
+        a.kthCos.map(Double.box).orNull, l(a.pPpm),
+        l(a.mpMutual), l(a.keysMutual), l(a.certMutual),
+        l(a.mpPair), l(a.keysPair), l(a.certPair),
+        l(est(a, a.keysMutual)), l(est(a, a.keysPair)),
+        brute, a.buckets <= a.n,
+        bestM.contains(a.bits), bestP.contains(a.bits))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("bits", LongType, nullable = false),
+      StructField("tables", LongType, nullable = false),
+      StructField("buckets_per_table", LongType, nullable = false),
+      StructField("n_vectors", LongType, nullable = false),
+      StructField("kth_cos", DoubleType),
+      StructField("p_ppm", LongType),
+      StructField("mp_mutual", LongType),
+      StructField("probe_keys_mutual", LongType),
+      StructField("cert_mutual_ppm", LongType),
+      StructField("mp_pair", LongType),
+      StructField("probe_keys_pair", LongType),
+      StructField("cert_pair_ppm", LongType),
+      StructField("est_mutual_mrows", LongType),
+      StructField("est_pair_mrows", LongType),
+      StructField("brute_mrows", LongType, nullable = false),
+      StructField("fits", BooleanType, nullable = false),
+      StructField("recommended_mutual", BooleanType, nullable = false),
+      StructField("recommended_pair", BooleanType, nullable = false)))
+    // day-one totality: an EMPTY corpus has no geometry to advise —
+    // zero rows (the MinhashBandPlan convention), not 9 degenerate arms
+    val out = if (n == 0) Seq.empty[org.apache.spark.sql.Row] else rows
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
   }
 
   def lshGeometryPlanQ(embeddings: DataFrame): DataFrame =
