@@ -148,6 +148,35 @@ object LshGeometryPlan {
     "CASE WHEN kth_cos >= 0.0 THEN CAST(floor((1.0 - sqrt(1.0 - kth_cos) " +
       "/ 2.0) * 1000000.0) AS BIGINT) END"
 
+  /** Sampled-query cap: the floor probe reads at most this many queries
+    * (the smallest sampled vec_ids — deterministic), so the sampling
+    * pass is n·[[SampleCap]]·k dots — LINEAR in the corpus, never the
+    * #31 sample's n²/QueryMod. Every gate scale has ≤ 50 sampled
+    * queries, so the cap changes nothing there (oracle-identical); it
+    * is the 100 TB bound. */
+  val SampleCap = 64
+
+  /** rank-k rows (cos column, unrounded) for the capped query sample —
+    * the knnCosineBrute contract restricted to the [[SampleCap]]
+    * smallest sampled queries. */
+  private def sampledKth(embeddings: DataFrame): DataFrame = {
+    val e = Similarity.withNorm(embeddings)
+    val qIds = embeddings
+      .filter(col("vec_id") % Similarity.QueryMod === 0)
+      .select(col("vec_id").as("query_id"))
+      .orderBy("query_id").limit(SampleCap) // TakeOrdered, never a sort
+    val q = e.join(broadcast(qIds), col("vec_id") === col("query_id"))
+      .select(col("query_id"), col("vd").as("qv"), col("norm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))
+    e.select(col("vec_id"), col("vd"), col("norm"))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", expr(s"${Similarity.DotF} / (norm * qn)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === Similarity.KnnK)
+      .select("query_id", "cos")
+  }
+
   /** One arm of the report — the full output row shape. */
   private case class Arm(bits: Long, tables: Long, buckets: Long,
                          n: Long, kthCos: Option[Double], pPpm: Option[Long],
@@ -169,8 +198,7 @@ object LshGeometryPlan {
     // measured identical but blew the 64 KB codegen method limit on the
     // 9-row frame — metadata-scale work belongs at metadata altitude).
     val statsRow = embeddings.agg(count(lit(1)).as("n_vectors"))
-      .crossJoin(Similarity.knnCosineBrute(embeddings)
-        .filter(col("rank") === Similarity.KnnK)
+      .crossJoin(sampledKth(embeddings)
         .agg(min(expr(Parity.rexpr("cos", 4))).as("kth_cos")))
       .head()
     val n = statsRow.getLong(0)
@@ -344,11 +372,15 @@ object LshGeometryPlan {
          |       $keysP AS probe_keys_pair
          |FROM (SELECT *, $mpCase AS mp_mutual FROM p2) arm_$b""".stripMargin
     }.mkString("\n  UNION ALL\n")
-    s"""WITH ${Similarity.VecCteBody}, scored AS (
+    s"""WITH ${Similarity.VecCteBody}, qs AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE vec_id % ${Similarity.QueryMod} = 0
+       |  ORDER BY vec_id LIMIT $SampleCap
+       |), scored AS (
        |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
        |         ${Similarity.DotSqlF} / (a.norm * q.norm) AS cos
        |  FROM n a JOIN n q
-       |    ON q.vec_id % ${Similarity.QueryMod} = 0 AND a.vec_id <> q.vec_id
+       |    ON q.vec_id IN (SELECT vec_id FROM qs) AND a.vec_id <> q.vec_id
        |), ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |            ORDER BY cos DESC, neighbor_id) AS rank
