@@ -31,24 +31,28 @@ object MeasureGeometry {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.VectorExprs.register(spark)
 
-    val x10 = args.contains("--x10")
+    // --xN replicates the corpus N× (the MeasureMutual generator: one
+    // milli-component perturbation per replica); --x10 kept as the
+    // historical alias
+    val reps = args.collectFirst { case a if a.startsWith("--x") =>
+      a.stripPrefix("--x").toInt }.getOrElse(1)
     val emb0 = Tables.embeddings(spark, sfDir)
     val emb =
-      if (!x10) emb0
+      if (reps <= 1) emb0
       else {
         import org.apache.spark.sql.functions._
-        val rep = emb0.withColumn("r", explode(expr("sequence(0, 9)")))
-          .select((col("vec_id") * lit(10L) + col("r")).as("vec_id"),
+        val rep = emb0.withColumn("r", explode(expr(s"sequence(0, ${reps - 1})")))
+          .select((col("vec_id") * lit(reps.toLong) + col("r")).as("vec_id"),
             expr("transform(embedding, (e, i) -> CAST(e + CASE WHEN i = r % size(embedding) THEN 0.001 ELSE 0.0 END AS FLOAT))")
               .as("embedding"),
             col("label"))
-        val path = "/tmp/graft_geom10x"
+        val path = s"/tmp/graft_geom${reps}x"
         if (!new java.io.File(path, "_SUCCESS").exists())
           rep.repartition(32).write.mode("overwrite").parquet(path)
         spark.read.parquet(path)
       }
     val n = emb.count()
-    println(s"GEOM corpus n=$n sf=$sfDir x10=$x10")
+    println(s"GEOM corpus n=$n sf=$sfDir reps=$reps")
 
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)

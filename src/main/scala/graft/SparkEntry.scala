@@ -390,6 +390,11 @@ object SparkEntry {
     // residual with the exact reconstruction identity x·1000 = t+s+r
     "seasonal_decompose" -> ((s, d) =>
       SeasonalDecompose.seasonalDecomposeQ(Tables.events(s, d))),
+    // round 15: the robust gate ON the residual — calendar-violation
+    // anomalies a raw daily-count MAD is structurally blind to
+    // (spec-pinned on a planted weekend violation)
+    "seasonal_anomaly" -> ((s, d) =>
+      SeasonalAnomaly.seasonalAnomalyQ(Tables.events(s, d))),
     "event_burstiness" -> ((s, d) => Burstiness.eventBurstinessQ(Tables.events(s, d))),
     "transition_stationary" -> ((s, d) => MarkovStationary.transitionStationaryQ(Tables.events(s, d))),
     "event_gaps" -> ((s, d) => EventGaps.eventGapsQ(Tables.events(s, d))),
@@ -1025,6 +1030,7 @@ object SparkEntry {
     "cusum_alarm" -> Cusum.cusumAlarmSql,
     "xcorr_daily" -> Xcorr.xcorrDailySql,
     "seasonal_decompose" -> SeasonalDecompose.seasonalDecomposeSql,
+    "seasonal_anomaly" -> SeasonalAnomaly.seasonalAnomalySql,
     "event_burstiness" -> Burstiness.eventBurstinessSql,
     "transition_stationary" -> MarkovStationary.transitionStationarySql,
     "event_gaps" -> EventGaps.eventGapsSql,

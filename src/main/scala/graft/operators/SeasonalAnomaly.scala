@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SEASONALITY-AWARE anomaly days (round 15) — the robust gate the
+  * series family was reading in two separate pieces: [[RobustOutlier]]
+  * flags events against their group's raw median/MAD, but a raw gate on
+  * DAILY COUNTS is structurally blind to CALENDAR violations — a
+  * Saturday carrying weekday-level traffic has a perfectly ordinary raw
+  * value and an enormous deseasonalized one. This runs the
+  * [[RobustOutlier]] doubled-integer median/MAD gate on
+  * [[SeasonalDecompose]]'s RESIDUAL (trend and day-of-week structure
+  * removed — "the right input for outlier eyes", its own doc), per
+  * event type, per day: `is_anomaly ⟺ mad4 > 0 ∧ 2·d2 > K·mad4`.
+  *
+  * §6: resid_milli is already an exact integer (the reconstruction
+  * identity); it rides doubled (`r2`, even) so the per-type median is
+  * an exact integer, deviations are exact, and the MAD rides doubled
+  * again — the gate is a pure integer compare, no float constant, no
+  * rounding boundary (the RobustOutlier algebra verbatim). Flat
+  * residual series (mad4 = 0) flag nothing — the σ=0 guard.
+  *
+  * Stated corner (inherited from the decompose's partial-edge trend
+  * windows, its own stated corner): the first/last ≤3 days of a
+  * type's span average shortened windows, so their residuals carry
+  * real edge artifacts that can clear the gate — a consumer reading
+  * anomalies near the series edge should know they may be the edge,
+  * not the data (spec pins the planted fixture's interior days clean
+  * while edge days are allowed to flag).
+  *
+  * Scale shape: everything data-volume lives inside
+  * [[SeasonalDecompose.seasonalDecompose]] (one map-combinable daily
+  * agg); the two exact percentiles are CHAINED window aggregates over
+  * the SAME type-keyed partitioning of the |types|×|days| dense frame —
+  * calendar-bounded partitions (the seasonal/acf window class), never
+  * data-bounded. Spec pins the load-bearing claim: a planted
+  * weekend-pattern violation is flagged HERE while the raw daily-count
+  * MAD gate provably misses it. */
+object SeasonalAnomaly {
+
+  /** MAD multiples before a residual day is anomalous (the robust 6σ —
+    * [[RobustOutlier.K]]'s convention). */
+  val K = 6L
+
+  def seasonalAnomaly(events: DataFrame, k: Long = K): DataFrame = {
+    val w = Window.partitionBy("event_type")
+    SeasonalDecompose.seasonalDecompose(events)
+      .withColumn("r2", expr("resid_milli * 2"))
+      .withColumn("med2", expr("percentile(r2, 0.5)").over(w).cast("bigint"))
+      .withColumn("d2", expr("abs(r2 - med2)"))
+      .withColumn("mad4", expr("percentile(d2 * 2, 0.5)").over(w).cast("bigint"))
+      .withColumn("is_anomaly", expr(s"mad4 > 0 AND 2 * d2 > $k * mad4"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("resid_milli"), col("med2"), col("mad4"), col("is_anomaly"))
+  }
+
+  def seasonalAnomalyQ(events: DataFrame): DataFrame =
+    seasonalAnomaly(events).orderBy("event_type", "day")
+
+  /** DuckDB twin: [[SeasonalDecompose.decomposeCtes]] verbatim + the
+    * doubled-integer median/MAD algebra as group CTEs + join-backs
+    * (the eventOutlierMad oracle shape). */
+  val seasonalAnomalySql: String =
+    s"""WITH ${SeasonalDecompose.decomposeCtes}, r AS (
+       |  SELECT event_type, day, n_events, resid_milli,
+       |         resid_milli * 2 AS r2
+       |  FROM sdecomp
+       |), g1 AS (
+       |  SELECT event_type, CAST(quantile_cont(r2, 0.5) AS BIGINT) AS med2
+       |  FROM r GROUP BY 1
+       |), d AS (
+       |  SELECT r.*, g1.med2, abs(r.r2 - g1.med2) AS d2
+       |  FROM r JOIN g1 USING (event_type)
+       |), g2 AS (
+       |  SELECT event_type, CAST(quantile_cont(d2 * 2, 0.5) AS BIGINT) AS mad4
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT d.event_type, d.day, d.n_events, d.resid_milli, d.med2, g2.mad4,
+       |       (g2.mad4 > 0 AND 2 * d.d2 > $K * g2.mad4) AS is_anomaly
+       |FROM d JOIN g2 USING (event_type)
+       |ORDER BY d.event_type, d.day""".stripMargin
+}

@@ -84,10 +84,12 @@ object SeasonalDecompose {
   def seasonalDecomposeQ(events: DataFrame): DataFrame =
     seasonalDecompose(events).orderBy("event_type", "day")
 
-  /** DuckDB twin: same densification, same partial-edge trend window,
-    * same sign-factored dow means, same reconstruction-exact residual. */
-  val seasonalDecomposeSql: String =
-    s"""WITH daily AS (
+  /** CTE chain ending at `sdecomp(event_type, day, n_events,
+    * trend_milli, seas_milli, resid_milli)` — nested by
+    * [[seasonalDecomposeSql]] and [[SeasonalAnomaly]]'s oracle (the
+    * one-text rule). */
+  private[operators] val decomposeCtes: String =
+    s"""daily AS (
        |  SELECT event_type, epoch_us(date_trunc('microseconds', ts)) // $UsPerDay AS day,
        |         CAST(count(*) AS BIGINT) AS n
        |  FROM events GROUP BY 1, 2
@@ -119,9 +121,17 @@ object SeasonalDecompose {
        |  SELECT event_type, dow,
        |         CASE WHEN ds < 0 THEN -((-ds) // dn) ELSE ds // dn END AS seas_milli
        |  FROM dm
-       |)
-       |SELECT d.event_type, d.day, d.x AS n_events, d.trend_milli,
-       |       s.seas_milli, d.detr_milli - s.seas_milli AS resid_milli
-       |FROM det d JOIN sm s ON s.event_type = d.event_type AND s.dow = d.dow
-       |ORDER BY d.event_type, d.day""".stripMargin
+       |), sdecomp AS (
+       |  SELECT d.event_type, d.day, d.x AS n_events, d.trend_milli,
+       |         s.seas_milli, d.detr_milli - s.seas_milli AS resid_milli
+       |  FROM det d JOIN sm s ON s.event_type = d.event_type AND s.dow = d.dow
+       |)""".stripMargin
+
+  /** DuckDB twin: same densification, same partial-edge trend window,
+    * same sign-factored dow means, same reconstruction-exact residual. */
+  val seasonalDecomposeSql: String =
+    s"""WITH $decomposeCtes
+       |SELECT event_type, day, n_events, trend_milli, seas_milli, resid_milli
+       |FROM sdecomp
+       |ORDER BY event_type, day""".stripMargin
 }

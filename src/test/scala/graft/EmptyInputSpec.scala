@@ -207,6 +207,10 @@ class EmptyInputSpec extends AnyFunSuite {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
             StructField("ts", TimestampType))))),
+      "seasonal_anomaly" -> SeasonalAnomaly.seasonalAnomaly(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
       "xcorr_daily" -> Xcorr.xcorrDaily(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),

@@ -90,4 +90,58 @@ class SeasonalDecomposeSpec extends AnyFunSuite {
     // residuals carry only edge effects — far smaller than the spike
     assert(g.forall(_._4.abs < 35000L), s"residual must not absorb the spike: $g")
   }
+
+  // ------------------------------------------ round 15: seasonal_anomaly
+
+  test("calendar violation: the seasonal gate flags it, the raw-count MAD gate cannot") {
+    // 8 weeks of a hard weekday/weekend profile (100 on dow 0-4, 10 on
+    // dow 5-6), with ONE weekend day (day 40, dow 5) carrying
+    // weekday-level traffic — its RAW value (100) is a perfectly
+    // ordinary count, so a raw daily-count median/MAD gate is blind to
+    // it by construction; its RESIDUAL is the violation
+    val xs = (0 until 56).map { d =>
+      if (d == 40) 100L else if (d % 7 >= 5) 10L else 100L
+    }
+    val flagged = graft.operators.SeasonalAnomaly
+      .seasonalAnomaly(eventsFor(xs))
+      .filter(col("is_anomaly")).select("day").collect()
+      .map(_.getLong(0)).toSet
+    assert(flagged.contains(40L), s"the violated weekend day must flag: $flagged")
+    // anything else flagged must be either spillover inside the
+    // violation's 7-day trend window or a SERIES-EDGE day (the decompose
+    // averages partial windows at the edges to keep reconstruction
+    // exact — its stated corner; edge residuals are real artifacts of
+    // that choice and may clear the gate). Interior calendar-conforming
+    // days must NOT flag.
+    assert(flagged.forall(d => (d - 40L).abs <= 3L || d < 3L || d > 52L),
+      s"an interior conforming day flagged: $flagged")
+    // the raw-count gate (the RobustOutlier algebra on daily counts
+    // directly): day 40's value is exactly the weekday median — d2 = 0,
+    // structurally unflaggable
+    val c2 = xs.map(_ * 2)
+    val med2 = c2.sorted.apply(c2.length / 2) // 56 values, 40 of them 200
+    assert(med2 == 200L && c2(40) == 200L,
+      "fixture: the violated day's raw value must equal the raw median")
+    // flat-residual guard: a constant series flags nothing
+    val flat = graft.operators.SeasonalAnomaly
+      .seasonalAnomaly(eventsFor((0 until 28).map(_ => 50L)))
+      .filter(col("is_anomaly")).count()
+    assert(flat == 0L)
+  }
+
+  test("seasonal_anomaly rides the decompose residual exactly (gate algebra spot check)") {
+    val xs = (0 until 56).map { d =>
+      if (d == 40) 100L else if (d % 7 >= 5) 10L else 100L
+    }
+    val rows = graft.operators.SeasonalAnomaly.seasonalAnomaly(eventsFor(xs))
+      .orderBy("day")
+      .select("day", "resid_milli", "med2", "mad4", "is_anomaly").collect()
+    val resid = reference(xs).map(_._3)
+    rows.foreach { r =>
+      assert(r.getLong(1) == resid(r.getLong(0).toInt),
+        s"residual drifted from the decompose reference at day ${r.getLong(0)}")
+      val d2 = math.abs(2 * r.getLong(1) - r.getLong(2))
+      assert(r.getBoolean(4) == (r.getLong(3) > 0 && 2 * d2 > 6 * r.getLong(3)))
+    }
+  }
 }
