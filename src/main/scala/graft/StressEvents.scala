@@ -32,7 +32,11 @@ object StressEvents {
     "acf_daily", "event_gaps", "event_burstiness", "transition_stationary",
     // round 14: the truncated-kernel EWMA (16 lags on one exchange) and
     // the CUSUM drift alarm (reflection identity — 3 windows, one exchange)
-    "ewma_daily", "cusum_alarm", "seasonal_decompose", "xcorr_daily")
+    "ewma_daily", "cusum_alarm", "seasonal_decompose", "xcorr_daily",
+    // round 15: the residual MAD gate — data volume identical to
+    // seasonal_decompose (shares its one daily agg); the two chained
+    // percentile windows ride the calendar-bounded dense frame
+    "seasonal_anomaly")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
