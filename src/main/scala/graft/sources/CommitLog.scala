@@ -825,9 +825,10 @@ object CommitLog {
     * resurrect rows a concurrent commit changed. On conflict the caller
     * re-reads and recomputes (optimistic retry). */
   def replaceFiles(table: String, readVersion: Long,
-                   removes: Seq[String], adds: Seq[String]): Either[Conflict, Long] = {
+                   removes: Seq[String], adds: Seq[String],
+                   addStats: Map[String, String] = Map.empty): Either[Conflict, Long] = {
     val v = readVersion + 1
-    if (tryCommit(table, v, adds, removes)) Right(v)
+    if (tryCommit(table, v, adds, removes, addStats = addStats)) Right(v)
     else Left(Conflict(v, latestVersion(table)))
   }
 
@@ -894,7 +895,12 @@ object CommitLog {
       .repartitionByRange(targetFiles, key(cur))
       .sortWithinPartitions(key(cur))
     val adds = stage(table, clustered)
-    val res = replaceFiles(table, head, current, adds)
+    // the clustered layout exists FOR data skipping — recompute per-file
+    // stats on the rewrite (the Delta OPTIMIZE behavior; round 15): the
+    // disjoint key ranges this verb creates are exactly what readWhere's
+    // min/max pruning buys the most from
+    val res = replaceFiles(table, head, current, adds,
+      statsFor(spark, table, adds))
     if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
     res
   }
@@ -1196,7 +1202,10 @@ object CommitLog {
     // frame that parquet can't re-write
     if (current.isEmpty) return replaceFiles(table, head, Nil, Nil)
     val adds = stage(table, read(spark, table, Some(head)).repartition(targetFiles))
-    val res = replaceFiles(table, head, current, adds)
+    // stats survive compaction too (the Delta OPTIMIZE behavior) — a
+    // maintenance verb must never silently degrade future reads
+    val res = replaceFiles(table, head, current, adds,
+      statsFor(spark, table, adds))
     // a lost race leaves the staged rewrite referenced by nothing: clean
     // it up here so retry loops don't leak (vacuum's orphan sweep is the
     // backstop for callers that crash before reaching this line)

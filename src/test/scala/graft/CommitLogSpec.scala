@@ -952,6 +952,29 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.readWhere(spark, t, col("s") === "a").count() == 1)
   }
 
+  test("OPTIMIZE recomputes stats: the clustered layout is prunable end to end") {
+    // the zorder->skipping loop closed: a table appended WITHOUT stats,
+    // then clustered by a key via compactClustered, must serve pruned
+    // reads — the rewrite recomputes per-file stats (Delta's OPTIMIZE
+    // behavior); before round 15 the rewrite dropped them and the
+    // layout built FOR skipping could never skip
+    val t = tmpTable()
+    CommitLog.append(spark, t, (0L until 40L).map(i => (i, s"s$i")).toDF("id", "s"))
+    assert(CommitLog.prunedLiveFiles(spark, t, col("id") === 7L).size ==
+      CommitLog.liveFiles(t, 0L).size, "stats-less appends cannot prune")
+    assert(CommitLog.compactClustered(spark, t, df => df("id"), 4).isRight)
+    val head = CommitLog.latestVersion(t)
+    assert(CommitLog.liveFiles(t, head).size == 4)
+    val kept = CommitLog.prunedLiveFiles(spark, t, col("id") === 7L)
+    assert(kept.size == 1, s"the clustered rewrite must prune to one file: $kept")
+    assert(CommitLog.readWhere(spark, t, col("id") === 7L)
+      .select("s").as[String].collect().toSeq == Seq("s7"))
+    // plain compaction keeps the table prunable too
+    assert(CommitLog.compact(spark, t, targetFiles = 2).isRight)
+    val kept2 = CommitLog.prunedLiveFiles(spark, t, col("id") === 7L)
+    assert(kept2.size <= 2)
+  }
+
   // ------------------------------------------- round 15: shallow clone
 
   private def cloned(): (String, String) = {
