@@ -395,6 +395,11 @@ object SparkEntry {
     // (spec-pinned on a planted weekend violation)
     "seasonal_anomaly" -> ((s, d) =>
       SeasonalAnomaly.seasonalAnomalyQ(Tables.events(s, d))),
+    // round 15: the family's first FORWARD surface — seasonal-naive
+    // forecast (last trend level + dow seasonal), the baseline any
+    // fancier model must beat
+    "seasonal_forecast" -> ((s, d) =>
+      SeasonalAnomaly.seasonalForecastQ(Tables.events(s, d))),
     "event_burstiness" -> ((s, d) => Burstiness.eventBurstinessQ(Tables.events(s, d))),
     "transition_stationary" -> ((s, d) => MarkovStationary.transitionStationaryQ(Tables.events(s, d))),
     "event_gaps" -> ((s, d) => EventGaps.eventGapsQ(Tables.events(s, d))),
@@ -1031,6 +1036,7 @@ object SparkEntry {
     "xcorr_daily" -> Xcorr.xcorrDailySql,
     "seasonal_decompose" -> SeasonalDecompose.seasonalDecomposeSql,
     "seasonal_anomaly" -> SeasonalAnomaly.seasonalAnomalySql,
+    "seasonal_forecast" -> SeasonalAnomaly.seasonalForecastSql,
     "event_burstiness" -> Burstiness.eventBurstinessSql,
     "transition_stationary" -> MarkovStationary.transitionStationarySql,
     "event_gaps" -> EventGaps.eventGapsSql,

@@ -59,6 +59,67 @@ object SeasonalAnomaly {
   def seasonalAnomalyQ(events: DataFrame): DataFrame =
     seasonalAnomaly(events).orderBy("event_type", "day")
 
+  /** SEASONAL-NAIVE FORECAST (round 15) — the series family's first
+    * FORWARD surface (everything else reads the past: trend/acf/ewma/
+    * cusum/decompose): per type, the next `Horizon` days' expected
+    * counts under the classical additive model,
+    * `forecast(b+h) = trend(b) + seasonal((b+h) mod 7)` — last
+    * observed trend level + the day-of-week component (the standard
+    * seasonal-naive-with-level baseline every forecast eval starts
+    * from; anything fancier must beat it). All integer milli units,
+    * both components straight from [[SeasonalDecompose]]'s exact
+    * machinery. Stated corners: a span shorter than a week has unseen
+    * dow classes — their seasonal coalesces to 0 (forecast = level);
+    * the level is the PARTIAL-window trend at the last day (the
+    * decompose's stated edge convention).
+    *
+    * Scale: the decompose's one daily agg is the only data-volume
+    * stage; the level/seasonal extractions and the |types|×Horizon
+    * emission are catalog-sized. */
+  val Horizon = 7
+
+  def seasonalForecast(events: DataFrame, horizon: Int = Horizon): DataFrame = {
+    // 2 consumers (level + dow means) per the multi-consumer invariant
+    val dec = SeasonalDecompose.seasonalDecompose(events).localCheckpoint()
+    val level = dec.groupBy("event_type").agg(max("day").as("b"))
+      .join(dec, Seq("event_type"))
+      .filter(col("day") === col("b"))
+      .select(col("event_type"), col("b"), col("trend_milli"))
+    val seas = dec.groupBy(col("event_type"), expr("day % 7").as("dow"))
+      .agg(min("seas_milli").as("seas_milli")) // constant per (type,dow)
+    level
+      .withColumn("horizon",
+        explode(expr(s"sequence(CAST(1 AS BIGINT), CAST($horizon AS BIGINT))")))
+      .withColumn("day", expr("b + horizon"))
+      .withColumn("dow", expr("(b + horizon) % 7"))
+      .join(broadcast(seas), Seq("event_type", "dow"), "left")
+      .select(col("event_type"), col("day"), col("horizon"),
+        expr("trend_milli + coalesce(seas_milli, 0)").as("forecast_milli"))
+  }
+
+  def seasonalForecastQ(events: DataFrame): DataFrame =
+    seasonalForecast(events).orderBy("event_type", "day")
+
+  /** DuckDB twin: decomposeCtes + the same level/seasonal extraction. */
+  val seasonalForecastSql: String =
+    s"""WITH ${SeasonalDecompose.decomposeCtes}, level AS (
+       |  SELECT d.event_type, d.day AS b, d.trend_milli
+       |  FROM sdecomp d JOIN span s
+       |    ON s.event_type = d.event_type AND d.day = s.b
+       |), dowm AS (
+       |  SELECT event_type, day % 7 AS dow, min(seas_milli) AS seas_milli
+       |  FROM sdecomp GROUP BY 1, 2
+       |), hs AS (
+       |  SELECT unnest(range(1, $Horizon + 1)) AS horizon
+       |)
+       |SELECT l.event_type, l.b + hs.horizon AS day, hs.horizon,
+       |       l.trend_milli + COALESCE(m.seas_milli, 0) AS forecast_milli
+       |FROM level l
+       |CROSS JOIN hs
+       |LEFT JOIN dowm m
+       |  ON m.event_type = l.event_type AND m.dow = (l.b + hs.horizon) % 7
+       |ORDER BY l.event_type, day""".stripMargin
+
   /** DuckDB twin: [[SeasonalDecompose.decomposeCtes]] verbatim + the
     * doubled-integer median/MAD algebra as group CTEs + join-backs
     * (the eventOutlierMad oracle shape). */

@@ -211,6 +211,10 @@ class EmptyInputSpec extends AnyFunSuite {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
             StructField("ts", TimestampType))))),
+      "seasonal_forecast" -> SeasonalAnomaly.seasonalForecast(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
       "xcorr_daily" -> Xcorr.xcorrDaily(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),

@@ -129,6 +129,36 @@ class SeasonalDecomposeSpec extends AnyFunSuite {
     assert(flat == 0L)
   }
 
+  test("seasonal_forecast: exact level+dow reproduction of the planted profile") {
+    val xs = (0 until 56).map(d => if (d % 7 >= 5) 10L else 100L)
+    val ref = reference(xs)
+    val trendLast = ref.last._1
+    val seasByDow = (0 until 7).map(w => w -> ref(w + 21)._2).toMap // interior week
+    val got = graft.operators.SeasonalAnomaly.seasonalForecast(eventsFor(xs))
+      .orderBy("day")
+      .select("day", "horizon", "forecast_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+    assert(got.length == 7)
+    got.foreach { case (day, h, f) =>
+      assert(day == 55L + h)
+      assert(f == trendLast + seasByDow((day % 7).toInt),
+        s"day $day: $f != ${trendLast + seasByDow((day % 7).toInt)}")
+    }
+    // the forecast carries the weekly shape forward: predicted weekdays
+    // far above predicted weekend days
+    val byDow = got.map { case (day, _, f) => (day % 7, f) }.toMap
+    assert((0L to 4L).forall(w => byDow(w) > byDow(5L) + 50000L))
+    // short span: unseen dow classes forecast the bare level (seas = 0)
+    val shortGot = graft.operators.SeasonalAnomaly
+      .seasonalForecast(eventsFor(Seq(10L, 10L, 10L)))
+      .select("horizon", "forecast_milli").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(shortGot.size == 7)
+    // days 0..2 observed (dow 0..2); horizons landing on dow 3..6 are
+    // unseen -> level only (trend at day 2 = mean of the flat 10s)
+    assert((1L to 4L).forall(h => shortGot(h) == 10000L), s"$shortGot")
+  }
+
   test("seasonal_anomaly rides the decompose residual exactly (gate algebra spot check)") {
     val xs = (0 until 56).map { d =>
       if (d == 40) 100L else if (d % 7 >= 5) 10L else 100L
