@@ -144,8 +144,11 @@ object LshGeometryPlan {
     * sqrt is correctly rounded IEEE in both engines, all other steps
     * exact, so the ppm is bit-identical cross-engine. */
   private def pPpmText: String =
-    "CASE WHEN kth_cos >= 0.0 THEN CAST(floor((1.0 - sqrt(1.0 - kth_cos) " +
-      "/ 2.0) * 1000000.0) AS BIGINT) END"
+    // both bounds guarded (r15 advice): the Scala side requires
+    // cos ∈ [0, 1] — the SQL CASE must share the exact validity domain,
+    // or a rounded kth_cos above 1.0 would diverge the engines
+    "CASE WHEN kth_cos >= 0.0 AND kth_cos <= 1.0 THEN " +
+      "CAST(floor((1.0 - sqrt(1.0 - kth_cos) / 2.0) * 1000000.0) AS BIGINT) END"
 
   /** Sampled-query cap: the floor probe reads at most this many queries
     * (the smallest sampled vec_ids — deterministic), so the sampling

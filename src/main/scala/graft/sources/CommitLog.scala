@@ -145,6 +145,28 @@ object CommitLog {
   def commits(table: String, asOf: Long): Seq[Commit] =
     (0L to asOf).map(commits0(table, _))
 
+  /** ONE commit, parsed — the bounded single-file read (round 16, r15
+    * advice: recovery walks that called `commits(table, v).last` paid a
+    * full 0..v prefix parse per probe, O(head²) over a walk). */
+  def commitAt(table: String, v: Long): Commit = commits0(table, v)
+
+  /** The version whose commit carries the txn action (appId,
+    * txnVersion), walking BACKWARD one commit file per step — O(head)
+    * file reads total (the recovery-walk primitive; r15 advice). None
+    * when no commit at or below head carries it (e.g. the batch landed
+    * before history was checkpointed away — callers treat that as the
+    * watermark's word being final). */
+  def versionOfTxn(table: String, appId: String, txnVersion: Long): Option[Long] = {
+    val head = latestVersion(table)
+    var v = head
+    while (v >= 0) {
+      if (commits0(table, v).txns.exists {
+        case (a, tv) => a == appId && tv == txnVersion }) return Some(v)
+      v -= 1
+    }
+    None
+  }
+
   // ------------------------------------------------- log checkpointing
 
   private def checkpointFile(table: String, v: Long): Path =
@@ -180,10 +202,16 @@ object CommitLog {
 
   private val CpvRe = """\{"cpv":(\d+)\}""".r
 
-  /** Parsed checkpoint state; `complete` = carries the v2 header. */
+  /** Parsed checkpoint state; `complete` = carries the v2 header;
+    * `ctsMax` the MONOTONIZED commit-timestamp running max folded over
+    * 0..cp (round 16 — lets [[versionAtTimestamp]] start at the
+    * checkpoint instead of walking to genesis; a legacy checkpoint
+    * without the line reads None and the walk falls through, old cost,
+    * never wrong). */
   private case class Cp(adds: Vector[String], txns: Vector[(String, Long)],
                         meta: Option[String], complete: Boolean,
-                        addStats: Map[String, String])
+                        addStats: Map[String, String],
+                        ctsMax: Option[Long])
 
   private def readCheckpoint(table: String, v: Long): Cp = {
     val f = checkpointFile(table, v)
@@ -191,7 +219,7 @@ object CommitLog {
     val complete = lines.exists(CpvRe.matches)
     val a = parseActions(lines.filterNot(CpvRe.matches), f)
     require(a.removes.isEmpty, s"checkpoint $f contains removes")
-    Cp(a.adds, a.txns, a.meta, complete, a.addStats)
+    Cp(a.adds, a.txns, a.meta, complete, a.addStats, a.ctsMillis)
   }
 
   /** Write a checkpoint of the folded state AT `version` — the log-
@@ -215,6 +243,7 @@ object CommitLog {
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val stats = scala.collection.mutable.Map.empty[String, String]
     var meta: Option[String] = None
+    var ctsMax = -1L
     commits(table, v).foreach { c =>
       c.removes.foreach { f => live.remove(f); stats.remove(f) }
       c.adds.foreach(live.add)
@@ -223,10 +252,15 @@ object CommitLog {
         txns(app) = math.max(txns.getOrElse(app, -1L), tv)
       }
       c.meta.foreach(m => meta = Some(m))
+      ctsMax = math.max(ctsMax, c.ctsMillis.getOrElse(ctsMax))
     }
     // per-file stats fold through checkpoints (round 15): a stats-carrying
-    // add keeps its object form, so data skipping survives log compaction
+    // add keeps its object form, so data skipping survives log compaction;
+    // the cts running max folds too (round 16 — TIMESTAMP AS OF resolution
+    // is a left fold like the txn watermarks, so a checkpoint can answer
+    // for everything at or below it)
     val body = (Seq(s"""{"cpv":$CheckpointFormatVersion}""") ++
+      (if (ctsMax >= 0) Seq(s"""{"cts":$ctsMax}""") else Nil) ++
       meta.map(b64 => s"""{"meta":{"schemaB64":"$b64"}}""").toSeq ++
       txns.map { case (app, tv) => s"""{"txn":{"app":"$app","version":$tv}}""" } ++
       live.toVector.map(f => stats.get(f) match {
@@ -394,16 +428,42 @@ object CommitLog {
     * predecessor). Fails loudly on a timestamp before the first commit —
     * there is no table state to serve there (the Delta contract).
     *
-    * O(asOf) tiny log-file reads — timestamp→version is a per-version
-    * mapping, not foldable state, so checkpoints cannot shortcut it;
-    * the files are O(100 B) driver-side reads, metadata never data. */
+    * O(commits since the newest COMPLETE checkpoint) tiny log-file reads
+    * (round 16 — the monotonized cts is a left fold, exactly what v2
+    * checkpoints fold, the [[txnLatest]] precedent): when the
+    * checkpoint's cts-max is at or before the probe, every version ≤ cp
+    * resolves and the scan starts at cp+1. A probe BEFORE the
+    * checkpoint's cts-max needs the pre-checkpoint commit files — on a
+    * table whose early history was physically retired (the Delta
+    * log-retention analog) that resolution fails with a targeted error
+    * instead of a raw missing-file read. */
   def versionAtTimestamp(table: String, tsMillis: Long): Long = {
     val head = latestVersion(table)
     require(head >= 0, s"commit-log table $table has no commits")
+    val cp = latestCheckpoint(table, head)
+      .map(c => c -> readCheckpoint(table, c))
+      .collect { case (c, s) if s.complete && s.ctsMax.isDefined =>
+        (c, s.ctsMax.get) }
     var mono = -1L
     var resolved = -1L
-    (0L to head).foreach { v =>
-      mono = math.max(mono, commits0(table, v).ctsMillis.getOrElse(mono))
+    val start = cp match {
+      case Some((c, m)) if m <= tsMillis =>
+        // every version ≤ c is at-or-before the probe under monotonization
+        mono = m; resolved = c; c + 1
+      case _ => 0L
+    }
+    (start to head).foreach { v =>
+      val c =
+        try commits0(table, v)
+        catch {
+          case e: java.nio.file.NoSuchFileException =>
+            throw new IllegalStateException(
+              s"TIMESTAMP AS OF $tsMillis on $table needs commit file $v, " +
+                "which has been retired (log retention): resolution below " +
+                "the newest checkpoint's cts requires the full commit " +
+                "history", e)
+        }
+      mono = math.max(mono, c.ctsMillis.getOrElse(mono))
       if (mono <= tsMillis) resolved = v
     }
     require(resolved >= 0,
@@ -433,16 +493,62 @@ object CommitLog {
 
   /** Columns eligible for per-file min/max stats: primitive totally-
     * ordered types whose JSON round trip is engine-exact, with names the
-    * unquoted field-access path can carry. Timestamps are deliberately
-    * out of v1 — their JSON text is session-timezone-dependent, and a
-    * stats round-trip mismatch must never mis-prune, so they simply
-    * never prune (sound: stats-less columns map to keep). */
+    * unquoted field-access path can carry. Timestamps joined in round 16
+    * — NOT as JSON timestamp text (session-timezone-dependent, and a
+    * stats round-trip mismatch must never mis-prune) but encoded as
+    * integer epoch-MICROS in the payload (the repo's §6 integer-µs
+    * parity rule applied to metadata): min/max are written through
+    * `unix_micros`, [[statsStruct]] reads the fields as LongType, and
+    * [[possibleCol]] lowers a TimestampType literal to its micros value
+    * (Catalyst already stores it as one) — a time-band predicate over an
+    * events-class table prunes on pure integer compares. */
   private def statsEligible(f: StructField): Boolean =
     (f.dataType match {
       case LongType | IntegerType | ShortType | ByteType |
-           DoubleType | FloatType | BooleanType | StringType | DateType => true
+           DoubleType | FloatType | BooleanType | StringType | DateType |
+           org.apache.spark.sql.types.TimestampType => true
       case _ => false
     }) && !f.name.exists(c => c == '.' || c == '`')
+
+  /** String-stats prefix bound (round 16 — the r15 weak finding;
+    * Delta's own public truncation design): a full-column string min/max
+    * would embed two whole document texts per file into the commit JSON
+    * — the log would carry the corpus's lexicographic extremes through
+    * every fold, forever. Bounded instead at [[StringStatsPrefix]] code
+    * points: min = the 32-cp prefix of the true min (a prefix is ≤ every
+    * value the file holds — a valid lower bound), max = the 32-cp prefix
+    * of the true max with its last code point INCREMENTED (sharing the
+    * first k−1 code points and exceeding at position k, it is > every
+    * value extending the prefix — a valid upper bound), so every
+    * [[possibleCol]] condition stays NECESSARY and the add action is
+    * O(1) per column regardless of text length. A prefix whose every
+    * code point is U+10FFFF cannot be incremented — its max stat is NULL
+    * and the file is simply never pruned on that column (sound: NULL
+    * stats coalesce to keep). */
+  val StringStatsPrefix = 32
+
+  /** `s` truncated to ≤ [[StringStatsPrefix]] code points with the last
+    * incrementable code point bumped — the UPPER-bound half of the
+    * truncation design. Works in code points (UTF-8 byte order == code
+    * point order, the comparison both engines use); an increment landing
+    * in the surrogate gap jumps to U+E000 (still strictly greater); a
+    * U+10FFFF tail is dropped and the previous code point incremented;
+    * all-U+10FFFF yields None (no sound bound exists at this width). */
+  private[graft] def incrementedPrefix(s: String): Option[String] = {
+    val all = s.codePoints().toArray
+    val cps = all.take(StringStatsPrefix)
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        var next = cps(i) + 1
+        if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+        val out = cps.take(i) :+ next
+        return Some(new String(out, 0, out.length))
+      }
+      i -= 1
+    }
+    None
+  }
 
   /** Per-file stats for just-staged files — ONE aggregation over the new
     * files only (never the table), grouped by physical file: row count,
@@ -455,11 +561,35 @@ object CommitLog {
     if (files.isEmpty) return Map.empty
     val paths = files.map(f => Paths.get(table, f).toString)
     val df = spark.read.parquet(paths: _*)
-    val cols = df.schema.fields.filter(statsEligible).map(_.name).toSeq
+    val eligible = df.schema.fields.filter(statsEligible)
+    val cols = eligible.map(_.name).toSeq
     if (cols.isEmpty) return Map.empty
-    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
-      min(col(s"`$c`")).as(s"_min_$c"), max(col(s"`$c`")).as(s"_max_$c"),
-      sum(when(col(s"`$c`").isNull, 1L).otherwise(0L)).as(s"_nulls_$c")))
+    val strCols = eligible.collect {
+      case f if f.dataType == StringType => f.name }.toSet
+    // per-type stat encodings (see statsEligible / StringStatsPrefix):
+    // strings are bounded IN-ENGINE — min to its 32-cp prefix (already a
+    // valid lower bound), max to a 40-cp TRANSPORT prefix (wide enough
+    // that "longer than 32 cps" is decidable driver-side, where the
+    // code-point increment runs) — so the agg/shuffle/collect never
+    // carries full document texts; timestamps encode as epoch-micros
+    def minE(f: StructField): Column = f.dataType match {
+      case StringType =>
+        substring(min(col(s"`${f.name}`")), 1, StringStatsPrefix)
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(min(col(s"`${f.name}`")))
+      case _ => min(col(s"`${f.name}`"))
+    }
+    def maxE(f: StructField): Column = f.dataType match {
+      case StringType =>
+        substring(max(col(s"`${f.name}`")), 1, StringStatsPrefix + 8)
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(max(col(s"`${f.name}`")))
+      case _ => max(col(s"`${f.name}`"))
+    }
+    val aggs = count(lit(1)).as("n") +: eligible.toSeq.flatMap(f => Seq(
+      minE(f).as(s"_min_${f.name}"), maxE(f).as(s"_max_${f.name}"),
+      sum(when(col(s"`${f.name}`").isNull, 1L).otherwise(0L))
+        .as(s"_nulls_${f.name}")))
     val per = df.withColumn("_graft_file", input_file_name())
       .groupBy("_graft_file").agg(aggs.head, aggs.tail: _*)
       .select(col("_graft_file").as("f"), to_json(struct(
@@ -472,8 +602,42 @@ object CommitLog {
     per.flatMap { r =>
       val path = r.getString(0)
       files.find(f => path.endsWith("/" + f))
-        .map(f => f -> enc.encodeToString(r.getString(1).getBytes("UTF-8")))
+        .map(f => f -> enc.encodeToString(
+          boundStringMax(r.getString(1), strCols).getBytes("UTF-8")))
     }.toMap
+  }
+
+  /** The driver-side half of the string-stats bound: any string max
+    * field still longer than [[StringStatsPrefix]] code points (the
+    * engine transported a wider prefix exactly so this is decidable)
+    * is replaced by [[incrementedPrefix]] — or NULL when no bound
+    * exists, which [[possibleCol]] soundly treats as keep. A payload
+    * with no over-long string max passes through UNTOUCHED (byte-for-
+    * byte — short-string tables keep their exact stats and their
+    * pre-round-16 payloads). */
+  private def boundStringMax(json: String, strCols: Set[String]): String = {
+    if (strCols.isEmpty) return json
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val maxN = root.get("max") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => return json
+    }
+    val overlong = strCols.filter { c =>
+      val v = maxN.get(c)
+      v != null && v.isTextual && {
+        val s = v.asText()
+        s.codePointCount(0, s.length) > StringStatsPrefix
+      }
+    }
+    if (overlong.isEmpty) return json
+    overlong.foreach { c =>
+      incrementedPrefix(maxN.get(c).asText()) match {
+        case Some(u) => maxN.put(c, u)
+        case None => maxN.putNull(c)
+      }
+    }
+    mapper.writeValueAsString(root)
   }
 
   /** from_json schema for a stats payload under the READ schema: typed
@@ -483,7 +647,11 @@ object CommitLog {
     * evolutions by construction. */
   private def statsStruct(schema: StructType): StructType = {
     val el = schema.fields.filter(statsEligible)
-      .map(f => StructField(f.name, f.dataType))
+      .map(f => StructField(f.name, f.dataType match {
+        // timestamps are stored as epoch-micros longs (statsEligible doc)
+        case org.apache.spark.sql.types.TimestampType => LongType
+        case t => t
+      }))
     StructType(Seq(
       StructField("n", LongType),
       StructField("min", StructType(el)),
@@ -518,14 +686,23 @@ object CommitLog {
       case _ => None
     }
     def value(x: Expression): Option[Column] = x match {
-      case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
-        scala.util.Try(Literal(c.eval(null), c.dataType)).toOption.flatMap(value)
+      // ANY foldable expression (cast literal, timestamp_micros(...),
+      // literal arithmetic) evaluates driver-side to its literal — the
+      // same constant folding the optimizer would do; anything that
+      // cannot evaluate here (e.g. a timezone-dependent cast with no
+      // session) falls to None = keep, never mis-prunes
+      case e if !e.isInstanceOf[Literal] && e.foldable =>
+        scala.util.Try(Literal(e.eval(null), e.dataType)).toOption.flatMap(value)
       case l: Literal if l.value != null => l.dataType match {
         case StringType => Some(lit(l.value.toString))
         case LongType | IntegerType | ShortType | ByteType |
              DoubleType | FloatType | BooleanType => Some(lit(l.value))
         case DateType => Some(lit(
           java.time.LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)))
+        // a TimestampType literal's Catalyst value IS its epoch-micros
+        // long — exactly the encoding the stats payload stores
+        case org.apache.spark.sql.types.TimestampType =>
+          Some(lit(l.value.asInstanceOf[Long]))
         case _ => None
       }
       case _ => None
@@ -1105,17 +1282,23 @@ object CommitLog {
   /** Map `input_file_name()` URIs back to live add entries — by final
     * name component, so external (cloned-in) references match too.
     * uuid-part staging makes basenames unique; an actual collision
-    * fails loudly rather than mis-target a copy-on-write. */
-  private def affectedOf(live: Seq[String], paths: Set[String]): Seq[String] = {
-    val byBase = live.groupBy(f => Paths.get(f).getFileName.toString)
+    * fails loudly rather than mis-target a copy-on-write — but ONLY
+    * when the colliding basename is actually targeted by this rewrite
+    * (r15 advice: a table that ever reaches a collided state must not
+    * have ALL file-granular DML bricked — unrelated predicates still
+    * work; only the ambiguous target is loud). */
+  private[graft] def affectedOf(live: Seq[String], paths: Set[String]): Seq[String] = {
+    def base(f: String): String = Paths.get(f).getFileName.toString
+    val targeted = live.filter { f =>
+      val b = base(f)
+      paths.exists(p => p.endsWith("/" + b) || p == b)
+    }
+    val byBase = targeted.groupBy(base)
     byBase.collect { case (b, fs) if fs.size > 1 => (b, fs) }.foreach {
       case (b, fs) => throw new IllegalStateException(
-        s"live files share the basename '$b': ${fs.mkString(", ")}")
+        s"rewrite targets live files sharing the basename '$b': ${fs.mkString(", ")}")
     }
-    live.filter { f =>
-      val base = Paths.get(f).getFileName.toString
-      paths.exists(p => p.endsWith("/" + base) || p == base)
-    }
+    targeted
   }
 
   private val PartFileRe = """[0-9a-f]{8}-part-\d{5}\.parquet""".r
