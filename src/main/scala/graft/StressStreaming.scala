@@ -183,13 +183,14 @@ object StressStreaming {
     // catalog-sized label CC — the pair_index_delta economics in stream
     // clothes.
     if (!only.exists(fs => !fs.exists("cluster_maintain".contains))) {
-      def replayCluster(chunkRoot: String): (Double, Double, Long, Long) = {
+      def replayCluster(chunkRoot: String): (Double, Double, Long, Long, Seq[Double]) = {
         val src = Files.createTempDirectory("graft-ss-cm-src").toString
         val docsT = Files.createTempDirectory("graft-ss-cm-docs").resolve("t").toString
         val labelsT = Files.createTempDirectory("graft-ss-cm-lbl").resolve("t").toString
         val ckpt = Files.createTempDirectory("graft-ss-cm-ck").toString
         val schema = spark.read.parquet(s"$workDir/$chunkRoot/c0").schema
         var exec = 0.0; var maxB = 0.0
+        val perChunk = Vector.newBuilder[Double]
         (0 until Chunks).foreach { k =>
           spark.read.parquet(s"$workDir/$chunkRoot/c$k")
             .write.mode("append").parquet(src)
@@ -201,21 +202,57 @@ object StressStreaming {
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination(600000)
           val dt = (System.nanoTime() - t0) / 1e9
-          exec += dt; maxB = math.max(maxB, dt)
+          exec += dt; maxB = math.max(maxB, dt); perChunk += dt
         }
         val cat = graft.sources.CommitLog.read(spark, labelsT)
         val rows = cat.count()
         val bytes = graft.sources.CommitLog
           .liveFiles(labelsT, graft.sources.CommitLog.latestVersion(labelsT))
           .map(f => new java.io.File(labelsT, f).length()).sum
-        (exec, maxB, rows, bytes)
+        (exec, maxB, rows, bytes, perChunk.result())
       }
-      val (e1, m1, r1, b1) = replayCluster("doc1")
-      val (e10, m10, r10, b10) = replayCluster("doc10")
+      val (e1, m1, r1, b1, p1) = replayCluster("doc1")
+      val (e10, m10, r10, b10, p10) = replayCluster("doc10")
+      def walls(p: Seq[Double]): String = p.map(d => f"$d%.1f").mkString(",")
       println(f"STREAM job=cluster_maintain chunks=$Chunks " +
         f"exec1=$e1%.2f exec10=$e10%.2f factor=${e10 / math.max(e1, 0.01)}%.1f " +
         f"state1=$r1(${b1 / 1024}KiB) state10=$r10(${b10 / 1024}KiB) " +
-        f"maxbatch1=$m1%.2f maxbatch10=$m10%.2f")
+        f"maxbatch1=$m1%.2f maxbatch10=$m10%.2f " +
+        f"walls1=[${walls(p1)}] walls10=[${walls(p10)}]")
+
+      // round 16 — the store-back claim measured on a DEDUPLICATED
+      // stream: CONSTANT-size chunks of DISTINCT documents (disjoint
+      // doc_id slices, content 1×), so batch-touching pair volume is
+      // ~flat per chunk. The r15 form re-shingled the whole arrived
+      // corpus per batch — its per-chunk wall GREW with arrival count
+      // by construction; the gram-store form's per-chunk wall must
+      // stop growing (the stored-integer scan is the only corpus term).
+      val dedupChunks = 8
+      def replayDedup(): Seq[Double] = {
+        val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val n = docs.count()
+        val per = math.max(n / dedupChunks, 1L)
+        val docsT = Files.createTempDirectory("graft-ss-cmd-docs").resolve("t").toString
+        val labelsT = Files.createTempDirectory("graft-ss-cmd-lbl").resolve("t").toString
+        val fn = StreamingJobs.clusterMaintainBatch(docsT, labelsT, "stress_cmd")
+        val ids = docs.select("doc_id").orderBy("doc_id")
+          .collect().map(_.getLong(0))
+        (0 until dedupChunks).map { k =>
+          val lo = ids((k * per).toInt.min(ids.length - 1))
+          val hi = if (k == dedupChunks - 1) Long.MaxValue
+            else ids(((k + 1) * per).toInt.min(ids.length - 1))
+          val chunk = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .repartition(32)
+          val t0 = System.nanoTime()
+          fn(chunk, k.toLong)
+          (System.nanoTime() - t0) / 1e9
+        }
+      }
+      val pd = replayDedup()
+      println(f"STREAM job=cluster_maintain_dedup chunks=$dedupChunks " +
+        f"walls=[${walls(pd)}] " +
+        f"late_over_early=${pd.drop(dedupChunks / 2).sum / math.max(pd.take(dedupChunks / 2).sum, 0.01)}%.2f")
     }
     spark.stop()
   }

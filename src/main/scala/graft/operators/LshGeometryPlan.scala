@@ -273,8 +273,28 @@ object LshGeometryPlan {
       spark.sparkContext.parallelize(out, 1), schema)
   }
 
+  /** The advisor frame from the fingerprint-keyed store (round 16 — the
+    * r15 verdict's #6 order): the plan pass (corpus count + the
+    * SampleCap-bounded sampled floor) is deterministic per (embedding
+    * content, dials), and FOUR registered queries consume it (#259 and
+    * the three planned consumers) — so it runs ONCE per corpus and is
+    * read back afterwards (the mutualLshPairsFor economics: one linear
+    * pass instead of four; at gate ~3-4 s, at 100 TB the difference
+    * between one corpus pass and four). Keyed by every dial that shapes
+    * the report (k, query sample, cap, tables — ArmBits/MpMax are code
+    * constants that change only with the code) + the embedding content
+    * fingerprint, so a changed corpus or dial mines fresh by path
+    * construction. Store == inline row identity is pinned in
+    * LshGeometrySpec. */
+  private[graft] def planFor(embeddings: DataFrame): DataFrame =
+    PairIndexStore.cachedFrameKeyed(
+      s"lshplan-v1-k${Similarity.KnnK}-q${Similarity.QueryMod}" +
+        s"-c$SampleCap-t${Lsh.LshTables}-" +
+        PairIndexStore.fingerprintOf(embeddings, "vec_id", "embedding"),
+      embeddings.sparkSession)(lshGeometryPlan(embeddings))
+
   def lshGeometryPlanQ(embeddings: DataFrame): DataFrame =
-    lshGeometryPlan(embeddings)
+    planFor(embeddings)
       .select(col("bits"), col("tables"), col("buckets_per_table"),
         col("n_vectors"), Parity.r("kth_cos", 4), col("p_ppm"),
         col("mp_mutual"), col("probe_keys_mutual"), col("cert_mutual_ppm"),
@@ -325,20 +345,23 @@ object LshGeometryPlan {
       case None => Similarity.knnCosineBrute(embeddings)
     }
 
+  // the three planned consumers read the STORED plan (round 16 — one
+  // advisor pass per corpus, not one per consumer); outputs unchanged,
+  // so each keeps its exact twin's oracle
   def knnCosinePlannedQ(embeddings: DataFrame): DataFrame =
-    knnCosinePlanned(embeddings, lshGeometryPlan(embeddings))
+    knnCosinePlanned(embeddings, planFor(embeddings))
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         Parity.r("cos", 4), col("label"))
       .orderBy("query_id", "rank")
 
   def knnMutualPlannedQ(embeddings: DataFrame): DataFrame =
-    knnMutualPlanned(embeddings, lshGeometryPlan(embeddings))
+    knnMutualPlanned(embeddings, planFor(embeddings))
       .select(col("id1"), col("id2"), col("rank12"), col("rank21"),
         Parity.r("cos", 4))
       .orderBy("id1", "id2")
 
   def embeddingDedupPlannedQ(embeddings: DataFrame): DataFrame =
-    embeddingDedupPlanned(embeddings, lshGeometryPlan(embeddings))
+    embeddingDedupPlanned(embeddings, planFor(embeddings))
       .select(col("id1"), col("id2"), Parity.r("cos", 4))
       .orderBy("id1", "id2")
 

@@ -103,6 +103,24 @@ class LshGeometrySpec extends AnyFunSuite {
     assert(persisted == direct)
   }
 
+  test("fingerprint-keyed plan store: store == inline on build AND read-back") {
+    // round 16 (the r15 verdict's #6 order): the registered queries read
+    // the advisor frame from the store — one plan pass per corpus, four
+    // consumers; identity must hold both on first build (mine+persist)
+    // and on the read-back path (the AnnOracleSpec store precedent)
+    val emb = replicaCorpus()
+    val inline = LshGeometryPlan.lshGeometryPlan(emb)
+      .collect().map(_.toString).sorted.toSeq
+    val firstUse = LshGeometryPlan.planFor(emb)
+      .collect().map(_.toString).sorted.toSeq
+    val readBack = LshGeometryPlan.planFor(emb)
+      .collect().map(_.toString).sorted.toSeq
+    assert(firstUse == inline, "store build must equal the inline pass")
+    assert(readBack == inline, "store read-back must equal the inline pass")
+    assert(LshGeometryPlan.geometryFromPlan(LshGeometryPlan.planFor(emb),
+      "mutual").isDefined)
+  }
+
   test("certificate is conservative against a double-precision reference") {
     // the truncating ppm folds must never EXCEED the real collision
     // probability (an optimistic certificate would un-certify nothing)

@@ -71,9 +71,11 @@ class ClusterStreamSpec extends AnyFunSuite {
     assert(fin(1L) == 1L && fin(2L) == 1L && fin(5L) == 1L, s"no weld: $fin")
     assert(fin(3L) == 3L)
     // full replay with a FRESH streaming checkpoint: batchIds restart,
-    // both tables' txn watermarks reject every re-delivery — neither
-    // table moves
+    // all three tables' txn watermarks reject every re-delivery — no
+    // table moves (docs, the round-16 gram index, the catalog)
+    val gramsT = s"${labelsT}_grams"
     val docsV = CommitLog.latestVersion(docsT)
+    val gramsV = CommitLog.latestVersion(gramsT)
     val lblV = CommitLog.latestVersion(labelsT)
     val q2 = spark.readStream.schema(schema).parquet(src)
       .writeStream
@@ -83,8 +85,37 @@ class ClusterStreamSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination(120000)
     assert(CommitLog.latestVersion(docsT) == docsV, "replay moved the docs table")
+    assert(CommitLog.latestVersion(gramsT) == gramsV, "replay moved the gram index")
     assert(CommitLog.latestVersion(labelsT) == lblV, "replay moved the catalog")
     assert(labels(CommitLog.read(spark, labelsT)) == fin)
+    // the persisted gram index holds exactly the arrived corpus's grams,
+    // appended once per batch — each document was shingled ONCE, ever
+    // (the round-16 store-back claim: per-batch text work is the batch)
+    val stored = CommitLog.read(spark, gramsT)
+      .select("doc_id", "sh", "nsh").collect().toSet
+    val fresh = Dedup.gramIndex(docsDf(arrived))
+      .select("doc_id", "sh", "nsh").collect().toSet
+    assert(stored == fresh, "stored gram index != fresh shingling of the corpus")
+    assert(gramsV == chunks.length - 1,
+      s"one grams append per batch expected, head=$gramsV")
+  }
+
+  test("gram-fed delta mine == text-fed delta mine (store == fresh parity)") {
+    // the round-16 rewiring claim: mining batch-touching pairs against
+    // STORED grams is row-identical to re-shingling the corpus (schema
+    // AND values — jaccard downstream must see the same integers)
+    val corpus = docsDf(Seq(1L -> aTxt, 2L -> bTxt, 3L -> "lone text here"))
+    val batch = docsDf(Seq(5L -> mTxt, 6L -> "other lone words"))
+    val fresh = Dedup.pairIndexDeltaFrames(corpus, batch)
+    val store = Dedup.pairIndexDeltaFromGrams(
+      Dedup.gramIndex(corpus), Dedup.gramIndex(batch))
+    assert(store.schema == fresh.schema,
+      s"${store.schema.simpleString} != ${fresh.schema.simpleString}")
+    assert(store.collect().toSet == fresh.collect().toSet)
+    // and through the threshold filter both feed the same merge edges
+    assert(
+      Dedup.pairsFromIndex(store).select("id1", "id2").collect().toSet ==
+        Dedup.pairsFromIndex(fresh).select("id1", "id2").collect().toSet)
   }
 
   test("crash between the two commits replays into a consistent merge") {
