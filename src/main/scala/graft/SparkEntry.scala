@@ -400,6 +400,11 @@ object SparkEntry {
     // fancier model must beat
     "seasonal_forecast" -> ((s, d) =>
       SeasonalAnomaly.seasonalForecastQ(Tables.events(s, d))),
+    // round 16: the forecast's ACCURACY surface — rolling-origin
+    // backtest (re-fit on each prefix, no leak), integer-milli MAE per
+    // (type, horizon) + the skill ratio vs the level-only naive
+    "forecast_backtest" -> ((s, d) =>
+      ForecastBacktest.forecastBacktestQ(Tables.events(s, d))),
     "event_burstiness" -> ((s, d) => Burstiness.eventBurstinessQ(Tables.events(s, d))),
     "transition_stationary" -> ((s, d) => MarkovStationary.transitionStationaryQ(Tables.events(s, d))),
     "event_gaps" -> ((s, d) => EventGaps.eventGapsQ(Tables.events(s, d))),
@@ -1037,6 +1042,7 @@ object SparkEntry {
     "seasonal_decompose" -> SeasonalDecompose.seasonalDecomposeSql,
     "seasonal_anomaly" -> SeasonalAnomaly.seasonalAnomalySql,
     "seasonal_forecast" -> SeasonalAnomaly.seasonalForecastSql,
+    "forecast_backtest" -> ForecastBacktest.forecastBacktestSql,
     "event_burstiness" -> Burstiness.eventBurstinessSql,
     "transition_stationary" -> MarkovStationary.transitionStationarySql,
     "event_gaps" -> EventGaps.eventGapsSql,

