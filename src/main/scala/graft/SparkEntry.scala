@@ -677,6 +677,12 @@ object SparkEntry {
     // checkpoint); values DuckDB-checked
     "commitlog_skipping" -> ((s, d) =>
       CommitLogRead.commitLogSkippingQ(Tables.documents(s, d))),
+    // round 16: TIMESTAMP data skipping — per-file ts min/max as integer
+    // epoch-micros in the add actions; a time-band read over the
+    // time-clustered events layout prunes on integer compares (census
+    // require'd in-query incl. checkpoint folding; values DuckDB-checked)
+    "commitlog_skipping_ts" -> ((s, d) =>
+      CommitLogRead.commitLogSkippingTsQ(Tables.events(s, d))),
     // round 15: SHALLOW CLONE — zero-copy snapshot fork via external
     // file references (zero data files require'd at clone time), both
     // sides diverging independently; vacuum never touches external refs
@@ -991,6 +997,7 @@ object SparkEntry {
     "commitlog_vacuum" -> CommitLogRead.commitLogVacuumSql,
     "commitlog_read_at_ts" -> CommitLogRead.commitLogReadAtTsSql,
     "commitlog_skipping" -> CommitLogRead.commitLogSkippingSql,
+    "commitlog_skipping_ts" -> CommitLogRead.commitLogSkippingTsSql,
     "commitlog_clone" -> CommitLogRead.commitLogCloneSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
