@@ -683,6 +683,12 @@ object SparkEntry {
     // require'd in-query incl. checkpoint folding; values DuckDB-checked)
     "commitlog_skipping_ts" -> ((s, d) =>
       CommitLogRead.commitLogSkippingTsQ(Tables.events(s, d))),
+    // round 16: DELETION VECTORS — merge-on-read DELETE: a scattered
+    // delete attaches position sidecars instead of rewriting files
+    // (zero data files moved, require'd on the actual directory);
+    // OPTIMIZE rebases them away (require'd); values DuckDB-checked
+    "commitlog_dv" -> ((s, d) =>
+      CommitLogRead.commitLogDvQ(Tables.documents(s, d))),
     // round 15: SHALLOW CLONE — zero-copy snapshot fork via external
     // file references (zero data files require'd at clone time), both
     // sides diverging independently; vacuum never touches external refs
@@ -998,6 +1004,7 @@ object SparkEntry {
     "commitlog_read_at_ts" -> CommitLogRead.commitLogReadAtTsSql,
     "commitlog_skipping" -> CommitLogRead.commitLogSkippingSql,
     "commitlog_skipping_ts" -> CommitLogRead.commitLogSkippingTsSql,
+    "commitlog_dv" -> CommitLogRead.commitLogDvSql,
     "commitlog_clone" -> CommitLogRead.commitLogCloneSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,

@@ -524,6 +524,76 @@ object CommitLogRead {
       |  AND epoch_us(date_trunc('microseconds', e.ts)) <= b.mn + (b.mx - b.mn) // 2
       |ORDER BY e.event_id""".stripMargin
 
+  /** DELETION VECTORS in the gate (round 16 — the r15 verdict's #9
+    * order; Delta's merge-on-read design, public): a SCATTERED delete
+    * must stop rewriting every touched file — the DV verb attaches
+    * position sidecars instead, and the gate REQUIRES the data-file
+    * economics on the actual directory (the commitlog_zorder pattern:
+    * file-level facts require'd in-query, values DuckDB-checked):
+    *  - v0 APPEND, range-clustered into 8 files
+    *  - v1 DV-DELETE doc_id % 7 = 0 (scattered: touches most files) —
+    *    the live DATA file census must be IDENTICAL to v0's and every
+    *    v0 file must still exist on disk (zero copy-on-write)
+    *  - v2 DV-DELETE doc_id % 11 = 0 — the merge-on-re-delete path
+    *  - v3 OPTIMIZE (compact) — REQUIRES the DV map rebased to empty
+    * Emits every version's row set: v0 full, v1/v2 progressively
+    * filtered, v3 content-identical to v2 (a maintenance verb never
+    * changes rows). */
+  def commitLogDvQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_dv").resolve("t").toString
+    def out(df: DataFrame, v: Long): DataFrame = {
+      val withSchema = if (df.columns.isEmpty) base.limit(0) else df
+      withSchema.select(lit(v).as("version"), col("doc_id"), col("source"),
+        col("n_chars"))
+    }
+    CommitLog.append(spark, table,
+      base.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")) // v0
+    val v0r = CommitLog.read(spark, table, Some(0L))
+    if (v0r.columns.isEmpty || v0r.isEmpty) return out(base.limit(0), 0L)
+    val before = CommitLog.liveFiles(table, 0L)
+    def must(r: Either[CommitLog.Conflict, Long]): Long = r match {
+      case Right(v) => v
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    must(CommitLog.deleteWhereDv(spark, table, col("doc_id") % 7 === 0)) // v1
+    require(CommitLog.liveFiles(table, 1L) == before,
+      "a DV delete must not rewrite or remove any data file")
+    before.foreach(f => require(
+      Files.exists(java.nio.file.Paths.get(table, f)),
+      s"v0 data file $f must survive a DV delete on disk"))
+    must(CommitLog.deleteWhereDv(spark, table, col("doc_id") % 11 === 0)) // v2
+    require(CommitLog.liveFiles(table, 2L) == before,
+      "the merged re-delete must not move data files either")
+    must(CommitLog.compact(spark, table, targetFiles = 2)) // v3
+    require(CommitLog.liveDvs(table, 3L).isEmpty,
+      "OPTIMIZE must rebase deletion vectors away")
+    (0L to 3L).map(v => out(CommitLog.read(spark, table, Some(v)), v))
+      .reduce(_ unionByName _)
+      .orderBy("version", "doc_id")
+  }
+
+  /** Oracle: the four versions' row sets straight from `documents`. */
+  val commitLogDvSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), v AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, * FROM base
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), * FROM base WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), * FROM base
+      |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), * FROM base
+      |  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+      |)
+      |SELECT version, doc_id, source, n_chars
+      |FROM v
+      |ORDER BY version, doc_id""".stripMargin
+
   /** SHALLOW CLONE in the gate (round 15 — the r14 verdict's #8 order):
     * [[CommitLog.shallowClone]] forks the source at a snapshot with
     * ZERO data copy (require'd in-query: the clone directory holds no

@@ -70,7 +70,9 @@ object CommitLog {
                     txns: Vector[(String, Long)] = Vector.empty,
                     meta: Option[String] = None,
                     addStats: Map[String, String] = Map.empty,
-                    ctsMillis: Option[Long] = None)
+                    ctsMillis: Option[Long] = None,
+                    dvs: Vector[(String, String)] = Vector.empty,
+                    dvRms: Vector[String] = Vector.empty)
 
   /** A serializable rewrite lost the race: someone committed
     * `actualLatest` ≥ the version this writer needed. */
@@ -87,12 +89,19 @@ object CommitLog {
   private val TxnRe = """\{"txn":\{"app":"([^"]+)","version":(\d+)\}\}""".r
   private val MetaRe = """\{"meta":\{"schemaB64":"([A-Za-z0-9+/=]+)"\}\}""".r
   private val CtsRe = """\{"cts":(\d+)\}""".r
+  private val DvRe = """\{"dv":\{"path":"([^"]+)","target":"([^"]+)"\}\}""".r
+  private val DvRmRe = """\{"dvrm":"([^"]+)"\}""".r
 
-  /** Parsed action lines of one commit or checkpoint body. */
+  /** Parsed action lines of one commit or checkpoint body. `dvs` =
+    * deletion-vector attachments (dvfile, target data file) — the
+    * merge-on-read DELETE actions (round 16); `dvRms` explicit DV
+    * clears (restore re-emitting an older version's DV state). */
   private case class Actions(adds: Vector[String], removes: Vector[String],
                              txns: Vector[(String, Long)], meta: Option[String],
                              addStats: Map[String, String],
-                             ctsMillis: Option[Long])
+                             ctsMillis: Option[Long],
+                             dvs: Vector[(String, String)],
+                             dvRms: Vector[String])
 
   /** Parse one commit's lines, FAILING LOUDLY on anything that matches
     * no action pattern — a malformed or future-extended line must
@@ -103,6 +112,8 @@ object CommitLog {
     val removes = Vector.newBuilder[String]
     val txns = Vector.newBuilder[(String, Long)]
     val stats = Map.newBuilder[String, String]
+    val dvs = Vector.newBuilder[(String, String)]
+    val dvRms = Vector.newBuilder[String]
     var meta: Option[String] = None
     var cts: Option[Long] = None
     lines.foreach {
@@ -112,12 +123,14 @@ object CommitLog {
       case TxnRe(app, v) => txns += (app -> v.toLong)
       case MetaRe(b64) => meta = Some(b64)
       case CtsRe(ms) => cts = Some(ms.toLong)
+      case DvRe(p, t) => dvs += (p -> t)
+      case DvRmRe(t) => dvRms += t
       case l if l.trim.isEmpty => ()
       case l => throw new IllegalStateException(
         s"unparseable action line in $where: '$l'")
     }
     Actions(adds.result(), removes.result(), txns.result(), meta,
-      stats.result(), cts)
+      stats.result(), cts, dvs.result(), dvRms.result())
   }
 
   /** Data-file names are embedded in JSON string literals without
@@ -211,7 +224,8 @@ object CommitLog {
   private case class Cp(adds: Vector[String], txns: Vector[(String, Long)],
                         meta: Option[String], complete: Boolean,
                         addStats: Map[String, String],
-                        ctsMax: Option[Long])
+                        ctsMax: Option[Long],
+                        dvs: Vector[(String, String)])
 
   private def readCheckpoint(table: String, v: Long): Cp = {
     val f = checkpointFile(table, v)
@@ -219,7 +233,8 @@ object CommitLog {
     val complete = lines.exists(CpvRe.matches)
     val a = parseActions(lines.filterNot(CpvRe.matches), f)
     require(a.removes.isEmpty, s"checkpoint $f contains removes")
-    Cp(a.adds, a.txns, a.meta, complete, a.addStats, a.ctsMillis)
+    require(a.dvRms.isEmpty, s"checkpoint $f contains dv clears")
+    Cp(a.adds, a.txns, a.meta, complete, a.addStats, a.ctsMillis, a.dvs)
   }
 
   /** Write a checkpoint of the folded state AT `version` — the log-
@@ -242,12 +257,15 @@ object CommitLog {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val stats = scala.collection.mutable.Map.empty[String, String]
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var meta: Option[String] = None
     var ctsMax = -1L
     commits(table, v).foreach { c =>
-      c.removes.foreach { f => live.remove(f); stats.remove(f) }
-      c.adds.foreach(live.add)
+      c.removes.foreach { f => live.remove(f); stats.remove(f); dvs.remove(f) }
+      c.adds.foreach { f => live.add(f); dvs.remove(f) }
       stats ++= c.addStats
+      c.dvs.foreach { case (p, t) => dvs(t) = p }
+      c.dvRms.foreach(dvs.remove)
       c.txns.foreach { case (app, tv) =>
         txns(app) = math.max(txns.getOrElse(app, -1L), tv)
       }
@@ -263,6 +281,9 @@ object CommitLog {
       (if (ctsMax >= 0) Seq(s"""{"cts":$ctsMax}""") else Nil) ++
       meta.map(b64 => s"""{"meta":{"schemaB64":"$b64"}}""").toSeq ++
       txns.map { case (app, tv) => s"""{"txn":{"app":"$app","version":$tv}}""" } ++
+      // live deletion-vector attachments fold through too (round 16) —
+      // a checkpointed table must not resurrect merge-on-read deletes
+      dvs.map { case (t, p) => s"""{"dv":{"path":"$p","target":"$t"}}""" } ++
       live.toVector.map(f => stats.get(f) match {
         case Some(b64) => s"""{"add":{"path":"$f","statsB64":"$b64"}}"""
         case None => s"""{"add":"$f"}"""
@@ -307,10 +328,34 @@ object CommitLog {
     live.toVector
   }
 
+  /** Live deletion-vector attachments at `asOf`: data file → its
+    * CURRENT dv file (the newest dv action wins; a remove/re-add/dvrm
+    * of the target clears it). Same checkpoint-suffix economics as
+    * [[liveAdds]] — dv actions fold through v2 checkpoints. */
+  def liveDvs(table: String, asOf: Long): Map[String, String] = {
+    val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def fold(c: Commit): Unit = {
+      c.removes.foreach(dvs.remove)
+      c.adds.foreach(dvs.remove)
+      c.dvs.foreach { case (p, t) => dvs(t) = p }
+      c.dvRms.foreach(dvs.remove)
+    }
+    latestCheckpoint(table, asOf) match {
+      case None =>
+        commits(table, asOf).foreach(fold)
+      case Some(cp) =>
+        val s = readCheckpoint(table, cp)
+        s.dvs.foreach { case (p, t) => dvs(t) = p }
+        ((cp + 1) to asOf).foreach(v => fold(commits0(table, v)))
+    }
+    dvs.toMap
+  }
+
   private def commits0(table: String, v: Long): Commit = {
     val f = commitFile(table, v)
     val a = parseActions(Files.readAllLines(f).asScala, f)
-    Commit(v, a.adds, a.removes, a.txns, a.meta, a.addStats, a.ctsMillis)
+    Commit(v, a.adds, a.removes, a.txns, a.meta, a.addStats, a.ctsMillis,
+      a.dvs, a.dvRms)
   }
 
   // ------------------------------------------------- schema evolution
@@ -480,13 +525,48 @@ object CommitLog {
   private def readAt(spark: SparkSession, table: String, v: Long,
                      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val files = liveFiles(table, v).map(f => Paths.get(table, f).toString)
-    (files.isEmpty, schema) match {
+    val base = (files.isEmpty, schema) match {
       case (true, Some(s)) =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case (true, None) => spark.emptyDataFrame
       case (false, Some(s)) => spark.read.schema(s).parquet(files: _*)
       case (false, None) => spark.read.parquet(files: _*)
     }
+    applyDvs(spark, table, base, liveDvs(table, v))
+  }
+
+  private def baseName(f: String): String =
+    f.substring(f.lastIndexOf('/') + 1)
+
+  /** MERGE-ON-READ filter (round 16 — Delta's deletion-vector read
+    * path, public design): rows whose (data-file, row position) is
+    * marked by the file's CURRENT deletion vector are dropped. Zero
+    * plan change when the snapshot carries no DVs (the overwhelmingly
+    * common case); with DVs, rows tag their file basename + parquet
+    * `_metadata.row_index` (stable — data files are immutable) and
+    * LEFT ANTI join the dv row set, restricted to CURRENT
+    * (dvfile, target) attachments so superseded dv files in the same
+    * directory can never double-apply. Basename matching throughout, so
+    * cloned-in external references work unchanged. */
+  private def applyDvs(spark: SparkSession, table: String, df: DataFrame,
+                       dvs: Map[String, String]): DataFrame = {
+    if (dvs.isEmpty) return df
+    val dvPaths = dvs.values.toSeq.distinct
+      .map(p => Paths.get(table, p).toString)
+    val current = dvs.map { case (t, p) => s"${baseName(p)}|${baseName(t)}" }
+      .toSeq
+    val dvDf = spark.read.parquet(dvPaths: _*)
+      .withColumn("_graft_dvf",
+        element_at(split(input_file_name(), "/"), -1))
+      .filter(concat(col("_graft_dvf"), lit("|"), col("target"))
+        .isin(current: _*))
+      .select(col("target").as("_graft_dv_t"), col("pos").as("_graft_dv_p"))
+    df.withColumn("_graft_dv_f",
+        element_at(split(input_file_name(), "/"), -1))
+      .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+      .join(dvDf, col("_graft_dv_f") === col("_graft_dv_t") &&
+        col("_graft_dv_pos") === col("_graft_dv_p"), "left_anti")
+      .drop("_graft_dv_f", "_graft_dv_pos")
   }
 
   // ---------------------------------------- data-skipping file stats
@@ -808,7 +888,10 @@ object CommitLog {
       case (false, Some(s)) => spark.read.schema(s).parquet(files: _*)
       case (false, None) => spark.read.parquet(files: _*)
     }
-    if (base.columns.isEmpty) base else base.filter(cond)
+    // a DV'd file's stats describe a SUPERSET of its live rows (min/max
+    // over pre-delete content) — pruning stays sound, merely less tight
+    if (base.columns.isEmpty) base
+    else applyDvs(spark, table, base, liveDvs(table, v)).filter(cond)
   }
 
   /** Stage a frame's rows as immutable data files in the table directory
@@ -851,7 +934,9 @@ object CommitLog {
                 txn: Option[(String, Long)] = None,
                 meta: Option[String] = None,
                 addStats: Map[String, String] = Map.empty,
-                ctsMillis: Option[Long] = None): Boolean = {
+                ctsMillis: Option[Long] = None,
+                dvs: Seq[(String, String)] = Nil,
+                dvRms: Seq[String] = Nil): Boolean = {
     (adds ++ removes).foreach(requireSafeName)
     txn.foreach { case (app, v) =>
       requireSafeName(app)
@@ -863,6 +948,8 @@ object CommitLog {
       s"stats payload must be base64, got '${b64.take(40)}'"))
     require(addStats.keySet.subsetOf(adds.toSet),
       s"stats for files not in this commit's adds: ${addStats.keySet -- adds}")
+    dvs.foreach { case (p, t) => requireSafeName(p); requireSafeName(t) }
+    dvRms.foreach(requireSafeName)
     val cts = ctsMillis.getOrElse(System.currentTimeMillis())
     require(cts >= 0, s"commit timestamp must be >= 0, got $cts")
     Files.createDirectories(logDir(table))
@@ -871,6 +958,8 @@ object CommitLog {
       txn.map { case (app, v) =>
         s"""{"txn":{"app":"$app","version":$v}}""" }.toSeq ++
       removes.map(f => s"""{"remove":"$f"}""") ++
+      dvRms.map(t => s"""{"dvrm":"$t"}""") ++
+      dvs.map { case (p, t) => s"""{"dv":{"path":"$p","target":"$t"}}""" } ++
       adds.map(f => addStats.get(f) match {
         case Some(b64) => s"""{"add":{"path":"$f","statsB64":"$b64"}}"""
         case None => s"""{"add":"$f"}"""
@@ -1003,9 +1092,12 @@ object CommitLog {
     * re-reads and recomputes (optimistic retry). */
   def replaceFiles(table: String, readVersion: Long,
                    removes: Seq[String], adds: Seq[String],
-                   addStats: Map[String, String] = Map.empty): Either[Conflict, Long] = {
+                   addStats: Map[String, String] = Map.empty,
+                   dvs: Seq[(String, String)] = Nil,
+                   dvRms: Seq[String] = Nil): Either[Conflict, Long] = {
     val v = readVersion + 1
-    if (tryCommit(table, v, adds, removes, addStats = addStats)) Right(v)
+    if (tryCommit(table, v, adds, removes, addStats = addStats,
+      dvs = dvs, dvRms = dvRms)) Right(v)
     else Left(Conflict(v, latestVersion(table)))
   }
 
@@ -1030,10 +1122,12 @@ object CommitLog {
     if (live.isEmpty) return Right(head)
     val schema = schemaAt(table, head)
     val paths = live.map(f => Paths.get(table, f).toString)
-    val tagged = (schema match {
+    // DV-applied scan (round 16): a copy-on-write rewrite of a file
+    // carrying a deletion vector must not resurrect its DV'd rows
+    val tagged = applyDvs(spark, table, (schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
-    }).withColumn("_graft_file", input_file_name())
+    }).withColumn("_graft_file", input_file_name()), liveDvs(table, head))
     val affectedPaths = tagged.filter(cond).select("_graft_file")
       .distinct().collect().map(_.getString(0)).toSet
     val affected = affectedOf(live, affectedPaths)
@@ -1045,6 +1139,115 @@ object CommitLog {
     val adds = stage(table, keep)
     val res = replaceFiles(table, head, affected, adds)
     if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    res
+  }
+
+  /** Stage a deletion-vector row set — (target basename, pos) — as
+    * immutable `*-dv-NNNNN.parquet` sidecars, invisible until a commit's
+    * dv actions reference them (the [[stage]] two-phase shape; the
+    * distinct name keeps [[orphanFiles]]' part-file sweep away from dv
+    * sidecars). */
+  private def stageDv(table: String, df: DataFrame): Seq[String] = {
+    Files.createDirectories(Paths.get(table))
+    val prefix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = Paths.get(table, s"_tmp_dv_$prefix")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val parts = {
+      val s = Files.list(tmp)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toVector.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    val named = parts.zipWithIndex.map { case (p, i) =>
+      val name = f"$prefix-dv-$i%05d.parquet"
+      Files.move(p, Paths.get(table, name))
+      name
+    }
+    val leftovers = Files.list(tmp)
+    try leftovers.iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally leftovers.close()
+    Files.deleteIfExists(tmp)
+    named
+  }
+
+  /** DELETE WHERE as MERGE-ON-READ (round 16 — Delta's deletion-vector
+    * design, public): instead of rewriting every file containing a
+    * match ([[deleteWhere]]'s copy-on-write), the commit attaches a
+    * DELETION VECTOR to each affected file — a parquet sidecar of
+    * (target, row position) pairs — and every read drops the marked
+    * rows ([[applyDvs]]). The economics this verb exists for: a
+    * SCATTERED 0.1% delete under copy-on-write rewrites every touched
+    * file (potentially the whole table); under merge-on-read it writes
+    * ONLY the tiny position sidecars — zero data files move
+    * (gate-require'd). The read tax is the anti join; OPTIMIZE rebases
+    * it away (a [[compact]]/[[compactClustered]] reads DV-applied rows
+    * and its rewrite carries no DVs — spec-pinned), and vacuum retains
+    * dv sidecars exactly as long as a retained snapshot reads them.
+    *
+    * Semantics: positions are parquet `_metadata.row_index` — stable
+    * because data files are immutable. A re-delete on an already-DV'd
+    * file MERGES: the new sidecar carries the old positions plus the
+    * new matches and supersedes the old attachment (the fold keeps the
+    * newest dv per target). Predicate matching runs on the DV-APPLIED
+    * scan, so an already-deleted row can never match twice. A predicate
+    * matching nothing commits nothing (the no-op convention). The
+    * affected-target list is catalog-bounded driver metadata; the
+    * position sets stay distributed end to end (staged by repartition
+    * on target, the action mapping read back from the staged sidecars
+    * once, at write time). */
+  def deleteWhereDv(spark: SparkSession, table: String,
+                    cond: org.apache.spark.sql.Column): Either[Conflict, Long] = {
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    val live = liveFiles(table, head)
+    if (live.isEmpty) return Right(head)
+    val schema = schemaAt(table, head)
+    val paths = live.map(f => Paths.get(table, f).toString)
+    val base = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    base.columns.filter(_.startsWith("_graft_")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"deleteWhereDv: column '$c' on $table collides with the reserved " +
+          "'_graft_' helper-column prefix")
+    }
+    val dvs = liveDvs(table, head)
+    val tagged = applyDvs(spark, table, base
+      .withColumn("_graft_f", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("_graft_pos", col("_metadata.row_index")), dvs)
+    val matched = tagged.filter(cond)
+      .select(col("_graft_f").as("target"), col("_graft_pos").as("pos"))
+      .localCheckpoint() // 2 consumers: the target census + the sidecar rows
+    val affected = matched.select("target").distinct()
+      .collect().map(_.getString(0)).toSet // catalog-bounded driver metadata
+    if (affected.isEmpty) return Right(head)
+    // merge-on-re-delete: carry the affected targets' EXISTING positions
+    // into the superseding sidecar (the old attachment is replaced)
+    val priorPaths = affected.toSeq.flatMap(t => dvs.get(t)).distinct
+      .map(p => Paths.get(table, p).toString)
+    val prior =
+      if (priorPaths.isEmpty) matched.limit(0)
+      else spark.read.parquet(priorPaths: _*)
+        .filter(col("target").isin(affected.toSeq: _*))
+        .select(col("target"), col("pos"))
+    val rows = matched.unionByName(prior)
+    val staged = stageDv(table,
+      rows.repartition(math.min(32, affected.size), col("target")))
+    // each target's rows hash to ONE staged sidecar; the writer reads the
+    // mapping back once (write-time data altitude, never the log fold)
+    val mapping = spark.read
+      .parquet(staged.map(f => Paths.get(table, f).toString): _*)
+      .withColumn("f", element_at(split(input_file_name(), "/"), -1))
+      .select("f", "target").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val res =
+      if (tryCommit(table, head + 1, Nil, Nil, dvs = mapping.toSeq))
+        Right(head + 1)
+      else Left(Conflict(head + 1, latestVersion(table)))
+    if (res.isLeft)
+      staged.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
     res
   }
 
@@ -1128,7 +1331,10 @@ object CommitLog {
         s"updateWhere: column '$c' on $table collides with the reserved " +
           "'_graft_' helper-column prefix")
     }
-    val tagged = base.withColumn("_graft_file", input_file_name())
+    // DV-applied scan (round 16): an UPDATE rewrite must not resurrect
+    // merge-on-read-deleted rows of an affected file
+    val tagged = applyDvs(spark, table,
+      base.withColumn("_graft_file", input_file_name()), liveDvs(table, head))
     val affectedPaths = tagged.filter(cond).select("_graft_file")
       .distinct().collect().map(_.getString(0)).toSet
     val affected = affectedOf(live, affectedPaths)
@@ -1247,9 +1453,15 @@ object CommitLog {
     val adds = liveAdds(source, v)
     val refs = adds.map { case (f, _) => s"$rel/$f" }
     val stats = adds.collect { case (f, Some(st)) => s"$rel/$f" -> st }.toMap
+    // deletion-vector attachments clone as external references too —
+    // a clone that dropped them would RESURRECT merge-on-read deletes
+    // (read-path matching is by basename, so relative paths are fine)
+    val dvs = liveDvs(source, v).toSeq
+      .map { case (t, p) => (s"$rel/$p", s"$rel/$t") }
     val meta = schemaAt(source, v).map(s => java.util.Base64.getEncoder
       .encodeToString(s.json.getBytes("UTF-8")))
-    require(tryCommit(target, 0L, refs, Nil, meta = meta, addStats = stats),
+    require(tryCommit(target, 0L, refs, Nil, meta = meta, addStats = stats,
+      dvs = dvs),
       s"clone target $target saw a concurrent commit")
     0L
   }
@@ -1268,9 +1480,14 @@ object CommitLog {
     require(retainVersions >= 1, s"retainVersions must be >= 1, got $retainVersions")
     val vMax = latestVersion(table)
     require(vMax >= 0, s"commit-log table $table has no commits")
-    val retained = ((vMax - retainVersions + 1).max(0L) to vMax)
-      .flatMap(liveFiles(table, _)).toSet
-    commits(table, vMax).flatMap(_.adds).distinct
+    val window = (vMax - retainVersions + 1).max(0L) to vMax
+    // retained = data files AND dv files any retained snapshot reads
+    // (sweeping a dv file under a retained snapshot would RESURRECT its
+    // deleted rows — worse than a failing read)
+    val retained = window.flatMap(liveFiles(table, _)).toSet ++
+      window.flatMap(liveDvs(table, _).values).toSet
+    val all = commits(table, vMax)
+    (all.flatMap(_.adds) ++ all.flatMap(_.dvs.map(_._1))).distinct
       .filterNot(retained)
       .filterNot(isExternalRef)
   }
@@ -1356,17 +1573,27 @@ object CommitLog {
     require(toVersion >= 0 && toVersion <= head,
       s"restore target $toVersion outside [0, $head]")
     val target = liveFiles(table, toVersion)
+    // deletion-vector state is versioned like file state: the restore
+    // commit re-emits the TARGET version's dv attachments and clears
+    // the ones only the head had — a roll-back across a merge-on-read
+    // delete restores the deleted rows (round 16)
+    val targetDvs = liveDvs(table, toVersion)
+    val headDvs = liveDvs(table, head)
     // the horizon-enforcement edge: a prior vacuum may have dropped files
     // only the target version references — committing the restore anyway
     // would manufacture a corrupt HEAD (not just a failing time-travel
     // read), so check existence BEFORE committing and fail loudly
-    val gone = target.filterNot(f => Files.exists(Paths.get(table, f)))
+    val gone = (target ++ targetDvs.values)
+      .filterNot(f => Files.exists(Paths.get(table, f)))
     require(gone.isEmpty,
       s"restore target $toVersion references vacuumed data files: ${gone.mkString(", ")}")
     val current = liveFiles(table, head)
     val removes = current.filterNot(target.toSet)
     val adds = target.filterNot(current.toSet)
-    replaceFiles(table, head, removes, adds)
+    val dvs = targetDvs.toSeq.map { case (t, p) => (p, t) }
+    val dvRms = (headDvs.keySet -- targetDvs.keySet)
+      .filter(target.toSet).toSeq.sorted
+    replaceFiles(table, head, removes, adds, dvs = dvs, dvRms = dvRms)
   }
 
   /** OPTIMIZE (small-file compaction) through the log: rewrite the
@@ -1425,6 +1652,10 @@ object CommitLog {
       require(c.removes.isEmpty,
         s"non-append commit $v on $table (removes ${c.removes.size} files) — " +
           "the incremental source is append-only by contract")
+      require(c.dvs.isEmpty && c.dvRms.isEmpty,
+        s"non-append commit $v on $table (deletion-vector actions) — a " +
+          "merge-on-read delete changes rows; the incremental source is " +
+          "append-only by contract")
       c.adds
     }
     val schema = schemaAt(table, head)

@@ -1163,6 +1163,133 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------- round 16: deletion vectors (merge-on-read)
+
+  private def dvTable(): String = {
+    val t = tmpTable()
+    CommitLog.append(spark, t,
+      (0L until 40L).map(i => (i, s"s$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"))
+    t
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  test("deletion vectors: a scattered DELETE moves ZERO data files; reads drop exactly the marked rows") {
+    val t = dvTable()
+    val before = CommitLog.liveFiles(t, 0L)
+    assert(before.size == 4)
+    assert(CommitLog.deleteWhereDv(spark, t, col("id") % 7 === 0L) == Right(1L))
+    // merge-on-read: the live DATA file set is bit-identical — only dv
+    // sidecars were written (the economics the verb exists for)
+    assert(CommitLog.liveFiles(t, 1L) == before,
+      "a DV delete must not rewrite or remove any data file")
+    before.foreach(f => assert(Files.exists(java.nio.file.Paths.get(t, f))))
+    assert(ids(CommitLog.read(spark, t)) ==
+      (0L until 40L).filterNot(_ % 7 == 0).toSet)
+    // snapshot isolation: the pre-delete version still reads every row
+    assert(ids(CommitLog.read(spark, t, Some(0L))) == (0L until 40L).toSet)
+    // a predicate matching nothing commits NOTHING
+    assert(CommitLog.deleteWhereDv(spark, t, col("id") > 1000L) == Right(1L))
+    assert(CommitLog.latestVersion(t) == 1L)
+  }
+
+  test("deletion vectors: re-delete MERGES (supersedes the old sidecar); rows never match twice") {
+    val t = dvTable()
+    CommitLog.deleteWhereDv(spark, t, col("id") % 7 === 0L)
+    val firstDvs = CommitLog.liveDvs(t, 1L)
+    assert(CommitLog.deleteWhereDv(spark, t, col("id") % 5 === 0L) == Right(2L))
+    assert(ids(CommitLog.read(spark, t)) ==
+      (0L until 40L).filterNot(i => i % 7 == 0 || i % 5 == 0).toSet)
+    // affected targets' attachments are REPLACED, not stacked
+    val secondDvs = CommitLog.liveDvs(t, 2L)
+    val touched = secondDvs.keySet.intersect(firstDvs.keySet)
+    touched.foreach(k => assert(secondDvs(k) != firstDvs(k),
+      s"target $k must point at the superseding sidecar"))
+    // and the intermediate version still reads its own dv state
+    assert(ids(CommitLog.read(spark, t, Some(1L))) ==
+      (0L until 40L).filterNot(_ % 7 == 0).toSet)
+  }
+
+  test("deletion vectors: OPTIMIZE rebases them away; checkpoint folds them; CDF sees the deletes") {
+    val t = dvTable()
+    CommitLog.deleteWhereDv(spark, t, col("id") % 7 === 0L)
+    CommitLog.checkpoint(t)
+    // fold-through: resolved FROM the checkpoint, reads stay filtered
+    assert(ids(CommitLog.read(spark, t)) ==
+      (0L until 40L).filterNot(_ % 7 == 0).toSet)
+    // CDF: the dv commit emits exactly the deleted keys as deletes
+    val changes = CommitLog.tableChanges(spark, t, "id")
+      .filter(col("version") === 1L).collect()
+    assert(changes.forall(_.getString(2) == "delete"))
+    assert(changes.map(_.getLong(0)).toSet ==
+      (0L until 40L).filter(_ % 7 == 0).toSet)
+    // OPTIMIZE reads DV-applied rows and its rewrite carries no DVs
+    assert(CommitLog.compact(spark, t, targetFiles = 2).isRight)
+    assert(CommitLog.liveDvs(t, CommitLog.latestVersion(t)).isEmpty,
+      "compaction must rebase deletion vectors away")
+    assert(ids(CommitLog.read(spark, t)) ==
+      (0L until 40L).filterNot(_ % 7 == 0).toSet)
+  }
+
+  test("deletion vectors: RESTORE across a DV delete brings the rows back; vacuum sweeps rebased sidecars") {
+    val t = dvTable()
+    CommitLog.deleteWhereDv(spark, t, col("id") % 7 === 0L) // v1
+    assert(CommitLog.restore(t, 0L) == Right(2L))
+    assert(ids(CommitLog.read(spark, t)) == (0L until 40L).toSet,
+      "restore must clear the DV state the target version lacked")
+    // roll FORWARD again: restore to the DV'd version re-attaches it
+    assert(CommitLog.restore(t, 1L) == Right(3L))
+    assert(ids(CommitLog.read(spark, t)) ==
+      (0L until 40L).filterNot(_ % 7 == 0).toSet)
+    // vacuum: with every snapshot retained the sidecar survives; after
+    // retention passes the un-DV'd head (v2-equivalent via restore 0),
+    // the sidecar is retired
+    val dvFile = CommitLog.liveDvs(t, 3L).values.head
+    assert(Files.exists(java.nio.file.Paths.get(t, dvFile)))
+    CommitLog.restore(t, 0L) // v4: head reads all rows, no DVs
+    val swept = CommitLog.vacuum(t, retainVersions = 1L)
+    assert(swept.contains(dvFile),
+      s"the rebased sidecar must be vacuumable: $swept")
+    assert(ids(CommitLog.read(spark, t)) == (0L until 40L).toSet)
+  }
+
+  test("deletion vectors: copy-on-write DML on a DV'd file never resurrects its deleted rows") {
+    val t = dvTable()
+    CommitLog.deleteWhereDv(spark, t, col("id") === 3L) // v1: DV on file 0
+    // a copy-on-write DELETE touching the same file must keep 3 gone
+    assert(CommitLog.deleteWhere(spark, t, col("id") === 5L).isRight)
+    assert(ids(CommitLog.read(spark, t)) ==
+      (0L until 40L).filterNot(i => i == 3L || i == 5L).toSet)
+    // and UPDATE on a DV'd file carries only live rows through
+    val t2 = dvTable()
+    CommitLog.deleteWhereDv(spark, t2, col("id") === 3L)
+    assert(CommitLog.updateWhere(spark, t2, col("id") === 4L,
+      Seq("s" -> lit("upd"))).isRight)
+    assert(ids(CommitLog.read(spark, t2)) ==
+      (0L until 40L).filterNot(_ == 3L).toSet)
+  }
+
+  test("deletion vectors: shallow clone carries them; incremental source fails loudly across one") {
+    val root = Files.createTempDirectory("graft_dv_clone")
+    val src = root.resolve("src").toString
+    val tgt = root.resolve("tgt").toString
+    CommitLog.append(spark, src,
+      (0L until 20L).map(i => (i, s"s$i")).toDF("id", "s").repartition(2))
+    CommitLog.deleteWhereDv(spark, src, col("id") % 3 === 0L)
+    CommitLog.shallowClone(src, tgt)
+    assert(ids(CommitLog.read(spark, tgt)) ==
+      (0L until 20L).filterNot(_ % 3 == 0).toSet,
+      "a clone must not resurrect merge-on-read deletes")
+    // the incremental source treats a dv commit like a rewrite: loud
+    val t = dvTable()
+    CommitLog.deleteWhereDv(spark, t, col("id") === 0L)
+    intercept[IllegalArgumentException] {
+      CommitLog.readIncremental(spark, t, -1L)
+    }
+  }
+
   test("versionOfTxn: one-file-per-step backward walk finds the carrying commit") {
     val t = tmpTable()
     CommitLog.appendIdempotent(spark, t, Seq((1L, "a")).toDF("id", "s"), "app", 0L)
