@@ -689,6 +689,10 @@ object SparkEntry {
     // OPTIMIZE rebases them away (require'd); values DuckDB-checked
     "commitlog_dv" -> ((s, d) =>
       CommitLogRead.commitLogDvQ(Tables.documents(s, d))),
+    // round 16: the CHANGE DATA FEED in the gate — derived row-level
+    // changes across append/update/DV-delete commits, ops DuckDB-checked
+    "commitlog_cdf" -> ((s, d) =>
+      CommitLogRead.commitLogCdfQ(Tables.documents(s, d))),
     // round 15: SHALLOW CLONE — zero-copy snapshot fork via external
     // file references (zero data files require'd at clone time), both
     // sides diverging independently; vacuum never touches external refs
@@ -1005,6 +1009,7 @@ object SparkEntry {
     "commitlog_skipping" -> CommitLogRead.commitLogSkippingSql,
     "commitlog_skipping_ts" -> CommitLogRead.commitLogSkippingTsSql,
     "commitlog_dv" -> CommitLogRead.commitLogDvSql,
+    "commitlog_cdf" -> CommitLogRead.commitLogCdfSql,
     "commitlog_clone" -> CommitLogRead.commitLogCloneSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,

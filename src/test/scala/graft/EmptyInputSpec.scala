@@ -218,6 +218,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "xcorr_daily" -> Xcorr.xcorrDaily(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
+      "forecast_backtest" -> ForecastBacktest.forecastBacktest(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
             StructField("ts", TimestampType))))))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {
