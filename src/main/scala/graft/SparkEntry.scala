@@ -405,6 +405,11 @@ object SparkEntry {
     // (type, horizon) + the skill ratio vs the level-only naive
     "forecast_backtest" -> ((s, d) =>
       ForecastBacktest.forecastBacktestQ(Tables.events(s, d))),
+    // round 16: the backtest's planned consumer — per type, ship the
+    // seasonal model only where its own rolling-origin evidence beats
+    // the naive (the advisor→consumer pattern, series edition)
+    "forecast_planned" -> ((s, d) =>
+      ForecastBacktest.forecastPlannedQ(Tables.events(s, d))),
     "event_burstiness" -> ((s, d) => Burstiness.eventBurstinessQ(Tables.events(s, d))),
     "transition_stationary" -> ((s, d) => MarkovStationary.transitionStationaryQ(Tables.events(s, d))),
     "event_gaps" -> ((s, d) => EventGaps.eventGapsQ(Tables.events(s, d))),
@@ -1062,6 +1067,7 @@ object SparkEntry {
     "seasonal_anomaly" -> SeasonalAnomaly.seasonalAnomalySql,
     "seasonal_forecast" -> SeasonalAnomaly.seasonalForecastSql,
     "forecast_backtest" -> ForecastBacktest.forecastBacktestSql,
+    "forecast_planned" -> ForecastBacktest.forecastPlannedSql,
     "event_burstiness" -> Burstiness.eventBurstinessSql,
     "transition_stationary" -> MarkovStationary.transitionStationarySql,
     "event_gaps" -> EventGaps.eventGapsSql,

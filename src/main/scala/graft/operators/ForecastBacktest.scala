@@ -53,7 +53,24 @@ object ForecastBacktest {
 
   private val UsPerDay = 86400000000L
 
-  def forecastBacktest(events: DataFrame, horizon: Int = Horizon): DataFrame = {
+  def forecastBacktest(events: DataFrame, horizon: Int = Horizon): DataFrame =
+    scoredErrors(events, horizon)
+      .groupBy("event_type", "horizon")
+      .agg(count(lit(1)).as("n_cutoffs"), sum("err").as("se"),
+        sum("nerr").as("sn"))
+      .select(col("event_type"), col("horizon"), col("n_cutoffs"),
+        expr("se div n_cutoffs").as("mae_milli"),
+        expr("sn div n_cutoffs").as("naive_mae_milli"),
+        expr("CASE WHEN sn = 0 THEN NULL ELSE (se * 1000000) div sn END")
+          .as("skill_ppm"))
+
+  /** The per-(cutoff, horizon) scored error rows (event_type, horizon,
+    * err, nerr) — the sufficient statistic BOTH the backtest report and
+    * [[ForecastPlanned]]'s per-type model choice aggregate from (one
+    * arithmetic, two consumers — the quality_ensemble factoring
+    * convention). */
+  private[operators] def scoredErrors(events: DataFrame,
+                                      horizon: Int = Horizon): DataFrame = {
     val daily = events
       .select(col("event_type"), expr(s"unix_micros(ts) div $UsPerDay").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
@@ -104,26 +121,18 @@ object ForecastBacktest {
       .withColumn("fc_milli", expr("level_milli + coalesce(seas_milli, 0)"))
       .withColumn("err", expr("abs(fc_milli - ax * 1000)"))
       .withColumn("nerr", expr("abs(level_milli - ax * 1000)"))
-    scored.groupBy("event_type", "horizon")
-      .agg(count(lit(1)).as("n_cutoffs"), sum("err").as("se"),
-        sum("nerr").as("sn"))
-      .select(col("event_type"), col("horizon"), col("n_cutoffs"),
-        expr("se div n_cutoffs").as("mae_milli"),
-        expr("sn div n_cutoffs").as("naive_mae_milli"),
-        expr("CASE WHEN sn = 0 THEN NULL ELSE (se * 1000000) div sn END")
-          .as("skill_ppm"))
+    scored.select("event_type", "horizon", "err", "nerr")
   }
 
   def forecastBacktestQ(events: DataFrame): DataFrame =
     forecastBacktest(events).orderBy("event_type", "horizon")
 
-  /** DuckDB twin: [[SeasonalDecompose.densifyCtes]] verbatim, then the
-    * SAME per-cutoff decompose arithmetic over the prefix frame —
-    * windows partitioned by (event_type, b) so each cutoff's trend sees
-    * only its own prefix (the rolling-origin no-leak contract in SQL
-    * form). */
-  val forecastBacktestSql: String =
-    s"""WITH ${SeasonalDecompose.densifyCtes}, cutoffs AS (
+  /** The rolling-origin err-chain alone (`cutoffs`..`err`, consuming
+    * `dense`/`span`) — composable next to the decompose/forecast tails
+    * in one WITH (the forecast_planned oracle nests all three without
+    * CTE-name collisions; the 2-suffix names exist for exactly that). */
+  private[operators] val backtestErrCtes: String =
+    s"""cutoffs AS (
        |  SELECT d.event_type, d.day AS b
        |  FROM dense d JOIN span s ON s.event_type = d.event_type
        |  WHERE d.day >= s.a + $MinTrain AND d.day < s.b
@@ -155,24 +164,32 @@ object ForecastBacktest {
        |), lv AS (
        |  SELECT event_type, b, trend_milli AS level_milli
        |  FROM det2 WHERE day = b
-       |), hs AS (
+       |), hs2 AS (
        |  SELECT unnest(range(1, $Horizon + 1)) AS horizon
        |), scored AS (
-       |  SELECT l.event_type, hs.horizon,
+       |  SELECT l.event_type, hs2.horizon,
        |         l.level_milli + COALESCE(m.seas_milli, 0) AS fc_milli,
        |         l.level_milli, a.x AS ax
        |  FROM lv l
-       |  CROSS JOIN hs
+       |  CROSS JOIN hs2
        |  LEFT JOIN sm2 m ON m.event_type = l.event_type AND m.b = l.b
-       |                 AND m.dow = (l.b + hs.horizon) % 7
+       |                 AND m.dow = (l.b + hs2.horizon) % 7
        |  JOIN dense a ON a.event_type = l.event_type
-       |              AND a.day = l.b + hs.horizon
+       |              AND a.day = l.b + hs2.horizon
        |), err AS (
        |  SELECT event_type, horizon,
        |         abs(fc_milli - ax * 1000) AS err,
        |         abs(level_milli - ax * 1000) AS nerr
        |  FROM scored
-       |)
+       |)""".stripMargin
+
+  /** DuckDB twin: [[SeasonalDecompose.densifyCtes]] verbatim, then the
+    * SAME per-cutoff decompose arithmetic over the prefix frame —
+    * windows partitioned by (event_type, b) so each cutoff's trend sees
+    * only its own prefix (the rolling-origin no-leak contract in SQL
+    * form). */
+  val forecastBacktestSql: String =
+    s"""WITH ${SeasonalDecompose.densifyCtes}, $backtestErrCtes
        |SELECT event_type, horizon,
        |       CAST(count(*) AS BIGINT) AS n_cutoffs,
        |       CAST(sum(err) AS BIGINT) // CAST(count(*) AS BIGINT) AS mae_milli,
@@ -183,4 +200,55 @@ object ForecastBacktest {
        |FROM err
        |GROUP BY 1, 2
        |ORDER BY event_type, horizon""".stripMargin
+
+  /** PLAN-AS-DATA FORECAST (round 16) — the backtest's consumer, closing
+    * the advisor→consumer pattern for the series family (every other
+    * advisor in this repo feeds a planned twin: salting_plan →
+    * saltedJoinPlanned, prefix_band_plan → hybridJaccardPlanned,
+    * lsh_geometry_plan → three planned queries): per type, ship the
+    * seasonal model ONLY where its own rolling-origin evidence says it
+    * beats the level-only naive — strict `Σerr < Σnerr` over the full
+    * backtest (ties and no-evidence types run the SIMPLER model: the
+    * cannot-certify ⇒ brute/naive convention). Output carries the chosen
+    * `model` next to each forecast, so a consumer can read WHY a number
+    * is what it is. Same integer-milli arithmetic as the forecast and
+    * the backtest — both reused, never re-derived. */
+  def forecastPlanned(events: DataFrame, horizon: Int = Horizon): DataFrame = {
+    val choice = scoredErrors(events, horizon)
+      .groupBy("event_type")
+      .agg((sum("err") < sum("nerr")).as("use_seasonal"))
+    SeasonalAnomaly.forecastComponents(events, horizon)
+      .join(broadcast(choice), Seq("event_type"), "left")
+      .withColumn("use_s", coalesce(col("use_seasonal"), lit(false)))
+      .select(col("event_type"), col("day"), col("horizon"),
+        when(col("use_s"), lit("seasonal")).otherwise(lit("naive")).as("model"),
+        expr("trend_milli + CASE WHEN use_s THEN coalesce(seas_milli, 0) " +
+          "ELSE 0 END").as("forecast_milli"))
+  }
+
+  def forecastPlannedQ(events: DataFrame): DataFrame =
+    forecastPlanned(events).orderBy("event_type", "day")
+
+  /** DuckDB twin: densify + the decompose tail + the forecast tail +
+    * the backtest err-chain composed in ONE WITH (the factored CTEs
+    * exist for exactly this), then the per-type choice fold. */
+  val forecastPlannedSql: String =
+    s"""WITH ${SeasonalDecompose.decomposeCtes},
+       |${SeasonalAnomaly.forecastTailCtes}, $backtestErrCtes, choice AS (
+       |  SELECT event_type,
+       |         CAST(sum(err) AS BIGINT) < CAST(sum(nerr) AS BIGINT)
+       |           AS use_seasonal
+       |  FROM err GROUP BY 1
+       |)
+       |SELECT l.event_type, l.b + hs.horizon AS day, hs.horizon,
+       |       CASE WHEN COALESCE(c.use_seasonal, FALSE)
+       |            THEN 'seasonal' ELSE 'naive' END AS model,
+       |       l.trend_milli + CASE WHEN COALESCE(c.use_seasonal, FALSE)
+       |            THEN COALESCE(m.seas_milli, 0) ELSE 0 END AS forecast_milli
+       |FROM level l
+       |CROSS JOIN hs
+       |LEFT JOIN dowm m
+       |  ON m.event_type = l.event_type AND m.dow = (l.b + hs.horizon) % 7
+       |LEFT JOIN choice c ON c.event_type = l.event_type
+       |ORDER BY l.event_type, day""".stripMargin
 }

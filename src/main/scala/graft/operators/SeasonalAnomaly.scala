@@ -78,7 +78,12 @@ object SeasonalAnomaly {
     * emission are catalog-sized. */
   val Horizon = 7
 
-  def seasonalForecast(events: DataFrame, horizon: Int = Horizon): DataFrame = {
+  /** The exploded forecast base — per (type, future day, horizon) the
+    * LEVEL and the (nullable) seasonal component — shared by
+    * [[seasonalForecast]] and [[ForecastBacktest.forecastPlanned]]
+    * (one arithmetic, two consumers). */
+  private[operators] def forecastComponents(events: DataFrame,
+                                            horizon: Int = Horizon): DataFrame = {
     // 2 consumers (level + dow means) per the multi-consumer invariant
     val dec = SeasonalDecompose.seasonalDecompose(events).localCheckpoint()
     val level = dec.groupBy("event_type").agg(max("day").as("b"))
@@ -94,15 +99,22 @@ object SeasonalAnomaly {
       .withColumn("dow", expr("(b + horizon) % 7"))
       .join(broadcast(seas), Seq("event_type", "dow"), "left")
       .select(col("event_type"), col("day"), col("horizon"),
-        expr("trend_milli + coalesce(seas_milli, 0)").as("forecast_milli"))
+        col("trend_milli"), col("seas_milli"))
   }
+
+  def seasonalForecast(events: DataFrame, horizon: Int = Horizon): DataFrame =
+    forecastComponents(events, horizon)
+      .select(col("event_type"), col("day"), col("horizon"),
+        expr("trend_milli + coalesce(seas_milli, 0)").as("forecast_milli"))
 
   def seasonalForecastQ(events: DataFrame): DataFrame =
     seasonalForecast(events).orderBy("event_type", "day")
 
-  /** DuckDB twin: decomposeCtes + the same level/seasonal extraction. */
-  val seasonalForecastSql: String =
-    s"""WITH ${SeasonalDecompose.decomposeCtes}, level AS (
+  /** The forecast tail alone (`level`/`dowm`/`hs`, consuming
+    * `sdecomp`/`span`) — composable next to the backtest chain in one
+    * WITH (the forecast_planned oracle). */
+  private[operators] val forecastTailCtes: String =
+    s"""level AS (
        |  SELECT d.event_type, d.day AS b, d.trend_milli
        |  FROM sdecomp d JOIN span s
        |    ON s.event_type = d.event_type AND d.day = s.b
@@ -111,7 +123,11 @@ object SeasonalAnomaly {
        |  FROM sdecomp GROUP BY 1, 2
        |), hs AS (
        |  SELECT unnest(range(1, $Horizon + 1)) AS horizon
-       |)
+       |)""".stripMargin
+
+  /** DuckDB twin: decomposeCtes + the same level/seasonal extraction. */
+  val seasonalForecastSql: String =
+    s"""WITH ${SeasonalDecompose.decomposeCtes}, $forecastTailCtes
        |SELECT l.event_type, l.b + hs.horizon AS day, hs.horizon,
        |       l.trend_milli + COALESCE(m.seas_milli, 0) AS forecast_milli
        |FROM level l

@@ -102,12 +102,12 @@ object SeasonalDecompose {
        |  LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = ax.day
        |)""".stripMargin
 
-  /** CTE chain ending at `sdecomp(event_type, day, n_events,
-    * trend_milli, seas_milli, resid_milli)` — nested by
-    * [[seasonalDecomposeSql]] and [[SeasonalAnomaly]]'s oracle (the
-    * one-text rule). */
-  private[operators] val decomposeCtes: String =
-    s"""$densifyCtes, tr AS (
+  /** The decompose arithmetic alone (`tr`..`sdecomp`, consuming
+    * `dense`) — composable next to OTHER consumers of [[densifyCtes]]
+    * in one WITH (the forecast_planned oracle nests the decompose AND
+    * the backtest chains without CTE-name collisions). */
+  private[operators] val decomposeTailCtes: String =
+    s"""tr AS (
        |  SELECT event_type, day, x,
        |         CAST((CAST(sum(x) OVER w AS BIGINT) * 1000)
        |              // count(*) OVER w AS BIGINT) AS trend_milli
@@ -133,6 +133,13 @@ object SeasonalDecompose {
        |         s.seas_milli, d.detr_milli - s.seas_milli AS resid_milli
        |  FROM det d JOIN sm s ON s.event_type = d.event_type AND s.dow = d.dow
        |)""".stripMargin
+
+  /** CTE chain ending at `sdecomp(event_type, day, n_events,
+    * trend_milli, seas_milli, resid_milli)` — nested by
+    * [[seasonalDecomposeSql]] and [[SeasonalAnomaly]]'s oracle (the
+    * one-text rule). */
+  private[operators] val decomposeCtes: String =
+    s"$densifyCtes, $decomposeTailCtes"
 
   /** DuckDB twin: same densification, same partial-edge trend window,
     * same sign-factored dow means, same reconstruction-exact residual. */

@@ -98,6 +98,30 @@ class ForecastBacktestSpec extends AnyFunSuite {
     assert(got(Seq.fill(9)(5L)).nonEmpty)
   }
 
+  test("forecast_planned: evidence picks seasonal on the profile; ties and no-evidence run naive") {
+    // strong weekly structure: the backtest certifies the seasonal model,
+    // and the planned rows ARE the seasonal forecast's
+    val profile = Seq(20L, 22L, 21L, 20L, 23L, 3L, 2L)
+    val xs = (0 until 42).map(d => profile(d % 7))
+    val planned = ForecastBacktest.forecastPlanned(eventsFor(xs))
+      .orderBy("day").collect()
+    assert(planned.forall(_.getString(3) == "seasonal"))
+    val seasonal = graft.operators.SeasonalAnomaly.seasonalForecast(eventsFor(xs))
+      .orderBy("day").collect()
+    assert(planned.map(r => (r.getLong(1), r.getLong(4))).toSeq ==
+      seasonal.map(r => (r.getLong(1), r.getLong(3))).toSeq)
+    // constant series: Σerr == Σnerr == 0 — the tie runs the SIMPLER model
+    val const = ForecastBacktest.forecastPlanned(eventsFor(Seq.fill(20)(7L)))
+      .collect()
+    assert(const.forall(_.getString(3) == "naive"))
+    assert(const.forall(r => r.getLong(4) == 7000L),
+      "naive forecast = level only")
+    // short span (no evaluable cutoff): no evidence — naive, level-only
+    val short = ForecastBacktest.forecastPlanned(eventsFor(Seq.fill(5)(3L)))
+      .collect()
+    assert(short.nonEmpty && short.forall(_.getString(3) == "naive"))
+  }
+
   test("two types evaluate independently") {
     // +1 keeps the span's END days observed (a zero count on the last
     // day would shrink the operator's dense axis — the span is defined
