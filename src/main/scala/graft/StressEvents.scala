@@ -36,7 +36,11 @@ object StressEvents {
     // round 15: the residual MAD gate — data volume identical to
     // seasonal_decompose (shares its one daily agg); the two chained
     // percentile windows ride the calendar-bounded dense frame
-    "seasonal_anomaly")
+    "seasonal_anomaly",
+    // round 16: the rolling-origin backtest + its planned consumer —
+    // one daily agg each; the cutoff×prefix frame is calendar², so 10×
+    // VOLUME (same span) must read near-flat
+    "forecast_backtest", "forecast_planned")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
