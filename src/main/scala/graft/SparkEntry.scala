@@ -410,6 +410,11 @@ object SparkEntry {
     // the naive (the advisor→consumer pattern, series edition)
     "forecast_planned" -> ((s, d) =>
       ForecastBacktest.forecastPlannedQ(Tables.events(s, d))),
+    // round 16: the Hyndman STL strength diagnostics — is a series
+    // trend-dominated, calendar-dominated, or noise? exact integer
+    // variance stats over the decompose components, one guarded ratio
+    "seasonal_strength" -> ((s, d) =>
+      SeasonalAnomaly.seasonalStrengthQ(Tables.events(s, d))),
     "event_burstiness" -> ((s, d) => Burstiness.eventBurstinessQ(Tables.events(s, d))),
     "transition_stationary" -> ((s, d) => MarkovStationary.transitionStationaryQ(Tables.events(s, d))),
     "event_gaps" -> ((s, d) => EventGaps.eventGapsQ(Tables.events(s, d))),
@@ -1068,6 +1073,7 @@ object SparkEntry {
     "seasonal_forecast" -> SeasonalAnomaly.seasonalForecastSql,
     "forecast_backtest" -> ForecastBacktest.forecastBacktestSql,
     "forecast_planned" -> ForecastBacktest.forecastPlannedSql,
+    "seasonal_strength" -> SeasonalAnomaly.seasonalStrengthSql,
     "event_burstiness" -> Burstiness.eventBurstinessSql,
     "transition_stationary" -> MarkovStationary.transitionStationarySql,
     "event_gaps" -> EventGaps.eventGapsSql,

@@ -136,6 +136,89 @@ object SeasonalAnomaly {
        |  ON m.event_type = l.event_type AND m.dow = (l.b + hs.horizon) % 7
        |ORDER BY l.event_type, day""".stripMargin
 
+  /** SEASONAL/TREND STRENGTH (round 16) — the Hyndman STL diagnostics
+    * (Wang/Smith/Hyndman 2006, public; `feasts::feat_stl`'s
+    * trend_strength/seasonal_strength): per type,
+    * `F_T = max(0, 1 − Var(R)/Var(T+R))` and
+    * `F_S = max(0, 1 − Var(R)/Var(S+R))` over [[SeasonalDecompose]]'s
+    * exact components — the one-number answers to "is this series
+    * trend-dominated, calendar-dominated, or noise?" that decide which
+    * downstream eyes (trend gates vs seasonal gates vs raw MAD) apply.
+    *
+    * §6: variances ride the EXACT integer sufficient statistics
+    * `n·Σv² − (Σv)²` (= n²·Var, non-negative) over the integer-milli
+    * components; the single division casts BIGINT→DOUBLE (IEEE-identical
+    * both engines) under the shared round-4 text. `T+R = x·1000 − S` and
+    * `S+R = x·1000 − T` — derived by the reconstruction identity, so no
+    * extra arithmetic can disagree. Zero-variance denominators (constant
+    * series) yield NULL — there is no structure to attribute. Stated
+    * bound: Σv² keeps BIGINT exactness to ~3M events/type/day over a
+    * 1000-day span (the corpus_report integer-domain convention; beyond
+    * it the stats saturate loudly in ANSI mode rather than drift).
+    *
+    * Scale: the decompose's one daily agg + ONE map-combinable per-type
+    * aggregation over the calendar-bounded dense frame. */
+  def seasonalStrength(events: DataFrame): DataFrame =
+    SeasonalDecompose.seasonalDecompose(events)
+      .withColumn("r", col("resid_milli"))
+      .withColumn("tr", expr("n_events * 1000 - seas_milli"))
+      .withColumn("sr", expr("n_events * 1000 - trend_milli"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("r").as("s_r"), sum(expr("r * r")).as("s_r2"),
+        sum("tr").as("s_tr"), sum(expr("tr * tr")).as("s_tr2"),
+        sum("sr").as("s_sr"), sum(expr("sr * sr")).as("s_sr2"))
+      .select(col("event_type"), col("n_days"),
+        expr("n_days * s_r2 - s_r * s_r").as("varn_r"),
+        expr("n_days * s_tr2 - s_tr * s_tr").as("varn_tr"),
+        expr("n_days * s_sr2 - s_sr * s_sr").as("varn_sr"))
+      .select(col("event_type"), col("n_days"),
+        expr("CASE WHEN varn_tr > 0 THEN greatest(0.0, " +
+          "1.0 - CAST(varn_r AS DOUBLE) / varn_tr) END").as("f_trend"),
+        expr("CASE WHEN varn_sr > 0 THEN greatest(0.0, " +
+          "1.0 - CAST(varn_r AS DOUBLE) / varn_sr) END").as("f_seasonal"))
+
+  def seasonalStrengthQ(events: DataFrame): DataFrame =
+    seasonalStrength(events)
+      .select(col("event_type"), col("n_days"),
+        Parity.r("f_trend", 4), Parity.r("f_seasonal", 4))
+      .orderBy("event_type")
+
+  /** DuckDB twin: decomposeCtes + the same integer sufficient stats and
+    * the same guarded double ratio. */
+  val seasonalStrengthSql: String =
+    s"""WITH ${SeasonalDecompose.decomposeCtes}, comp AS (
+       |  SELECT event_type,
+       |         resid_milli AS r,
+       |         n_events * 1000 - seas_milli AS tr,
+       |         n_events * 1000 - trend_milli AS sr
+       |  FROM sdecomp
+       |), agg AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |         CAST(sum(r) AS BIGINT) AS s_r,
+       |         CAST(sum(r * r) AS BIGINT) AS s_r2,
+       |         CAST(sum(tr) AS BIGINT) AS s_tr,
+       |         CAST(sum(tr * tr) AS BIGINT) AS s_tr2,
+       |         CAST(sum(sr) AS BIGINT) AS s_sr,
+       |         CAST(sum(sr * sr) AS BIGINT) AS s_sr2
+       |  FROM comp GROUP BY 1
+       |), vn AS (
+       |  SELECT event_type, n_days,
+       |         n_days * s_r2 - s_r * s_r AS varn_r,
+       |         n_days * s_tr2 - s_tr * s_tr AS varn_tr,
+       |         n_days * s_sr2 - s_sr * s_sr AS varn_sr
+       |  FROM agg
+       |)
+       |SELECT event_type, n_days,
+       |       ${Parity.rsql(
+             "CASE WHEN varn_tr > 0 THEN greatest(0.0, " +
+               "1.0 - CAST(varn_r AS DOUBLE) / varn_tr) END", 4, "f_trend")},
+       |       ${Parity.rsql(
+             "CASE WHEN varn_sr > 0 THEN greatest(0.0, " +
+               "1.0 - CAST(varn_r AS DOUBLE) / varn_sr) END", 4, "f_seasonal")}
+       |FROM vn
+       |ORDER BY event_type""".stripMargin
+
   /** DuckDB twin: [[SeasonalDecompose.decomposeCtes]] verbatim + the
     * doubled-integer median/MAD algebra as group CTEs + join-backs
     * (the eventOutlierMad oracle shape). */

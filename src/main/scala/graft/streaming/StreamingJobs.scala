@@ -885,7 +885,8 @@ object StreamingJobs {
   def clusterMaintainBatch(docsTable: String, labelsTable: String,
                            appId: String,
                            threshold: Double = graft.operators.Dedup.JaccardThreshold,
-                           gramsTable: String = "")
+                           gramsTable: String = "",
+                           compactGramsEvery: Int = 0)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val spark = batch.sparkSession
     import graft.sources.CommitLog
@@ -939,6 +940,21 @@ object StreamingJobs {
         txn = Some((appId, batchId))))
         throw new IllegalStateException(
           s"label catalog $labelsTable has a concurrent writer at ${lHead + 1}")
+      // gram-table hygiene (round 16, dial): one tiny append per batch
+      // means the index accretes small files — the stored-integer scan
+      // the per-batch mine rides pays per-file overhead as batches
+      // accumulate. The format's own OPTIMIZE is the answer: compact
+      // every N batches (content-identical; stats recomputed). Replay
+      // stays safe — a batch's own grams commit keeps its FILES on disk
+      // (compaction removes references, vacuum removes files), so the
+      // recovery read of commit gv still serves; runs AFTER the labels
+      // commit so a compaction conflict can never lose a batch.
+      if (compactGramsEvery > 0 && (gramsV + 1) % compactGramsEvery == 0)
+        CommitLog.compact(spark, gramsT, targetFiles = 32) match {
+          case Right(_) => ()
+          case Left(c) => throw new IllegalStateException(
+            s"gram index $gramsT has a concurrent writer: $c")
+        }
     }
     ()
   }

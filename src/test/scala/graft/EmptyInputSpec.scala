@@ -222,6 +222,14 @@ class EmptyInputSpec extends AnyFunSuite {
       "forecast_backtest" -> ForecastBacktest.forecastBacktest(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
+      "forecast_planned" -> ForecastBacktest.forecastPlanned(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
+      "seasonal_strength" -> SeasonalAnomaly.seasonalStrength(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
             StructField("ts", TimestampType))))))
     ops.foreach { case (name, df) =>
       val n = try df.count() catch {

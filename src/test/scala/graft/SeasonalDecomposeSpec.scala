@@ -174,4 +174,55 @@ class SeasonalDecomposeSpec extends AnyFunSuite {
       assert(r.getBoolean(4) == (r.getLong(3) > 0 && 2 * d2 > 6 * r.getLong(3)))
     }
   }
+
+  // ------------------------------------------ round 16: seasonal_strength
+
+  /** The operator's own strength arithmetic off the decompose
+    * reference: exact integer n²-variance stats, one double ratio,
+    * shared round-4. */
+  private def strengthRef(xs: Seq[Long]): (Option[Double], Option[Double]) = {
+    val comps = reference(xs)
+    val n = xs.length.toLong
+    def varn(v: Seq[Long]): Long = {
+      val s = v.sum; val s2 = v.map(x => x * x).sum
+      n * s2 - s * s
+    }
+    val r = comps.map(_._3)
+    val tr = xs.indices.map(d => xs(d) * 1000L - comps(d)._2)
+    val sr = xs.indices.map(d => xs(d) * 1000L - comps(d)._1)
+    def f(den: Long): Option[Double] =
+      if (den > 0)
+        Some(math.round(math.max(0.0,
+          1.0 - varn(r).toDouble / den) * 10000.0) / 10000.0)
+      else None
+    (f(varn(tr)), f(varn(sr)))
+  }
+
+  private def strengthGot(xs: Seq[Long]): (Option[Double], Option[Double]) = {
+    val r = graft.operators.SeasonalAnomaly.seasonalStrengthQ(eventsFor(xs))
+      .head()
+    def g(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    (g(2), g(3))
+  }
+
+  test("seasonal_strength matches the integer-stat reference; classes separate") {
+    // pseudorandom: exact agreement with the reference arithmetic
+    val xs = (0 until 35).map(d => ((d * 11 + 5) % 17).toLong)
+    val (gT, gS) = strengthGot(xs)
+    val (rT, rS) = strengthRef(xs)
+    assert((gT, gS) == (rT, rS), s"($gT,$gS) != ($rT,$rS)")
+    // hard weekly profile: calendar-dominated — F_S high, well above F_T
+    val prof = (0 until 42).map(d => if (d % 7 >= 5) 10L else 100L)
+    val (pT, pS) = strengthGot(prof)
+    assert((pT, pS) == strengthRef(prof))
+    assert(pS.exists(_ > 0.95) && pS.get > pT.getOrElse(0.0) + 0.3,
+      s"profile must read calendar-dominated: F_T=$pT F_S=$pS")
+    // linear ramp: trend-dominated — F_T ≈ 1
+    val ramp = (1L to 28L).toSeq
+    val (mT, mS) = strengthGot(ramp)
+    assert((mT, mS) == strengthRef(ramp))
+    assert(mT.exists(_ > 0.95), s"ramp must read trend-dominated: F_T=$mT F_S=$mS")
+    // constant: zero variance everywhere — no structure to attribute
+    assert(strengthGot(Seq.fill(21)(6L)) == ((None, None)))
+  }
 }

@@ -118,6 +118,35 @@ class ClusterStreamSpec extends AnyFunSuite {
         Dedup.pairsFromIndex(fresh).select("id1", "id2").collect().toSet)
   }
 
+  test("gram-table OPTIMIZE dial: drain equality unchanged, index compacted, replay still a no-op") {
+    val docsT = Files.createTempDirectory("graft_cs4_docs").resolve("t").toString
+    val labelsT = Files.createTempDirectory("graft_cs4_lbl").resolve("t").toString
+    val gramsT = s"${labelsT}_grams"
+    val fn = StreamingJobs.clusterMaintainBatch(docsT, labelsT, "cs4_app",
+      compactGramsEvery = 2)
+    chunks.zipWithIndex.foreach { case (c, i) => fn(docsDf(c), i.toLong) }
+    // labels still equal the from-scratch clustering through compactions
+    val maintained = labels(CommitLog.read(spark, labelsT))
+    val fromScratch = labels(Dedup.dedupClusters(docsDf(chunks.flatten)))
+    assert(maintained == fromScratch)
+    // compactions actually ran (3 appends + >=1 compact commit) and the
+    // stored index is content-identical to fresh shingling
+    assert(CommitLog.latestVersion(gramsT) > chunks.length - 1,
+      "the every-2-batches compaction must have committed")
+    val stored = CommitLog.read(spark, gramsT)
+      .select("doc_id", "sh", "nsh").collect().toSet
+    val fresh = Dedup.gramIndex(docsDf(chunks.flatten))
+      .select("doc_id", "sh", "nsh").collect().toSet
+    assert(stored == fresh, "compaction must preserve the gram index")
+    // replay of a landed batch is still a full no-op on every table
+    val (dv, gv, lv) = (CommitLog.latestVersion(docsT),
+      CommitLog.latestVersion(gramsT), CommitLog.latestVersion(labelsT))
+    fn(docsDf(chunks.last), (chunks.length - 1).toLong)
+    assert(CommitLog.latestVersion(docsT) == dv)
+    assert(CommitLog.latestVersion(gramsT) == gv)
+    assert(CommitLog.latestVersion(labelsT) == lv)
+  }
+
   test("crash between the two commits replays into a consistent merge") {
     val docsT = Files.createTempDirectory("graft_cs2_docs").resolve("t").toString
     val labelsT = Files.createTempDirectory("graft_cs2_lbl").resolve("t").toString
