@@ -1271,6 +1271,29 @@ class CommitLogSpec extends AnyFunSuite {
       (0L until 40L).filterNot(_ == 3L).toSet)
   }
 
+  test("deletion vectors x data skipping: stats stay a sound superset; pruning never resurrects or loses rows") {
+    val t = tmpTable()
+    CommitLog.appendWithStats(spark, t,
+      (0L until 30L).map(i => (i, s"s$i")).toDF("id", "s")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id"))
+    // DV-delete an entire band the middle file holds: its STATS still
+    // describe the pre-delete superset, so an equality probe into the
+    // band keeps the file (sound, merely less tight) — and the read
+    // correctly returns nothing
+    CommitLog.deleteWhereDv(spark, t, col("id") >= 10L && col("id") <= 14L)
+    val kept = CommitLog.prunedLiveFiles(spark, t, col("id") === 12L)
+    assert(kept.size == 1, s"superset stats must keep the file: $kept")
+    assert(CommitLog.readWhere(spark, t, col("id") === 12L).count() == 0,
+      "the DV applies on top of pruning")
+    assert(CommitLog.readWhere(spark, t, col("id") === 20L)
+      .select("id").as[Long].collect().toSeq == Seq(20L))
+    // OPTIMIZE recomputes stats over the LIVE rows: the band tightens
+    // and the probe now prunes everything
+    assert(CommitLog.compact(spark, t, targetFiles = 3).isRight)
+    assert(CommitLog.readWhere(spark, t, col("id") === 12L).count() == 0)
+    assert(CommitLog.read(spark, t).count() == 25)
+  }
+
   test("deletion vectors: shallow clone carries them; incremental source fails loudly across one") {
     val root = Files.createTempDirectory("graft_dv_clone")
     val src = root.resolve("src").toString
