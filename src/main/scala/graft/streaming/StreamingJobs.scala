@@ -861,7 +861,14 @@ object StreamingJobs {
     *    shingled exactly once, ever, and the per-batch mine joins the
     *    batch's grams against STORED integers
     *    ([[graft.operators.Dedup.pairIndexDeltaFromGrams]] — Σ df_B·df
-    *    per shingle, never corpus², no text on the corpus side);
+    *    per shingle, never corpus², no text on the corpus side).
+    *    Stated residual (honest): the corpus side is still one columnar
+    *    scan of the gram index per batch — flat per chunk at gate
+    *    (StressStreaming, late/early 0.82) and bounded against
+    *    small-file accretion by `compactGramsEvery`; at extreme corpus
+    *    sizes the next step is an sh-clustered index layout so the
+    *    format's own stats skipping prunes the probe, the
+    *    compactClustered machinery this table already rides;
     *  - `labelsTable` — the label CATALOG ((doc_id, cluster_id) only:
     *    never pair state, never text — the state-growth claim the
     *    stress row measures), copy-on-write-replaced per batch.
