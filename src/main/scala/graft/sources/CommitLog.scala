@@ -72,7 +72,9 @@ object CommitLog {
                     addStats: Map[String, String] = Map.empty,
                     ctsMillis: Option[Long] = None,
                     dvs: Vector[(String, String)] = Vector.empty,
-                    dvRms: Vector[String] = Vector.empty)
+                    dvRms: Vector[String] = Vector.empty,
+                    constraints: Vector[(String, String)] = Vector.empty,
+                    constraintRms: Vector[String] = Vector.empty)
 
   /** A serializable rewrite lost the race: someone committed
     * `actualLatest` ≥ the version this writer needed. */
@@ -91,6 +93,9 @@ object CommitLog {
   private val CtsRe = """\{"cts":(\d+)\}""".r
   private val DvRe = """\{"dv":\{"path":"([^"]+)","target":"([^"]+)"\}\}""".r
   private val DvRmRe = """\{"dvrm":"([^"]+)"\}""".r
+  private val ConstraintRe =
+    """\{"constraint":\{"name":"([A-Za-z0-9_]+)","exprB64":"([A-Za-z0-9+/=]+)"\}\}""".r
+  private val ConstraintRmRe = """\{"constraintrm":"([A-Za-z0-9_]+)"\}""".r
 
   /** Parsed action lines of one commit or checkpoint body. `dvs` =
     * deletion-vector attachments (dvfile, target data file) — the
@@ -101,7 +106,9 @@ object CommitLog {
                              addStats: Map[String, String],
                              ctsMillis: Option[Long],
                              dvs: Vector[(String, String)],
-                             dvRms: Vector[String])
+                             dvRms: Vector[String],
+                             constraints: Vector[(String, String)],
+                             constraintRms: Vector[String])
 
   /** Parse one commit's lines, FAILING LOUDLY on anything that matches
     * no action pattern — a malformed or future-extended line must
@@ -114,6 +121,8 @@ object CommitLog {
     val stats = Map.newBuilder[String, String]
     val dvs = Vector.newBuilder[(String, String)]
     val dvRms = Vector.newBuilder[String]
+    val constraints = Vector.newBuilder[(String, String)]
+    val constraintRms = Vector.newBuilder[String]
     var meta: Option[String] = None
     var cts: Option[Long] = None
     lines.foreach {
@@ -125,12 +134,15 @@ object CommitLog {
       case CtsRe(ms) => cts = Some(ms.toLong)
       case DvRe(p, t) => dvs += (p -> t)
       case DvRmRe(t) => dvRms += t
+      case ConstraintRe(n, b64) => constraints += (n -> b64)
+      case ConstraintRmRe(n) => constraintRms += n
       case l if l.trim.isEmpty => ()
       case l => throw new IllegalStateException(
         s"unparseable action line in $where: '$l'")
     }
     Actions(adds.result(), removes.result(), txns.result(), meta,
-      stats.result(), cts, dvs.result(), dvRms.result())
+      stats.result(), cts, dvs.result(), dvRms.result(),
+      constraints.result(), constraintRms.result())
   }
 
   /** Data-file names are embedded in JSON string literals without
@@ -173,7 +185,17 @@ object CommitLog {
     val head = latestVersion(table)
     var v = head
     while (v >= 0) {
-      if (commits0(table, v).txns.exists {
+      val c =
+        try commits0(table, v)
+        catch {
+          // the walk reached retired history (log retention physically
+          // removed the commit file): the carrying commit predates it —
+          // return None per the documented contract instead of crashing
+          // the recovery path (r16 advice); callers treat the watermark's
+          // word as final
+          case _: java.nio.file.NoSuchFileException => return None
+        }
+      if (c.txns.exists {
         case (a, tv) => a == appId && tv == txnVersion }) return Some(v)
       v -= 1
     }
@@ -225,7 +247,8 @@ object CommitLog {
                         meta: Option[String], complete: Boolean,
                         addStats: Map[String, String],
                         ctsMax: Option[Long],
-                        dvs: Vector[(String, String)])
+                        dvs: Vector[(String, String)],
+                        constraints: Vector[(String, String)])
 
   private def readCheckpoint(table: String, v: Long): Cp = {
     val f = checkpointFile(table, v)
@@ -234,7 +257,9 @@ object CommitLog {
     val a = parseActions(lines.filterNot(CpvRe.matches), f)
     require(a.removes.isEmpty, s"checkpoint $f contains removes")
     require(a.dvRms.isEmpty, s"checkpoint $f contains dv clears")
-    Cp(a.adds, a.txns, a.meta, complete, a.addStats, a.ctsMillis, a.dvs)
+    require(a.constraintRms.isEmpty, s"checkpoint $f contains constraint drops")
+    Cp(a.adds, a.txns, a.meta, complete, a.addStats, a.ctsMillis, a.dvs,
+      a.constraints)
   }
 
   /** Write a checkpoint of the folded state AT `version` — the log-
@@ -258,6 +283,7 @@ object CommitLog {
     val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val stats = scala.collection.mutable.Map.empty[String, String]
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var meta: Option[String] = None
     var ctsMax = -1L
     commits(table, v).foreach { c =>
@@ -266,6 +292,8 @@ object CommitLog {
       stats ++= c.addStats
       c.dvs.foreach { case (p, t) => dvs(t) = p }
       c.dvRms.foreach(dvs.remove)
+      c.constraints.foreach { case (n, b64) => cons(n) = b64 }
+      c.constraintRms.foreach(cons.remove)
       c.txns.foreach { case (app, tv) =>
         txns(app) = math.max(txns.getOrElse(app, -1L), tv)
       }
@@ -281,6 +309,10 @@ object CommitLog {
       (if (ctsMax >= 0) Seq(s"""{"cts":$ctsMax}""") else Nil) ++
       meta.map(b64 => s"""{"meta":{"schemaB64":"$b64"}}""").toSeq ++
       txns.map { case (app, tv) => s"""{"txn":{"app":"$app","version":$tv}}""" } ++
+      // live CHECK constraints fold through (round 17) — enforcement
+      // must survive log compaction like every other table invariant
+      cons.map { case (n, b64) =>
+        s"""{"constraint":{"name":"$n","exprB64":"$b64"}}""" } ++
       // live deletion-vector attachments fold through too (round 16) —
       // a checkpointed table must not resurrect merge-on-read deletes
       dvs.map { case (t, p) => s"""{"dv":{"path":"$p","target":"$t"}}""" } ++
@@ -355,7 +387,7 @@ object CommitLog {
     val f = commitFile(table, v)
     val a = parseActions(Files.readAllLines(f).asScala, f)
     Commit(v, a.adds, a.removes, a.txns, a.meta, a.addStats, a.ctsMillis,
-      a.dvs, a.dvRms)
+      a.dvs, a.dvRms, a.constraints, a.constraintRms)
   }
 
   // ------------------------------------------------- schema evolution
@@ -869,6 +901,37 @@ object CommitLog {
     * ([[compactClustered]]) reads the files it needs, not the table. */
   def readWhere(spark: SparkSession, table: String, cond: Column,
                 asOf: Option[Long] = None): DataFrame = {
+    val base = readPruned(spark, table, cond, asOf)
+    if (base.columns.isEmpty) base else base.filter(cond)
+  }
+
+  /** OR over many disjuncts as a BALANCED tree — depth log₂ n instead
+    * of n (round 17): a `reduce(_ || _)` left chain of a few hundred
+    * band predicates overflows the column-conversion/analysis stack
+    * long before it troubles the optimizer; the balanced shape keeps a
+    * hundreds-of-bands probe a safe metadata decision. */
+  def balancedOr(cs: Seq[Column]): Column = {
+    require(cs.nonEmpty, "balancedOr of zero disjuncts")
+    if (cs.size == 1) cs.head
+    else balancedOr(cs.grouped(2).map {
+      case Seq(a, b) => a || b
+      case Seq(a) => a
+    }.toSeq)
+  }
+
+  /** File-skipping read WITHOUT the residual row filter (round 17):
+    * hands Spark exactly the files that can POSSIBLY match `cond` and
+    * nothing else — a SUPERSET of `readWhere(cond)`'s rows
+    * (necessary-condition semantics; `readPruned(cond).filter(cond)` is
+    * row-identical to `readWhere(cond)`, spec-pinned). For a consumer
+    * whose downstream operator already implies the predicate — an
+    * equi-join on the pruned column, like the streaming maintainer's
+    * gram-index probe — the row-level residual is pure waste (and a
+    * many-band OR residual would blow past the codegen method limit
+    * into interpreted per-row evaluation); the join discards the
+    * non-matching rows anyway. Deletion vectors still apply. */
+  def readPruned(spark: SparkSession, table: String, cond: Column,
+                 asOf: Option[Long] = None): DataFrame = {
     val v = asOf.getOrElse(latestVersion(table))
     require(v >= 0, s"commit-log table $table has no commits")
     val schema = schemaAt(table, v)
@@ -891,7 +954,7 @@ object CommitLog {
     // a DV'd file's stats describe a SUPERSET of its live rows (min/max
     // over pre-delete content) — pruning stays sound, merely less tight
     if (base.columns.isEmpty) base
-    else applyDvs(spark, table, base, liveDvs(table, v)).filter(cond)
+    else applyDvs(spark, table, base, liveDvs(table, v))
   }
 
   /** Stage a frame's rows as immutable data files in the table directory
@@ -1062,9 +1125,15 @@ object CommitLog {
     * txnVersion to be MONOTONE per appId (a streaming batchId is). */
   def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
                        appId: String, txnVersion: Long,
-                       maxRetries: Int = 50): Option[Long] = {
+                       maxRetries: Int = 50,
+                       withStats: Boolean = false): Option[Long] = {
     if (txnLatest(table, appId) >= txnVersion) return None
     val adds = stage(table, df)
+    // stats ride the idempotent sink's adds too (round 17 — the
+    // streaming maintainer's gram index prunes its per-batch probe on
+    // them); data-skipping metadata only, same as appendWithStats
+    val stats = if (withStats) statsFor(spark, table, adds)
+                else Map.empty[String, String]
     var tries = 0
     while (true) {
       val head = latestVersion(table)
@@ -1074,7 +1143,8 @@ object CommitLog {
         adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
         return None
       }
-      if (tryCommit(table, head + 1, adds, Nil, Some((appId, txnVersion))))
+      if (tryCommit(table, head + 1, adds, Nil, Some((appId, txnVersion)),
+        addStats = stats))
         return Some(head + 1)
       tries += 1
       require(tries <= maxRetries,
@@ -1223,6 +1293,7 @@ object CommitLog {
     val affected = matched.select("target").distinct()
       .collect().map(_.getString(0)).toSet // catalog-bounded driver metadata
     if (affected.isEmpty) return Right(head)
+    requireUniqueDvTargets(live, affected)
     // merge-on-re-delete: carry the affected targets' EXISTING positions
     // into the superseding sidecar (the old attachment is replaced)
     val priorPaths = affected.toSeq.flatMap(t => dvs.get(t)).distinct
@@ -1518,7 +1589,27 @@ object CommitLog {
     targeted
   }
 
+  /** Basename-collision guard shared by the merge-on-read verbs (r16
+    * advice): DV read-path matching is by basename, so one sidecar's
+    * positions would silently apply to EVERY same-named live file —
+    * fail loudly when a TARGETED basename is shared by more than one
+    * live file (the [[affectedOf]] discipline: unrelated DML on a
+    * collided table keeps working; only the ambiguous target is loud —
+    * copy-on-write DML already fails loudly in the same state,
+    * merge-on-read must not be quieter). */
+  private def requireUniqueDvTargets(live: Seq[String],
+                                     targets: Set[String]): Unit = {
+    val byBase = live.groupBy(baseName)
+    targets.foreach { b =>
+      byBase.get(b).filter(_.size > 1).foreach { fs =>
+        throw new IllegalStateException(
+          s"DV attach targets live files sharing the basename '$b': ${fs.mkString(", ")}")
+      }
+    }
+  }
+
   private val PartFileRe = """[0-9a-f]{8}-part-\d{5}\.parquet""".r
+  private val DvFileRe = """[0-9a-f]{8}-dv-\d{5}\.parquet""".r
 
   /** Staged-but-never-committed data files (a replaceFiles/compact that
     * lost its race and whose caller didn't clean up) are referenced by NO
@@ -1526,18 +1617,28 @@ object CommitLog {
     * This lists them from the one directory scan vacuum already implies.
     * Age-gated (file mtime older than `minAgeMs`) so a CONCURRENT stage
     * mid-commit is never swept: its files are seconds old, an orphan from
-    * a lost race has been sitting since the race. */
+    * a lost race has been sitting since the race. Deletion-vector
+    * sidecars are swept under the same age gate (r16 advice: a crash
+    * between stageDv and tryCommit used to leak `*-dv-*.parquet`
+    * forever — no commit references it and the part-file pattern
+    * deliberately excluded the dv name shape). */
   def orphanFiles(table: String, minAgeMs: Long): Seq[String] = {
     val dir = Paths.get(table)
     if (!Files.isDirectory(dir)) return Nil
     val vMax = latestVersion(table)
     val referenced: Set[String] =
       if (vMax < 0) Set.empty
-      else commits(table, vMax).flatMap(_.adds).toSet
+      else {
+        val all = commits(table, vMax)
+        (all.flatMap(_.adds) ++ all.flatMap(_.dvs.map(_._1))).toSet
+      }
     val cutoff = System.currentTimeMillis() - minAgeMs
     val s = Files.list(dir)
     try s.iterator().asScala
-      .filter(p => PartFileRe.matches(p.getFileName.toString))
+      .filter { p =>
+        val n = p.getFileName.toString
+        PartFileRe.matches(n) || DvFileRe.matches(n)
+      }
       .filter(p => !referenced(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .map(_.getFileName.toString).toVector.sorted

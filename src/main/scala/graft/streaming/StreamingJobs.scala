@@ -862,13 +862,23 @@ object StreamingJobs {
     *    batch's grams against STORED integers
     *    ([[graft.operators.Dedup.pairIndexDeltaFromGrams]] — Σ df_B·df
     *    per shingle, never corpus², no text on the corpus side).
-    *    Stated residual (honest): the corpus side is still one columnar
-    *    scan of the gram index per batch — flat per chunk at gate
-    *    (StressStreaming, late/early 0.82) and bounded against
-    *    small-file accretion by `compactGramsEvery`; at extreme corpus
-    *    sizes the next step is an sh-clustered index layout so the
-    *    format's own stats skipping prunes the probe, the
-    *    compactClustered machinery this table already rides;
+    *    Round 17 (the r16 residual weak finding): the per-batch corpus
+    *    probe is PRUNED through the format's own stats skipping —
+    *    grams appends carry per-file `sh` min/max stats, the
+    *    `compactGramsEvery` OPTIMIZE is [[graft.sources.CommitLog
+    *    .compactClustered]] BY `sh` (disjoint per-file sh ranges), and
+    *    each batch reads only the index files whose [min_sh, max_sh]
+    *    intersect the batch's own sh BANDS (the high
+    *    `64 − probeBandShift` bits of each batch gram — ≤ 2^12 bands
+    *    by construction, batch-bounded driver metadata; above
+    *    `maxProbeBands` the batch is index-scale and a full scan is
+    *    proportional). The probe goes through [[graft.sources
+    *    .CommitLog.readPruned]] — file skipping WITHOUT the residual
+    *    row filter, because the sh equi-join already implies it — so
+    *    per-batch corpus cost tracks TOUCHED index files, not index
+    *    size (StressStreaming measures the census). Pruning is a
+    *    NECESSARY-condition file cut: store==fresh mine identity is
+    *    unchanged (ClusterStreamSpec);
     *  - `labelsTable` — the label CATALOG ((doc_id, cluster_id) only:
     *    never pair state, never text — the state-growth claim the
     *    stress row measures), copy-on-write-replaced per batch.
@@ -887,13 +897,30 @@ object StreamingJobs {
     *  - crash between grams and labels → both skip, the batch's grams
     *    re-read from the grams commit carrying the txn, labels retry
     *    on identical inputs.
+    * Retention (round 17, the r16 optional order): with
+    * `gramsRetainVersions > 0` a retention vacuum runs on the gram
+    * table right after each compaction. Replay-safe because a grams
+    * commit's files are only ever re-read when ITS batch replays, and
+    * a batch replays only while the labels watermark is below it — the
+    * compaction (and therefore the vacuum) runs strictly AFTER that
+    * batch's labels commit, so every file the sweep can retire belongs
+    * to a recovery window that is already closed by the watermark
+    * short-circuit (ClusterStreamSpec pins the full replay as a no-op
+    * on all three tables after compact+vacuum). Without it the index
+    * grows monotonically: compaction keeps content but old commits pin
+    * their files forever.
+    *
     * Append-only unique doc ids are the incremental contract (same as
     * the batch twin's). */
   def clusterMaintainBatch(docsTable: String, labelsTable: String,
                            appId: String,
                            threshold: Double = graft.operators.Dedup.JaccardThreshold,
                            gramsTable: String = "",
-                           compactGramsEvery: Int = 0)
+                           compactGramsEvery: Int = 0,
+                           gramsTargetFiles: Int = 64,
+                           gramsRetainVersions: Int = 0,
+                           probeBandShift: Int = 52,
+                           maxProbeBands: Int = 512)
       : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val spark = batch.sparkSession
     import graft.sources.CommitLog
@@ -914,20 +941,65 @@ object StreamingJobs {
       // delivered frame on first run; the recovery source on replay)
       val (batchRows, _) = CommitLog.readIncremental(
         spark, docsTable, docsV - 1, docsV)
+      // MIGRATION backfill (r16 advice): a pre-gram-index maintainer
+      // state (docs + labels exist, gram table has no commits — the
+      // r15-era layout) must not silently mine batch-internal pairs
+      // only. Shingle the ALREADY-ARRIVED corpus (everything before
+      // this batch's docs commit) once into the index before this
+      // batch's own grams land. Idempotent across crash-replay: after
+      // the backfill commit the gram table has a commit, so the guard
+      // never re-fires; a fresh pipeline's first batch has docsV == 0
+      // (no pre-batch corpus) and skips.
+      if (CommitLog.latestVersion(gramsT) < 0 && docsV > 0) {
+        val arrived = CommitLog.read(spark, docsTable, Some(docsV - 1))
+        if (arrived.columns.nonEmpty)
+          CommitLog.appendWithStats(spark, gramsT, Dedup.gramIndex(arrived))
+      }
       // the batch's grams land next (batch-sized shingling — the only
-      // text work this maintainer ever does per batch)
+      // text work this maintainer ever does per batch); per-file sh
+      // min/max stats ride the add actions so the per-batch probe below
+      // can prune (round 17)
       val gramsV = landedVersion(gramsT,
         CommitLog.appendIdempotent(spark, gramsT,
-          Dedup.gramIndex(batchRows), appId, batchId))
+          Dedup.gramIndex(batchRows), appId, batchId, withStats = true))
       def gramsOrEmpty(df: DataFrame): DataFrame =
         if (df.columns.nonEmpty) df
         else Dedup.gramIndex(batchRows).limit(0) // schema-only (empty commit)
       val (batchGramsRaw, _) = CommitLog.readIncremental(
         spark, gramsT, gramsV - 1, gramsV)
-      val batchGrams = gramsOrEmpty(batchGramsRaw)
+      // feeds the band census AND the delta mine's three join sides —
+      // batch-sized, one materialization (the multi-consumer invariant)
+      val batchGrams = gramsOrEmpty(batchGramsRaw).localCheckpoint()
+      // the batch's sh BANDS (high 64−shift bits of each gram hash):
+      // ≤ 2^(64−shift) distinct values by construction, so the census is
+      // bounded driver metadata regardless of batch size. Each band is a
+      // contiguous SIGNED sh range (band<<shift keeps the sign bit, and
+      // within a band signed order == unsigned order), so the per-band
+      // range predicates prune against the files' signed min/max stats.
       val corpusGrams =
         if (gramsV == 0) batchGrams.limit(0)
-        else gramsOrEmpty(CommitLog.read(spark, gramsT, Some(gramsV - 1)))
+        else {
+          val bands = batchGrams
+            .select(shiftrightunsigned(col("sh"), probeBandShift).as("b"))
+            .distinct().collect().map(_.getLong(0))
+          if (bands.isEmpty) batchGrams.limit(0) // gram-free batch: probe nothing
+          else if (bands.length > maxProbeBands)
+            gramsOrEmpty(CommitLog.read(spark, gramsT, Some(gramsV - 1)))
+          else {
+            // balanced OR (depth log n): a left-chained reduce of
+            // hundreds of disjuncts overflows the analysis stack
+            val c = CommitLog.balancedOr(bands.toSeq.map { b =>
+              val lo = b << probeBandShift
+              val hi = lo + ((1L << probeBandShift) - 1L)
+              col("sh") >= lo && col("sh") <= hi
+            })
+            // file skipping WITHOUT the row-level residual: the sh
+            // equi-join in the delta mine already implies it, and a
+            // many-band OR evaluated per corpus row would be pure
+            // waste (necessary-condition cut — identity unchanged)
+            gramsOrEmpty(CommitLog.readPruned(spark, gramsT, c, Some(gramsV - 1)))
+          }
+        }
       val lHead = CommitLog.latestVersion(labelsTable)
       val oldLabels =
         if (lHead < 0)
@@ -947,21 +1019,32 @@ object StreamingJobs {
         txn = Some((appId, batchId))))
         throw new IllegalStateException(
           s"label catalog $labelsTable has a concurrent writer at ${lHead + 1}")
-      // gram-table hygiene (round 16, dial): one tiny append per batch
-      // means the index accretes small files — the stored-integer scan
-      // the per-batch mine rides pays per-file overhead as batches
-      // accumulate. The format's own OPTIMIZE is the answer: compact
-      // every N batches (content-identical; stats recomputed). Replay
-      // stays safe — a batch's own grams commit keeps its FILES on disk
-      // (compaction removes references, vacuum removes files), so the
-      // recovery read of commit gv still serves; runs AFTER the labels
-      // commit so a compaction conflict can never lose a batch.
-      if (compactGramsEvery > 0 && (gramsV + 1) % compactGramsEvery == 0)
-        CommitLog.compact(spark, gramsT, targetFiles = 32) match {
+      // gram-table hygiene (round 16, dial; round 17: CLUSTERED): one
+      // tiny append per batch means the index accretes small files —
+      // the stored-integer scan the per-batch mine rides pays per-file
+      // overhead as batches accumulate. The format's own OPTIMIZE is
+      // the answer, and since round 17 it clusters BY `sh` (disjoint
+      // per-file sh ranges + recomputed stats) — exactly the layout the
+      // band-pruned probe above skips files with. Replay stays safe —
+      // a batch's own grams commit keeps its FILES on disk (compaction
+      // removes references, vacuum removes files), so the recovery read
+      // of commit gv still serves; runs AFTER the labels commit so a
+      // compaction conflict can never lose a batch.
+      if (compactGramsEvery > 0 && (gramsV + 1) % compactGramsEvery == 0) {
+        CommitLog.compactClustered(spark, gramsT, _ => col("sh"),
+          targetFiles = gramsTargetFiles) match {
           case Right(_) => ()
           case Left(c) => throw new IllegalStateException(
             s"gram index $gramsT has a concurrent writer: $c")
         }
+        // retention (round 17, dial — see the scaladoc's replay-safety
+        // argument): sweep files no retained snapshot references; every
+        // per-batch file the compaction just de-referenced belongs to a
+        // batch whose labels already committed, so its recovery window
+        // is closed by the watermark short-circuit
+        if (gramsRetainVersions > 0)
+          CommitLog.vacuum(gramsT, gramsRetainVersions.toLong)
+      }
     }
     ()
   }

@@ -1323,4 +1323,83 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.versionOfTxn(t, "app", 7L).isEmpty)
     assert(CommitLog.versionOfTxn(t, "ghost", 0L).isEmpty)
   }
+
+  test("versionOfTxn: retired history answers None, never a raw missing-file crash (r16 advice)") {
+    val t = tmpTable()
+    CommitLog.appendIdempotent(spark, t, Seq((1L, "a")).toDF("id", "s"), "app", 0L)
+    CommitLog.append(spark, t, Seq((2L, "b")).toDF("id", "s"))
+    CommitLog.append(spark, t, Seq((3L, "c")).toDF("id", "s"))
+    // retention only ever trims BELOW a checkpoint (the txnLatest floor);
+    // write it first, then physically retire the genesis commit — the
+    // log-retention analog the scaladoc promises None for
+    CommitLog.checkpoint(t, 2L)
+    Files.delete(java.nio.file.Paths.get(t, "_graft_log",
+      f"${0L}%020d.json"))
+    assert(CommitLog.versionOfTxn(t, "app", 0L).isEmpty,
+      "a walk into retired history must return None (watermark's word is final)")
+    // a txn that DOES live in surviving history still resolves
+    CommitLog.appendIdempotent(spark, t, Seq((4L, "d")).toDF("id", "s"), "app", 1L)
+    assert(CommitLog.versionOfTxn(t, "app", 1L).contains(3L))
+  }
+
+  test("orphan sweep covers leaked dv sidecars; committed sidecars never swept (r16 advice)") {
+    val t = dvTable()
+    CommitLog.deleteWhereDv(spark, t, col("id") % 7 === 0L)
+    val liveDv = CommitLog.liveDvs(t, 1L).values.toSet
+    assert(liveDv.nonEmpty)
+    // a crash between stageDv and tryCommit leaves an unreferenced
+    // sidecar: simulate one with the stage name shape
+    val leaked = "deadbeef-dv-00000.parquet"
+    Files.write(java.nio.file.Paths.get(t, leaked), Array[Byte](1, 2, 3))
+    val orphans = CommitLog.orphanFiles(t, minAgeMs = 0L)
+    assert(orphans.contains(leaked), s"leaked dv sidecar must be sweepable: $orphans")
+    assert(liveDv.forall(!orphans.contains(_)),
+      "commit-referenced dv sidecars are never orphans")
+    CommitLog.vacuum(t, retainVersions = 10L, orphanMinAgeMs = 0L)
+    assert(!Files.exists(java.nio.file.Paths.get(t, leaked)))
+    // the swept table still reads exactly its dv-filtered rows
+    assert(ids(CommitLog.read(spark, t)) ==
+      (0L until 40L).filterNot(_ % 7 == 0).toSet)
+  }
+
+  test("DV delete on a collided live set: a TARGETED shared basename fails loudly (r16 advice)") {
+    val t = tmpTable()
+    CommitLog.append(spark, t,
+      Seq((1L, "a"), (8L, "b")).toDF("id", "s").repartition(1))
+    val local = CommitLog.liveFiles(t, 0L).head
+    // manufacture the collision: an external reference sharing the local
+    // file's basename (the clone-chain shape affectedOf guards against)
+    val sub = java.nio.file.Paths.get(t, "sub")
+    Files.createDirectories(sub)
+    Files.copy(java.nio.file.Paths.get(t, local), sub.resolve(local))
+    assert(CommitLog.tryCommit(t, 1L, Seq(s"sub/$local"), Nil))
+    intercept[IllegalStateException] {
+      CommitLog.deleteWhereDv(spark, t, col("id") === 1L)
+    }
+  }
+
+  test("readPruned: necessary-condition file cut — superset of readWhere, identical after the residual filter") {
+    val t = tmpTable()
+    CommitLog.appendWithStats(spark, t,
+      (0L until 80L).map(i => (i, s"s$i")).toDF("id", "s")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    val cond = (col("id") >= 11L && col("id") <= 13L) ||
+      (col("id") >= 71L && col("id") <= 73L)
+    val pruned = ids(CommitLog.readPruned(spark, t, cond))
+    val exact = ids(CommitLog.readWhere(spark, t, cond))
+    assert(exact == Set(11L, 12L, 13L, 71L, 72L, 73L))
+    assert(exact.subsetOf(pruned), "readPruned must be a superset")
+    assert(pruned.size < 80, "the file cut must actually prune")
+    assert(ids(CommitLog.readPruned(spark, t, cond).filter(cond)) == exact,
+      "readPruned + residual filter must equal readWhere row-for-row")
+    // a many-band OR (the maintainer's probe shape) stays a metadata
+    // decision — BALANCED tree (depth log n, a 512-deep left chain
+    // overflows the column-conversion stack), still a sound superset
+    val wide = ids(CommitLog.readPruned(spark, t,
+      CommitLog.balancedOr((0 until 400).map { i =>
+        val lo = i.toLong * 1000L
+        col("id") >= lo && col("id") <= lo + 1L
+      })))
+    assert(Set(0L, 1L).subsetOf(wide))
+  }
 }

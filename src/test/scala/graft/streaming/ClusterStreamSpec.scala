@@ -147,6 +147,91 @@ class ClusterStreamSpec extends AnyFunSuite {
     assert(CommitLog.latestVersion(labelsT) == lv)
   }
 
+  test("migration backfill: a pre-gram-index state (docs+labels, no grams) is shingled once, labels stay exact (r16 advice)") {
+    val docsT = Files.createTempDirectory("graft_cs5_docs").resolve("t").toString
+    val labelsT = Files.createTempDirectory("graft_cs5_lbl").resolve("t").toString
+    val gramsT = s"${labelsT}_grams"
+    val fn = StreamingJobs.clusterMaintainBatch(docsT, labelsT, "cs5_app")
+    fn(docsDf(chunks(0)), 0L)
+    fn(docsDf(chunks(1)), 1L)
+    // simulate the r15-era layout: docs + labels exist, no gram table
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.forEach(rmTree(_)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rmTree(java.nio.file.Paths.get(gramsT))
+    assert(CommitLog.latestVersion(gramsT) == -1L)
+    // the next batch must NOT silently mine batch-internal pairs only:
+    // the backfill shingles the arrived corpus once, then the weld
+    // merges across it exactly as if the index had always existed
+    fn(docsDf(chunks(2)), 2L)
+    val maintained = labels(CommitLog.read(spark, labelsT))
+    val fromScratch = labels(Dedup.dedupClusters(docsDf(chunks.flatten)))
+    assert(maintained == fromScratch,
+      s"backfill must restore cross-corpus mining: $maintained != $fromScratch")
+    assert(maintained(5L) == 1L, "the weld needs the backfilled corpus grams")
+    // the rebuilt index is content-identical to fresh shingling
+    val stored = CommitLog.read(spark, gramsT)
+      .select("doc_id", "sh", "nsh").collect().toSet
+    val fresh = Dedup.gramIndex(docsDf(chunks.flatten))
+      .select("doc_id", "sh", "nsh").collect().toSet
+    assert(stored == fresh)
+    // replay of the migrating batch never re-backfills (idempotent: the
+    // guard is "gram table has no commits", false from now on)
+    val gv = CommitLog.latestVersion(gramsT)
+    fn(docsDf(chunks(2)), 2L)
+    assert(CommitLog.latestVersion(gramsT) == gv)
+  }
+
+  test("sh-clustered compaction + retention vacuum: drain equality holds, replay a no-op, sweepable set empty") {
+    val docsT = Files.createTempDirectory("graft_cs6_docs").resolve("t").toString
+    val labelsT = Files.createTempDirectory("graft_cs6_lbl").resolve("t").toString
+    val gramsT = s"${labelsT}_grams"
+    val fn = StreamingJobs.clusterMaintainBatch(docsT, labelsT, "cs6_app",
+      compactGramsEvery = 2, gramsTargetFiles = 4, gramsRetainVersions = 2)
+    chunks.zipWithIndex.foreach { case (c, i) => fn(docsDf(c), i.toLong) }
+    // content identity through clustered compaction + vacuum
+    val stored = CommitLog.read(spark, gramsT)
+      .select("doc_id", "sh", "nsh").collect().toSet
+    val fresh = Dedup.gramIndex(docsDf(chunks.flatten))
+      .select("doc_id", "sh", "nsh").collect().toSet
+    assert(stored == fresh)
+    assert(labels(CommitLog.read(spark, labelsT)) ==
+      labels(Dedup.dedupClusters(docsDf(chunks.flatten))))
+    // the retention sweep ran: the de-referenced per-batch files are
+    // physically gone (vacuumable is a pure log fold — it still LISTS
+    // them; disk is the evidence)
+    val sweepSet = CommitLog.vacuumable(gramsT, 2L)
+    assert(sweepSet.nonEmpty, "fixture: compaction must have de-referenced files")
+    sweepSet.foreach { f =>
+      assert(!Files.exists(java.nio.file.Paths.get(gramsT, f)),
+        s"retention must have swept $f")
+    }
+    // full replay after compact+vacuum: every batch short-circuits at the
+    // labels watermark BEFORE any recovery read could touch swept files
+    val (dv, gv, lv) = (CommitLog.latestVersion(docsT),
+      CommitLog.latestVersion(gramsT), CommitLog.latestVersion(labelsT))
+    chunks.zipWithIndex.foreach { case (c, i) => fn(docsDf(c), i.toLong) }
+    assert(CommitLog.latestVersion(docsT) == dv)
+    assert(CommitLog.latestVersion(gramsT) == gv)
+    assert(CommitLog.latestVersion(labelsT) == lv)
+    // the clustered layout is real: live files carry disjoint sh ranges
+    val perFile = CommitLog.read(spark, gramsT)
+      .withColumn("f", org.apache.spark.sql.functions.input_file_name())
+      .groupBy("f")
+      .agg(org.apache.spark.sql.functions.min("sh").as("mn"),
+        org.apache.spark.sql.functions.max("sh").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    perFile.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo,
+        s"clustered gram files must cover disjoint sh ranges: $perFile")
+      case _ => ()
+    }
+  }
+
   test("crash between the two commits replays into a consistent merge") {
     val docsT = Files.createTempDirectory("graft_cs2_docs").resolve("t").toString
     val labelsT = Files.createTempDirectory("graft_cs2_lbl").resolve("t").toString
