@@ -48,6 +48,27 @@ class RfmSplitWinsorSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("rfm offset algebra == window twin at numParts in {1,3,8,32}; no unpartitioned window in the plan") {
+    val orders = Tables.orders(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    val window = rows(RfmSegment.rfmSegmentWindow(orders))
+    Seq(1, 3, 8, 32).foreach { p =>
+      assert(rows(RfmSegment.rfmSegment(orders, numParts = p)) == window,
+        s"numParts=$p diverged from the window twin")
+    }
+    // the r16 weak finding stays fixed: zero unpartitioned WindowExec —
+    // every window in the registered plan is keyed by (dim[, pid])
+    val plan = RfmSegment.rfmSegmentQ(orders)
+      .queryExecution.executedPlan.toString()
+    val bad = plan.linesIterator.filter(_.contains("Window"))
+      .filter(l => l.contains("windowspecdefinition()") ||
+        (!l.contains("dim") && l.contains("windowspecdefinition")))
+      .toSeq
+    assert(bad.isEmpty, s"unpartitioned window in rfm plan:\n$bad")
+  }
+
   test("gate corpus: split repair closes every cross-split cluster") {
     val docs = Tables.documents(spark, sf)
     val out = SplitRepair.splitRepairQ(docs).collect()
