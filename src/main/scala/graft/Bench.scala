@@ -21,6 +21,13 @@ import java.nio.file.{Files, Paths}
   * `BENCH_OUT.json` in the cwd (sbt log noise makes stdout alone
   * unparseable). Query failures are reported in an `"errors"` object, never
   * as fake timings.
+  *
+  * `calib_s` (round 17): a fixed synthetic shuffle+sort+agg probe run
+  * before and after the sweep — the box-state scalar cross-round
+  * comparisons NORMALIZE by (this box's same-code totals have read
+  * 342.7 vs 455.9 s across runs; two rounds paid a worktree A/B to
+  * prove it was the machine). Compare `total/calib_s` across rounds,
+  * not raw totals.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,6 +45,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // BOX-STATE CALIBRATION (round 17 — the r16 verdict's process order):
+    // two rounds have paid a worktree A/B to adjudicate same-code bench
+    // drift. This fixed synthetic probe — deterministic generated frame →
+    // hash shuffle → agg → global sort, zero I/O, no code under test —
+    // measures THE MACHINE, before and after the sweep; cross-round
+    // artifact comparisons divide `calib_s` out instead of re-running
+    // old HEADs. Median of three passes after one warmup (the suite's
+    // own discipline).
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 30000000L, 1L, 32)
+        // pmod keeps the per-key sum far from Long range (ANSI overflow)
+        .selectExpr("id % 1000000 AS k", "pmod(xxhash64(id), 1000000) AS h")
+        .groupBy("k").agg(
+          org.apache.spark.sql.functions.sum("h").as("s"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("c"))
+        .orderBy(org.apache.spark.sql.functions.desc("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calib(): Double = {
+      calibOnce() // warmup
+      val ts = Seq.fill(3)(calibOnce()).sorted
+      ts(1)
+    }
 
     def run(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
@@ -81,6 +115,7 @@ object Bench {
       if (nameArgs.nonEmpty) nameArgs.distinct.sorted.partition(SparkEntry.queries.contains)
       else (SparkEntry.queries.keys.toSeq.sorted, Seq.empty[String])
     names.foreach(run) // warmup
+    val calibPre = calib()
     // median of `repeat` timed passes per query; first error wins if any
     def median(ts: Seq[Double]): Double = {
       val s = ts.sorted
@@ -119,6 +154,7 @@ object Bench {
     val minTimings = results.collect { case (n, Right(_)) =>
       n -> passesByName(n).collect { case Right(t) => t }.min
     }
+    val calibPost = calib()
     val errors = results.collect { case (n, Left(e)) => n -> e } ++
       unknown.map(n => n -> "unknown query name")
     // Locale.ROOT: the f-interpolator is default-locale-sensitive and a
@@ -128,8 +164,13 @@ object Bench {
     val qmin = minTimings.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     val total = timings.map(_._2).sum
+    // calib_s = min of the two probes: the machine's best observed state
+    // this run (a mid-sweep stall inflates one side; the min is the
+    // floor the queries could have seen)
+    val calibS = math.min(calibPre, calibPost)
+    val calibJson = s""""calib_s":${fmt(calibS)},"calib_pre_s":${fmt(calibPre)},"calib_post_s":${fmt(calibPost)}"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_min":$qmin,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"repeat":$repeat,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$calibJson,"queries":$qs,"queries_min":$qmin,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"repeat":$repeat,"sf":"$sfDir"}"""
     val outPath = Paths.get("BENCH_OUT.json").toAbsolutePath
     Files.writeString(outPath, line + "\n")
     // stdout gets a COMPACT summary line only: the full per-query map is
@@ -140,7 +181,7 @@ object Bench {
     val slow = timings.sortBy(-_._2).take(8)
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_ok":${timings.size},"n_err":${errors.size},"repeat":$repeat,"sf":"$sfDir","slowest":$slow,"queries_file":"$outPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$calibJson,"n_ok":${timings.size},"n_err":${errors.size},"repeat":$repeat,"sf":"$sfDir","slowest":$slow,"queries_file":"$outPath"}"""
     println(compact)
     System.out.flush()
     // r09's driver artifact still recorded "parsed": null even with the
