@@ -708,6 +708,12 @@ object SparkEntry {
     // sides diverging independently; vacuum never touches external refs
     "commitlog_clone" -> ((s, d) =>
       CommitLogRead.commitLogCloneQ(Tables.documents(s, d))),
+    // round 17: WRITE-TIME CHECK CONSTRAINTS — add/enforce/drop through
+    // the log: existing rows validate on ADD, a violating append is
+    // rejected before anything stages (require'd), the drop re-opens
+    // the gate; visible row sets DuckDB-checked
+    "commitlog_constraint" -> ((s, d) =>
+      CommitLogRead.commitLogConstraintQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -1021,6 +1027,7 @@ object SparkEntry {
     "commitlog_dv" -> CommitLogRead.commitLogDvSql,
     "commitlog_cdf" -> CommitLogRead.commitLogCdfSql,
     "commitlog_clone" -> CommitLogRead.commitLogCloneSql,
+    "commitlog_constraint" -> CommitLogRead.commitLogConstraintSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

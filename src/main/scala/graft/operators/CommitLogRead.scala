@@ -654,6 +654,87 @@ object CommitLogRead {
       |FROM v
       |ORDER BY version, doc_id""".stripMargin
 
+  /** WRITE-TIME CHECK CONSTRAINTS in the gate (round 17 — the r16
+    * verdict's #4 order; Delta's `ALTER TABLE ADD CONSTRAINT CHECK`,
+    * public design — the enforcement half of expectations_report's
+    * advisor). Script (deterministic functions of doc_id):
+    *  - v0 APPEND thirds-0
+    *  - v1 ADD CONSTRAINT nn_nonneg CHECK (n_chars >= 0) — existing
+    *    rows validate first (require'd: a constraint existing rows
+    *    VIOLATE is rejected without committing)
+    *  - v2 APPEND thirds-1 (conforming — lands)
+    *  - a VIOLATING append (thirds-2 with n_chars := −n_chars − 1) is
+    *    REJECTED: require'd thrown, head unchanged, and NOTHING staged
+    *    (validation precedes staging — the orphan census stays empty)
+    *  - v3 DROP CONSTRAINT nn_nonneg
+    *  - v4 the formerly-violating append now lands
+    * Emits the three visible row sets (tags 0/2/4) — enforcement
+    * visible as which rows exist at which version, DuckDB-checked. */
+  def commitLogConstraintQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_con").resolve("t").toString
+    def must(r: Either[CommitLog.Conflict, Long]): Long = r match {
+      case Right(v) => v
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    def out(df: DataFrame, tag: Long): DataFrame = {
+      val withSchema = if (df.columns.isEmpty) base.limit(0) else df
+      withSchema.select(lit(tag).as("version"), col("doc_id"), col("source"),
+        col("n_chars"))
+    }
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 0)) // v0
+    val v0r = CommitLog.read(spark, table, Some(0L))
+    if (v0r.columns.isEmpty || v0r.isEmpty) return out(base.limit(0), 0L)
+    // a constraint the existing rows VIOLATE must be rejected un-committed
+    val preHead = CommitLog.latestVersion(table)
+    val violatedAddFails =
+      try { CommitLog.addConstraint(spark, table, "nn_neg", "n_chars < 0"); false }
+      catch { case _: IllegalStateException => true }
+    require(violatedAddFails, "a constraint existing rows violate must be rejected")
+    require(CommitLog.latestVersion(table) == preHead)
+    must(CommitLog.addConstraint(spark, table, "nn_nonneg", "n_chars >= 0")) // v1
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 1)) // v2
+    val violating = base.filter(col("doc_id") % 3 === 2)
+      .withColumn("n_chars", -col("n_chars") - 1)
+    val rejected =
+      try { CommitLog.append(spark, table, violating); false }
+      catch { case _: IllegalStateException => true }
+    require(rejected, "a violating append must be rejected loudly")
+    require(CommitLog.latestVersion(table) == 2L,
+      "the rejected append must not commit")
+    require(CommitLog.orphanFiles(table, minAgeMs = 0L).isEmpty,
+      "validation must precede staging — nothing to leak")
+    must(CommitLog.dropConstraint(table, "nn_nonneg")) // v3
+    CommitLog.append(spark, table, violating) // v4 — lands after the drop
+    Seq(0L -> 0L, 2L -> 2L, 4L -> 4L).map { case (tag, v) =>
+      out(CommitLog.read(spark, table, Some(v)), tag)
+    }.reduce(_ unionByName _)
+      .orderBy("version", "doc_id")
+  }
+
+  /** Oracle: tag 0 = thirds-0; tag 2 adds thirds-1; tag 4 adds the
+    * negated thirds-2 rows the dropped constraint had been rejecting. */
+  val commitLogConstraintSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), v AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, doc_id, source, n_chars
+      |  FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), doc_id, source, n_chars
+      |  FROM base WHERE doc_id % 3 <= 1
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT), doc_id, source, n_chars
+      |  FROM base WHERE doc_id % 3 <= 1
+      |  UNION ALL
+      |  SELECT CAST(4 AS BIGINT), doc_id, source, -n_chars - 1
+      |  FROM base WHERE doc_id % 3 = 2
+      |)
+      |SELECT version, doc_id, source, n_chars
+      |FROM v
+      |ORDER BY version, doc_id""".stripMargin
+
   /** SHALLOW CLONE in the gate (round 15 — the r14 verdict's #8 order):
     * [[CommitLog.shallowClone]] forks the source at a snapshot with
     * ZERO data copy (require'd in-query: the clone directory holds no

@@ -957,6 +957,118 @@ object CommitLog {
     else applyDvs(spark, table, base, liveDvs(table, v))
   }
 
+  // ------------------------------------------------ CHECK constraints
+
+  /** Live CHECK constraints at `asOf`: name → SQL predicate text
+    * (round 17 — Delta's public constraints surface, the enforcement
+    * half of the expectations_report advisor). Folds add/drop actions
+    * with the same checkpoint-suffix economics as [[liveDvs]]. */
+  def constraintsAt(table: String, asOf: Long = -2L): Map[String, String] = {
+    val v = if (asOf == -2L) latestVersion(table) else asOf
+    if (v < 0) return Map.empty
+    val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def fold(c: Commit): Unit = {
+      c.constraints.foreach { case (n, b64) => cons(n) = b64 }
+      c.constraintRms.foreach(cons.remove)
+    }
+    latestCheckpoint(table, v) match {
+      case None => commits(table, v).foreach(fold)
+      case Some(cp) =>
+        val s = readCheckpoint(table, cp)
+        s.constraints.foreach { case (n, b64) => cons(n) = b64 }
+        ((cp + 1) to v).foreach(u => fold(commits0(table, u)))
+    }
+    cons.map { case (n, b64) =>
+      n -> new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+    }.toMap
+  }
+
+  /** Enforce the table's live CHECK constraints on rows about to land
+    * (the write-side half — Delta validates staged rows the same way).
+    * ONE aggregation pass over the frame counts violations per
+    * constraint (CHECK semantics: NULL passes, FALSE violates); any
+    * violation fails LOUDLY with the per-constraint census before
+    * anything stages. A predicate that no longer RESOLVES against the
+    * frame (a column the writer lacks) is equally loud — silently
+    * passing it would turn every later read into a lie. */
+  private def validateConstraints(spark: SparkSession, table: String,
+                                  df: DataFrame, verb: String): Unit = {
+    val entries = constraintsAt(table).toSeq
+    if (entries.isEmpty || df.columns.isEmpty) return
+    val aggs = entries.map { case (n, sql) =>
+      val pred =
+        try expr(sql)
+        catch {
+          case e: Throwable => throw new IllegalArgumentException(
+            s"$verb on $table: constraint '$n' failed to parse: $sql", e)
+        }
+      sum(when(!coalesce(pred, lit(true)), 1L).otherwise(0L)).as(n)
+    }
+    val row =
+      try df.agg(aggs.head, aggs.tail: _*).head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$verb on $table: a CHECK constraint no longer resolves against " +
+              s"the written schema (${df.columns.mkString(", ")}); drop it " +
+              s"first — ${entries.map(_._1).mkString(", ")}", e)
+      }
+    val bad = entries.zipWithIndex.collect {
+      case ((n, sql), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n: ${row.getLong(i)} row(s) violate CHECK ($sql)"
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"$verb on $table rejected by CHECK constraints — ${bad.mkString("; ")}")
+  }
+
+  /** ADD CONSTRAINT (round 17 — Delta's `ALTER TABLE ADD CONSTRAINT
+    * CHECK`, public design): validates the predicate over the CURRENT
+    * snapshot first (existing rows must conform — fails loudly with the
+    * violating census) and commits the constraint as a metadata action
+    * at exactly readVersion+1, or reports the [[Conflict]] (a
+    * concurrent write could otherwise land rows the validation never
+    * saw). From then on [[append]]/[[appendIdempotent]]/[[updateWhere]]
+    * (and the merge-on-read verbs) validate staged rows and reject
+    * violators before anything commits. */
+  def addConstraint(spark: SparkSession, table: String,
+                    name: String, exprSql: String): Either[Conflict, Long] = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    require(!constraintsAt(table, head).contains(name),
+      s"constraint '$name' already exists on $table")
+    val cur = read(spark, table, Some(head))
+    if (cur.columns.nonEmpty) {
+      try cur.filter(expr(exprSql)).queryExecution.analyzed // resolution probe
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"addConstraint on $table: CHECK ($exprSql) does not resolve", e)
+      }
+      val viol = cur.filter(!coalesce(expr(exprSql), lit(true))).count()
+      if (viol > 0) throw new IllegalStateException(
+        s"addConstraint on $table: $viol existing row(s) violate CHECK ($exprSql)")
+    }
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(exprSql.getBytes("UTF-8"))
+    if (tryCommit(table, head + 1, Nil, Nil, constraints = Seq(name -> b64)))
+      Right(head + 1)
+    else Left(Conflict(head + 1, latestVersion(table)))
+  }
+
+  /** DROP CONSTRAINT — a metadata action; fails loudly on an unknown
+    * name (the fail-loud convention: a typo'd drop must not silently
+    * leave enforcement on). */
+  def dropConstraint(table: String, name: String): Either[Conflict, Long] = {
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    require(constraintsAt(table, head).contains(name),
+      s"no constraint '$name' on $table")
+    if (tryCommit(table, head + 1, Nil, Nil, constraintRms = Seq(name)))
+      Right(head + 1)
+    else Left(Conflict(head + 1, latestVersion(table)))
+  }
+
   /** Stage a frame's rows as immutable data files in the table directory
     * WITHOUT committing them — invisible to every reader until a commit
     * references them (the two-phase shape both [[append]] and
@@ -999,7 +1111,17 @@ object CommitLog {
                 addStats: Map[String, String] = Map.empty,
                 ctsMillis: Option[Long] = None,
                 dvs: Seq[(String, String)] = Nil,
-                dvRms: Seq[String] = Nil): Boolean = {
+                dvRms: Seq[String] = Nil,
+                constraints: Seq[(String, String)] = Nil,
+                constraintRms: Seq[String] = Nil): Boolean = {
+    constraints.foreach { case (n, b64) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"constraint name must be [A-Za-z0-9_]+, got '$n'")
+      require(b64.matches("[A-Za-z0-9+/=]+"),
+        s"constraint payload must be base64, got '${b64.take(40)}'")
+    }
+    constraintRms.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be [A-Za-z0-9_]+, got '$n'"))
     (adds ++ removes).foreach(requireSafeName)
     txn.foreach { case (app, v) =>
       requireSafeName(app)
@@ -1021,6 +1143,9 @@ object CommitLog {
       txn.map { case (app, v) =>
         s"""{"txn":{"app":"$app","version":$v}}""" }.toSeq ++
       removes.map(f => s"""{"remove":"$f"}""") ++
+      constraintRms.map(n => s"""{"constraintrm":"$n"}""") ++
+      constraints.map { case (n, b64) =>
+        s"""{"constraint":{"name":"$n","exprB64":"$b64"}}""" } ++
       dvRms.map(t => s"""{"dvrm":"$t"}""") ++
       dvs.map { case (p, t) => s"""{"dv":{"path":"$p","target":"$t"}}""" } ++
       adds.map(f => addStats.get(f) match {
@@ -1053,6 +1178,7 @@ object CommitLog {
                         maxRetries: Int = 50,
                         ctsMillis: Option[Long] = None,
                         withStats: Boolean = false): (Long, Int) = {
+    validateConstraints(spark, table, df, "append") // before anything stages
     val adds = stage(table, df)
     val stats = if (withStats) statsFor(spark, table, adds) else Map.empty[String, String]
     var v = latestVersion(table) + 1
@@ -1128,6 +1254,7 @@ object CommitLog {
                        maxRetries: Int = 50,
                        withStats: Boolean = false): Option[Long] = {
     if (txnLatest(table, appId) >= txnVersion) return None
+    validateConstraints(spark, table, df, "append") // before anything stages
     val adds = stage(table, df)
     // stats ride the idempotent sink's adds too (round 17 — the
     // streaming maintainer's gram index prunes its per-batch probe on
@@ -1432,6 +1559,9 @@ object CommitLog {
         base.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"updateWhere must preserve the schema of $table: " +
         s"${base.schema.simpleString} -> ${updated.schema.simpleString}")
+    // an UPDATE can manufacture violations — the rewritten images must
+    // pass the table's CHECK constraints like any append (round 17)
+    validateConstraints(spark, table, updated, "update")
     val adds = stage(table, updated)
     val res = replaceFiles(table, head, affected, adds)
     if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
@@ -1486,6 +1616,22 @@ object CommitLog {
     require(cur.columns.nonEmpty,
       s"cannot $what on $table: no schema at version $head (no data or metadata yet)")
     val rewritten = transform(cur)
+    // interplay (round 17): a rename/drop must not orphan a CHECK
+    // constraint — every live constraint has to resolve against the new
+    // schema, or every later write would fail with a confusing error.
+    // Probed on a SCHEMA-ONLY frame: a filter directly over `rewritten`
+    // would resolve a dropped column from upstream (Spark's
+    // missing-reference rule) and silently pass.
+    constraintsAt(table, head).foreach { case (n, sql) =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rewritten.schema)
+      try probe.filter(expr(sql)).queryExecution.analyzed
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"cannot $what on $table: constraint '$n' CHECK ($sql) would no " +
+            "longer resolve — drop it first", e)
+      }
+    }
     val b64 = java.util.Base64.getEncoder
       .encodeToString(rewritten.schema.json.getBytes("UTF-8"))
     val removes = liveFiles(table, head)
@@ -1531,8 +1677,14 @@ object CommitLog {
       .map { case (t, p) => (s"$rel/$p", s"$rel/$t") }
     val meta = schemaAt(source, v).map(s => java.util.Base64.getEncoder
       .encodeToString(s.json.getBytes("UTF-8")))
+    // CHECK constraints clone with the snapshot too (round 17): a fork
+    // that silently dropped enforcement would accept rows its source
+    // rejects
+    val enc = java.util.Base64.getEncoder
+    val cons = constraintsAt(source, v).toSeq
+      .map { case (n, sql) => n -> enc.encodeToString(sql.getBytes("UTF-8")) }
     require(tryCommit(target, 0L, refs, Nil, meta = meta, addStats = stats,
-      dvs = dvs),
+      dvs = dvs, constraints = cons),
       s"clone target $target saw a concurrent commit")
     0L
   }

@@ -1324,6 +1324,102 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.versionOfTxn(t, "ghost", 0L).isEmpty)
   }
 
+  // --------------------------------- round 17: write-time CHECK constraints
+
+  test("CHECK constraints: add validates existing rows; writes enforce; drop re-opens; census is loud") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, (0L until 20L).map(i => (i, i * 10L)).toDF("id", "v"))
+    // existing rows violate -> rejected, nothing committed
+    intercept[IllegalStateException] {
+      CommitLog.addConstraint(spark, t, "v_neg", "v < 0")
+    }
+    assert(CommitLog.latestVersion(t) == 0L)
+    assert(CommitLog.addConstraint(spark, t, "v_nonneg", "v >= 0") == Right(1L))
+    assert(CommitLog.constraintsAt(t) == Map("v_nonneg" -> "v >= 0"))
+    // duplicate name / unknown drop: loud
+    intercept[IllegalArgumentException] {
+      CommitLog.addConstraint(spark, t, "v_nonneg", "v >= 1")
+    }
+    intercept[IllegalArgumentException] { CommitLog.dropConstraint(t, "ghost") }
+    // conforming append lands; violating append rejected with the census
+    CommitLog.append(spark, t, Seq((100L, 5L)).toDF("id", "v"))
+    val e = intercept[IllegalStateException] {
+      CommitLog.append(spark, t, Seq((101L, -1L), (102L, 3L), (103L, -7L)).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("v_nonneg") && e.getMessage.contains("2 row(s)"),
+      s"census must name the constraint and count: ${e.getMessage}")
+    assert(CommitLog.latestVersion(t) == 2L)
+    assert(CommitLog.orphanFiles(t, 0L).isEmpty, "validation precedes staging")
+    // the idempotent sink path enforces too
+    intercept[IllegalStateException] {
+      CommitLog.appendIdempotent(spark, t, Seq((104L, -2L)).toDF("id", "v"), "app", 0L)
+    }
+    // NULL passes (SQL CHECK semantics)
+    CommitLog.append(spark, t,
+      Seq((105L, Some(7L)), (106L, None)).toDF("id", "v"))
+    // an UPDATE manufacturing a violation is rejected; a clean one lands
+    intercept[IllegalStateException] {
+      CommitLog.updateWhere(spark, t, col("id") === 100L, Seq("v" -> lit(-9L)))
+    }
+    assert(CommitLog.updateWhere(spark, t, col("id") === 100L,
+      Seq("v" -> lit(9L))).isRight)
+    // drop re-opens the gate
+    assert(CommitLog.dropConstraint(t, "v_nonneg").isRight)
+    CommitLog.append(spark, t, Seq((107L, -1L)).toDF("id", "v"))
+    assert(CommitLog.read(spark, t).filter(col("v") < 0).count() == 1L)
+  }
+
+  test("CHECK constraints fold through v2 checkpoints and survive RESTORE; clones inherit them") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, 5L)).toDF("id", "v"))
+    CommitLog.addConstraint(spark, t, "v_pos", "v > 0")
+    CommitLog.append(spark, t, Seq((2L, 6L)).toDF("id", "v"))
+    CommitLog.checkpoint(t)
+    // enforcement answers FROM the checkpoint — pre-checkpoint commits
+    // physically exiled (the strong fold proof, the schema/txn precedent;
+    // the checkpoint version's own commit stays — retention never trims
+    // the head)
+    val log = java.nio.file.Paths.get(t, "_graft_log")
+    (0L to 1L).foreach(v =>
+      Files.delete(log.resolve(f"$v%020d.json")))
+    assert(CommitLog.constraintsAt(t) == Map("v_pos" -> "v > 0"))
+    intercept[IllegalStateException] {
+      CommitLog.append(spark, t, Seq((3L, -1L)).toDF("id", "v"))
+    }
+    // RESTORE rolls file state, not table invariants: the constraint
+    // stays live across it
+    CommitLog.append(spark, t, Seq((4L, 8L)).toDF("id", "v"))
+    val head = CommitLog.latestVersion(t)
+    assert(CommitLog.restore(t, head - 1).isRight)
+    intercept[IllegalStateException] {
+      CommitLog.append(spark, t, Seq((5L, -2L)).toDF("id", "v"))
+    }
+    // a shallow clone inherits enforcement with the snapshot
+    val tgt = tmpTable() + "_clone"
+    CommitLog.shallowClone(t, tgt)
+    assert(CommitLog.constraintsAt(tgt) == Map("v_pos" -> "v > 0"))
+    intercept[IllegalStateException] {
+      CommitLog.append(spark, tgt, Seq((6L, -3L)).toDF("id", "v"))
+    }
+  }
+
+  test("CHECK constraints x schema evolution: rename/drop refuse to orphan a constraint") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, 5L, "a")).toDF("id", "v", "s"))
+    CommitLog.addConstraint(spark, t, "v_pos", "v > 0")
+    intercept[IllegalArgumentException] {
+      CommitLog.dropColumn(spark, t, "v")
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.renameColumn(spark, t, "v", "val")
+    }
+    // unrelated evolution still works; after the drop, so does the rename
+    assert(CommitLog.dropColumn(spark, t, "s").isRight)
+    assert(CommitLog.dropConstraint(t, "v_pos").isRight)
+    assert(CommitLog.renameColumn(spark, t, "v", "val").isRight)
+    assert(CommitLog.read(spark, t).columns.toSeq == Seq("id", "val"))
+  }
+
   test("versionOfTxn: retired history answers None, never a raw missing-file crash (r16 advice)") {
     val t = tmpTable()
     CommitLog.appendIdempotent(spark, t, Seq((1L, "a")).toDF("id", "s"), "app", 0L)

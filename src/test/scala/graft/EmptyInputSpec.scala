@@ -195,6 +195,9 @@ class EmptyInputSpec extends AnyFunSuite {
       "commitlog_read_at_ts" -> CommitLogRead.commitLogReadAtTsQ(d),
       "commitlog_skipping" -> CommitLogRead.commitLogSkippingQ(d),
       "commitlog_clone" -> CommitLogRead.commitLogCloneQ(d),
+      // round 17: the constraint script short-circuits on a day-one
+      // corpus (nothing to validate, nothing to reject)
+      "commitlog_constraint" -> CommitLogRead.commitLogConstraintQ(d),
       "commitlog_zorder" -> CommitLogRead.commitLogZorderQ(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("user_id", LongType),
