@@ -607,6 +607,11 @@ object CommitLogRead {
     *  - v3 DV-DELETE doc_id%5=0            → deletes through the
     *    merge-on-read path (the feed reads snapshots, so deletion
     *    vectors surface as row deletions without any rewrite)
+    *  - v4 DV-UPDATE doc_id%7=0 SET n_chars+5 (round 17 — the
+    *    merge-on-read UPDATE in the feed: old image DV'd out + new
+    *    image appended, same key, changed fingerprint → emitted as
+    *    updates for exactly the matched surviving keys; +5 guarantees
+    *    every matched row's value actually changes)
     * Emits (doc_id, version, op) — `row_fp` is an engine hash and stays
     * out of the oracle surface. */
   def commitLogCdfQ(documents: DataFrame): DataFrame = {
@@ -626,14 +631,17 @@ object CommitLogRead {
     must(CommitLog.updateWhere(spark, table, col("doc_id") % 2 === 0,
       Seq("n_chars" -> (col("n_chars") + 1)))) // v2
     must(CommitLog.deleteWhereDv(spark, table, col("doc_id") % 5 === 0)) // v3
+    must(CommitLog.updateWhereDv(spark, table, col("doc_id") % 7 === 0,
+      Seq("n_chars" -> (col("n_chars") + 5)))) // v4
     CommitLog.tableChanges(spark, table, "doc_id")
       .select(col("doc_id"), col("version"), col("op"))
       .orderBy("version", "doc_id")
   }
 
-  /** Oracle: the four versions' change sets straight from `documents` —
+  /** Oracle: the five versions' change sets straight from `documents` —
     * inserts per arriving third, updates for the matched rows only,
-    * deletes for the %5 keys still present. */
+    * deletes for the %5 keys still present, DV-updates for the %7 keys
+    * surviving the delete. */
   val commitLogCdfSql: String =
     """WITH base AS (
       |  SELECT doc_id FROM documents WHERE doc_id % 3 <= 1
@@ -649,6 +657,9 @@ object CommitLogRead {
       |  UNION ALL
       |  SELECT doc_id, CAST(3 AS BIGINT), 'delete'
       |  FROM base WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id, CAST(4 AS BIGINT), 'update'
+      |  FROM base WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0
       |)
       |SELECT doc_id, version, op
       |FROM v

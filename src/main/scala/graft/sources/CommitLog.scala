@@ -1449,6 +1449,104 @@ object CommitLog {
     res
   }
 
+  /** UPDATE WHERE ... SET as MERGE-ON-READ (round 17 — the r16
+    * verdict's #5 order, completing the DV verb set): instead of
+    * rewriting every file containing a match ([[updateWhere]]'s
+    * copy-on-write), ONE commit (a) attaches deletion vectors marking
+    * the matched rows in their current files and (b) appends the
+    * updated row images as NEW data files — the Delta merge-on-read
+    * UPDATE shape. Economics: a scattered 0.1% update writes position
+    * sidecars + 0.1% of the rows, never whole files. Semantics are
+    * [[updateWhere]]'s exactly: predicate AND every SET right-hand side
+    * evaluate against the OLD row, each value casts to the column's
+    * existing type, the schema must survive bit-for-bit, and the staged
+    * images pass the table's CHECK constraints. The matched scan is
+    * DV-applied (a row can never match twice), a re-update MERGES prior
+    * positions into the superseding sidecar (the [[deleteWhereDv]]
+    * discipline), OPTIMIZE rebases everything away, RESTORE re-emits
+    * both directions, and the CDF reads the commit as per-key updates
+    * (old image DV'd out + new image in, same key, changed fingerprint
+    * — spec-pinned). A predicate matching nothing commits NOTHING. */
+  def updateWhereDv(spark: SparkSession, table: String,
+                    cond: org.apache.spark.sql.Column,
+                    sets: Seq[(String, org.apache.spark.sql.Column)]): Either[Conflict, Long] = {
+    require(sets.nonEmpty, s"updateWhereDv on $table: no SET clauses")
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    val live = liveFiles(table, head)
+    if (live.isEmpty) return Right(head)
+    val schema = schemaAt(table, head)
+    val paths = live.map(f => Paths.get(table, f).toString)
+    val base = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    sets.foreach { case (name, _) =>
+      require(base.columns.contains(name),
+        s"updateWhereDv: no column '$name' on $table (${base.columns.mkString(", ")})")
+    }
+    base.columns.filter(_.startsWith("_graft_")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"updateWhereDv: column '$c' on $table collides with the reserved " +
+          "'_graft_' helper-column prefix")
+    }
+    val dvs = liveDvs(table, head)
+    val tagged = applyDvs(spark, table, base
+      .withColumn("_graft_f", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("_graft_pos", col("_metadata.row_index")), dvs)
+      .filter(cond)
+      .localCheckpoint() // 3 consumers: census, sidecar rows, new images
+    val affected = tagged.select("_graft_f").distinct()
+      .collect().map(_.getString(0)).toSet // catalog-bounded driver metadata
+    if (affected.isEmpty) return Right(head)
+    requireUniqueDvTargets(live, affected)
+    // (a) the position sidecars — matched rows plus the affected
+    // targets' existing positions (merge-on-re-update)
+    val matched = tagged
+      .select(col("_graft_f").as("target"), col("_graft_pos").as("pos"))
+    val priorPaths = affected.toSeq.flatMap(t => dvs.get(t)).distinct
+      .map(p => Paths.get(table, p).toString)
+    val prior =
+      if (priorPaths.isEmpty) matched.limit(0)
+      else spark.read.parquet(priorPaths: _*)
+        .filter(col("target").isin(affected.toSeq: _*))
+        .select(col("target"), col("pos"))
+    val staged = stageDv(table, matched.unionByName(prior)
+      .repartition(math.min(32, affected.size), col("target")))
+    val mapping = spark.read
+      .parquet(staged.map(f => Paths.get(table, f).toString): _*)
+      .withColumn("f", element_at(split(input_file_name(), "/"), -1))
+      .select("f", "target").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // (b) the updated images: OLD-row semantics — all SET values
+    // materialize before any assignment
+    val valued = sets.zipWithIndex.foldLeft(tagged) {
+      case (df, ((name, value), i)) =>
+        df.withColumn(s"_graft_set_$i", value.cast(base.schema(name).dataType))
+    }
+    val assigned = sets.zipWithIndex.foldLeft(valued) {
+      case (df, ((name, _), i)) => df.withColumn(name, col(s"_graft_set_$i"))
+    }
+    val images = assigned.drop(
+      "_graft_f" +: "_graft_pos" +: sets.indices.map(i => s"_graft_set_$i"): _*)
+    require(
+      images.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        base.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"updateWhereDv must preserve the schema of $table: " +
+        s"${base.schema.simpleString} -> ${images.schema.simpleString}")
+    validateConstraints(spark, table, images, "update")
+    val adds = stage(table, images)
+    val res =
+      if (tryCommit(table, head + 1, adds, Nil, dvs = mapping.toSeq))
+        Right(head + 1)
+      else Left(Conflict(head + 1, latestVersion(table)))
+    if (res.isLeft) {
+      staged.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+      adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    }
+    res
+  }
+
   /** CLUSTERED OPTIMIZE (round 14) — the `OPTIMIZE ... ZORDER BY`
     * physical half of the [[graft.operators.ZOrder]] advisor loop
     * (the salting_plan→saltedJoinPlanned pattern applied to layout):

@@ -1313,6 +1313,77 @@ class CommitLogSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------- round 17: merge-on-read UPDATE (updateWhereDv)
+
+  private def idS(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("merge-on-read UPDATE: zero files rewritten, images append, OLD-row semantics, no-op commits nothing") {
+    val t = dvTable()
+    val before = CommitLog.liveFiles(t, 0L)
+    assert(CommitLog.updateWhereDv(spark, t, col("id") % 7 === 0L,
+      Seq("s" -> concat(lit("u"), col("id").cast("string")))) == Right(1L))
+    // every original data file survives; only image files were added
+    val live1 = CommitLog.liveFiles(t, 1L)
+    assert(before.forall(live1.contains),
+      "a DV update must not rewrite or remove any data file")
+    assert(live1.size > before.size, "the updated images must append")
+    before.foreach(f => assert(Files.exists(java.nio.file.Paths.get(t, f))))
+    // OLD-row semantics visible in the value; every key present exactly once
+    assert(idS(CommitLog.read(spark, t)) ==
+      (0L until 40L).map(i => (i, if (i % 7 == 0) s"u$i" else s"s$i")).toSet)
+    assert(CommitLog.read(spark, t).count() == 40L)
+    // snapshot isolation
+    assert(idS(CommitLog.read(spark, t, Some(0L))) ==
+      (0L until 40L).map(i => (i, s"s$i")).toSet)
+    // a predicate matching nothing commits NOTHING
+    assert(CommitLog.updateWhereDv(spark, t, col("id") > 1000L,
+      Seq("s" -> lit("x"))) == Right(1L))
+    assert(CommitLog.latestVersion(t) == 1L)
+  }
+
+  test("merge-on-read UPDATE: re-update merges (rows never double); OPTIMIZE rebases; RESTORE both directions; CDF sees updates; constraints enforce") {
+    val t = dvTable()
+    CommitLog.updateWhereDv(spark, t, col("id") % 7 === 0L, Seq("s" -> lit("u1")))
+    // the %14 rows now live in IMAGE files — the re-update DVs those too
+    assert(CommitLog.updateWhereDv(spark, t, col("id") % 14 === 0L,
+      Seq("s" -> lit("u2"))) == Right(2L))
+    assert(CommitLog.read(spark, t).count() == 40L, "rows must never double")
+    assert(idS(CommitLog.read(spark, t)) == (0L until 40L).map { i =>
+      (i, if (i % 14 == 0) "u2" else if (i % 7 == 0) "u1" else s"s$i")
+    }.toSet)
+    // CDF: the v1 commit reads as per-key UPDATES for exactly the matched keys
+    val ch = CommitLog.tableChanges(spark, t, "id")
+      .filter(col("version") === 1L).collect()
+    assert(ch.forall(_.getString(2) == "update"), "DV update must read as updates")
+    assert(ch.map(_.getLong(0)).toSet == (0L until 40L).filter(_ % 7 == 0).toSet)
+    // OPTIMIZE rebases the whole DV state away, content-identical
+    assert(CommitLog.compact(spark, t, targetFiles = 2).isRight)
+    assert(CommitLog.liveDvs(t, CommitLog.latestVersion(t)).isEmpty)
+    assert(CommitLog.read(spark, t).count() == 40L)
+    // RESTORE back across both updates, then forward again
+    assert(CommitLog.restore(t, 0L).isRight)
+    assert(idS(CommitLog.read(spark, t)) ==
+      (0L until 40L).map(i => (i, s"s$i")).toSet)
+    assert(CommitLog.restore(t, 2L).isRight)
+    assert(idS(CommitLog.read(spark, t)) == (0L until 40L).map { i =>
+      (i, if (i % 14 == 0) "u2" else if (i % 7 == 0) "u1" else s"s$i")
+    }.toSet)
+    // the staged images pass CHECK constraints like any append
+    val t2 = tmpTable()
+    CommitLog.append(spark, t2, Seq((1L, 5L)).toDF("id", "v"))
+    CommitLog.addConstraint(spark, t2, "v_pos", "v > 0")
+    intercept[IllegalStateException] {
+      CommitLog.updateWhereDv(spark, t2, col("id") === 1L, Seq("v" -> lit(-1L)))
+    }
+    // and the incremental source fails loudly across a DV-update commit
+    val t3 = dvTable()
+    CommitLog.updateWhereDv(spark, t3, col("id") === 0L, Seq("s" -> lit("x")))
+    intercept[IllegalArgumentException] {
+      CommitLog.readIncremental(spark, t3, -1L)
+    }
+  }
+
   test("versionOfTxn: one-file-per-step backward walk finds the carrying commit") {
     val t = tmpTable()
     CommitLog.appendIdempotent(spark, t, Seq((1L, "a")).toDF("id", "s"), "app", 0L)
