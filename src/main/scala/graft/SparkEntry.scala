@@ -708,6 +708,11 @@ object SparkEntry {
     // sides diverging independently; vacuum never touches external refs
     "commitlog_clone" -> ((s, d) =>
       CommitLogRead.commitLogCloneQ(Tables.documents(s, d))),
+    // round 17: MERGE-ON-READ UPDATE — matched rows DV'd in place, the
+    // updated images appended, one commit; zero data files rewritten
+    // (require'd on the actual directory), OPTIMIZE rebases (require'd)
+    "commitlog_update_dv" -> ((s, d) =>
+      CommitLogRead.commitLogUpdateDvQ(Tables.documents(s, d))),
     // round 17: WRITE-TIME CHECK CONSTRAINTS — add/enforce/drop through
     // the log: existing rows validate on ADD, a violating append is
     // rejected before anything stages (require'd), the drop re-opens
@@ -1028,6 +1033,7 @@ object SparkEntry {
     "commitlog_cdf" -> CommitLogRead.commitLogCdfSql,
     "commitlog_clone" -> CommitLogRead.commitLogCloneSql,
     "commitlog_constraint" -> CommitLogRead.commitLogConstraintSql,
+    "commitlog_update_dv" -> CommitLogRead.commitLogUpdateDvSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
     "winnow_fingerprint" -> Winnow.winnowFingerprintSql,

@@ -253,6 +253,62 @@ object StressStreaming {
       println(f"STREAM job=cluster_maintain_dedup chunks=$dedupChunks " +
         f"walls=[${walls(pd)}] " +
         f"late_over_early=${pd.drop(dedupChunks / 2).sum / math.max(pd.take(dedupChunks / 2).sum, 0.01)}%.2f")
+
+      // round 17 — the PRUNED PROBE census (the r16 residual weak
+      // finding): with the gram index sh-CLUSTERED (compactClustered +
+      // per-file sh stats), a small batch's corpus probe must touch only
+      // the files whose sh range intersects the batch's band set — and
+      // the touched census must track the BATCH (its band count), not
+      // the index (which doubles between the two measurement points).
+      // Three builds over the same deduplicated arrival: probe after
+      // half the corpus, probe after all of it, and a full-scan twin
+      // (maxProbeBands=0 disables the cut) for the wall A/B.
+      def buildAndProbe(chunksIn: Int, maxBands: Int): (Double, Int, Int) = {
+        val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        val ids = docs.select("doc_id").orderBy("doc_id")
+          .collect().map(_.getLong(0))
+        val probeIds = ids.takeRight(2).toSet // tiny batch: 2 docs
+        val arriving = docs.filter(!col("doc_id").isin(probeIds.toSeq: _*))
+        val per = math.max((ids.length - 2) / dedupChunks, 1)
+        val docsT = Files.createTempDirectory("graft-ss-cmp-docs").resolve("t").toString
+        val labelsT = Files.createTempDirectory("graft-ss-cmp-lbl").resolve("t").toString
+        val gramsT = s"${labelsT}_grams"
+        val fn = StreamingJobs.clusterMaintainBatch(docsT, labelsT, "stress_cmp",
+          compactGramsEvery = 2, gramsTargetFiles = 256,
+          maxProbeBands = maxBands)
+        (0 until chunksIn).foreach { k =>
+          val lo = ids(k * per)
+          val hi = if (k == chunksIn - 1 && chunksIn == dedupChunks) ids(ids.length - 2)
+            else ids((k + 1) * per)
+          fn(arriving.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .repartition(32), k.toLong)
+        }
+        // census BEFORE the probe lands: the cut the maintainer will use
+        import graft.sources.CommitLog
+        val probeBatch = docs.filter(col("doc_id").isin(probeIds.toSeq: _*))
+        val total = CommitLog.liveFiles(gramsT, CommitLog.latestVersion(gramsT)).size
+        val kept = StreamingJobs.gramBandPredicate(
+          graft.operators.Dedup.gramIndex(probeBatch)) match {
+          case Some(c) => CommitLog.prunedLiveFiles(spark, gramsT, c).size
+          case None => total
+        }
+        // the probe runs through a no-compaction twin of the same state
+        // so its wall is the batch work alone (the arrival fn's cadence
+        // would fold a full-index OPTIMIZE into the timed window)
+        val probeFn = StreamingJobs.clusterMaintainBatch(docsT, labelsT,
+          "stress_cmp", gramsTargetFiles = 256, maxProbeBands = maxBands)
+        val t0 = System.nanoTime()
+        probeFn(probeBatch.repartition(4), chunksIn.toLong)
+        ((System.nanoTime() - t0) / 1e9, kept, total)
+      }
+      val (wHalf, kHalf, tHalf) = buildAndProbe(dedupChunks / 2, 512)
+      val (wFull, kFull, tFull) = buildAndProbe(dedupChunks, 512)
+      val (wScan, _, _) = buildAndProbe(dedupChunks, 0)
+      println(f"STREAM job=cluster_maintain_probe " +
+        f"kept_half=$kHalf/$tHalf kept_full=$kFull/$tFull " +
+        f"probe_wall_half=$wHalf%.2f probe_wall_full=$wFull%.2f " +
+        f"probe_wall_fullscan=$wScan%.2f")
     }
     spark.stop()
   }

@@ -594,6 +594,92 @@ object CommitLogRead {
       |FROM v
       |ORDER BY version, doc_id""".stripMargin
 
+  /** MERGE-ON-READ UPDATE in the gate (round 17 — the r16 verdict's #5
+    * order, the [[commitLogDvQ]] pattern applied to the new verb): a
+    * scattered UPDATE must stop rewriting whole files — [[CommitLog
+    * .updateWhereDv]] DVs the matched rows in place and appends only
+    * their updated images, with the data-file economics require'd on
+    * the actual directory:
+    *  - v0 APPEND, range-clustered into 8 files
+    *  - v1 DV-UPDATE doc_id % 7 = 0 SET n_chars = n_chars*10+7,
+    *    source = 'redacted' (scattered: touches most files) — every v0
+    *    data file must STILL BE LIVE and on disk (zero copy-on-write;
+    *    the only new data files are the appended images)
+    *  - v2 DV-UPDATE doc_id % 14 = 0 SET n_chars = n_chars + 1 — the
+    *    merge-on-re-update path: rows that moved into image files at
+    *    v1 get DV'd THERE; the row count must never change
+    *  - v3 OPTIMIZE (compact) — REQUIRES the DV map rebased to empty
+    * Emits every version's row set (v3 content-identical to v2);
+    * OLD-row SET semantics and per-key uniqueness DuckDB-checked. */
+  def commitLogUpdateDvQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_udv").resolve("t").toString
+    def out(df: DataFrame, v: Long): DataFrame = {
+      val withSchema = if (df.columns.isEmpty) base.limit(0) else df
+      withSchema.select(lit(v).as("version"), col("doc_id"), col("source"),
+        col("n_chars"))
+    }
+    def must(r: Either[CommitLog.Conflict, Long]): Long = r match {
+      case Right(v) => v
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    CommitLog.append(spark, table,
+      base.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")) // v0
+    val v0r = CommitLog.read(spark, table, Some(0L))
+    if (v0r.columns.isEmpty || v0r.isEmpty) return out(base.limit(0), 0L)
+    val before = CommitLog.liveFiles(table, 0L)
+    val nRows = v0r.count()
+    must(CommitLog.updateWhereDv(spark, table, col("doc_id") % 7 === 0,
+      Seq("n_chars" -> (col("n_chars") * 10 + 7),
+        "source" -> lit("redacted")))) // v1
+    val live1 = CommitLog.liveFiles(table, 1L)
+    require(before.forall(live1.contains),
+      "a DV update must not rewrite or remove any data file")
+    before.foreach(f => require(
+      Files.exists(java.nio.file.Paths.get(table, f)),
+      s"v0 data file $f must survive a DV update on disk"))
+    must(CommitLog.updateWhereDv(spark, table, col("doc_id") % 14 === 0,
+      Seq("n_chars" -> (col("n_chars") + 1)))) // v2 — re-update merges
+    require(CommitLog.read(spark, table, Some(2L)).count() == nRows,
+      "merge-on-re-update must never change the row count")
+    must(CommitLog.compact(spark, table, targetFiles = 2)) // v3
+    require(CommitLog.liveDvs(table, 3L).isEmpty,
+      "OPTIMIZE must rebase the update's deletion vectors away")
+    (0L to 3L).map(v => out(CommitLog.read(spark, table, Some(v)), v))
+      .reduce(_ unionByName _)
+      .orderBy("version", "doc_id")
+  }
+
+  /** Oracle: v0 raw; v1 applies the first SET to the %7 rows; v2 adds
+    * +1 on the %14 rows (over v1's values — OLD-row semantics per
+    * statement, sequential across commits); v3 = v2. */
+  val commitLogUpdateDvSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), v1 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN 'redacted' ELSE source END AS source,
+      |         CASE WHEN doc_id % 7 = 0 THEN n_chars * 10 + 7 ELSE n_chars END AS n_chars
+      |  FROM base
+      |), v2 AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN doc_id % 14 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |  FROM v1
+      |), v AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, * FROM base
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), * FROM v1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), * FROM v2
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), * FROM v2
+      |)
+      |SELECT version, doc_id, source, n_chars
+      |FROM v
+      |ORDER BY version, doc_id""".stripMargin
+
   /** CHANGE DATA FEED in the gate (round 16): [[CommitLog.tableChanges]]
     * — the derived row-level change feed (Delta's CDF read, public
     * design) — was spec-only; this drives it through every change class

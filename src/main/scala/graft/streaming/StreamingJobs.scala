@@ -912,6 +912,28 @@ object StreamingJobs {
     *
     * Append-only unique doc ids are the incremental contract (same as
     * the batch twin's). */
+  /** The per-batch gram-probe pruning predicate (round 17): the batch's
+    * sh BANDS — high `64 − shift` bits of each gram hash — as a balanced
+    * OR of per-band signed ranges, matched against the gram index's
+    * per-file sh min/max stats. None = the batch occupies more than
+    * `maxBands` bands (index-scale batch: a full scan is proportional);
+    * Some(lit) never happens — a gram-free batch is handled by the
+    * caller (nothing to probe at all). Public so the stress battery can
+    * census the same cut the maintainer uses. */
+  def gramBandPredicate(batchGrams: DataFrame, shift: Int = 52,
+                        maxBands: Int = 512): Option[Column] = {
+    import graft.sources.CommitLog
+    val bands = batchGrams
+      .select(shiftrightunsigned(col("sh"), shift).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    if (bands.isEmpty || bands.length > maxBands) None
+    else Some(CommitLog.balancedOr(bands.toSeq.map { b =>
+      val lo = b << shift
+      val hi = lo + ((1L << shift) - 1L)
+      col("sh") >= lo && col("sh") <= hi
+    }))
+  }
+
   def clusterMaintainBatch(docsTable: String, labelsTable: String,
                            appId: String,
                            threshold: Double = graft.operators.Dedup.JaccardThreshold,
@@ -978,27 +1000,16 @@ object StreamingJobs {
       // range predicates prune against the files' signed min/max stats.
       val corpusGrams =
         if (gramsV == 0) batchGrams.limit(0)
-        else {
-          val bands = batchGrams
-            .select(shiftrightunsigned(col("sh"), probeBandShift).as("b"))
-            .distinct().collect().map(_.getLong(0))
-          if (bands.isEmpty) batchGrams.limit(0) // gram-free batch: probe nothing
-          else if (bands.length > maxProbeBands)
-            gramsOrEmpty(CommitLog.read(spark, gramsT, Some(gramsV - 1)))
-          else {
-            // balanced OR (depth log n): a left-chained reduce of
-            // hundreds of disjuncts overflows the analysis stack
-            val c = CommitLog.balancedOr(bands.toSeq.map { b =>
-              val lo = b << probeBandShift
-              val hi = lo + ((1L << probeBandShift) - 1L)
-              col("sh") >= lo && col("sh") <= hi
-            })
+        else if (batchGrams.isEmpty) batchGrams.limit(0) // gram-free: probe nothing
+        else gramBandPredicate(batchGrams, probeBandShift, maxProbeBands) match {
+          case Some(c) =>
             // file skipping WITHOUT the row-level residual: the sh
             // equi-join in the delta mine already implies it, and a
             // many-band OR evaluated per corpus row would be pure
             // waste (necessary-condition cut — identity unchanged)
             gramsOrEmpty(CommitLog.readPruned(spark, gramsT, c, Some(gramsV - 1)))
-          }
+          case None => // index-scale batch: a full scan is proportional
+            gramsOrEmpty(CommitLog.read(spark, gramsT, Some(gramsV - 1)))
         }
       val lHead = CommitLog.latestVersion(labelsTable)
       val oldLabels =

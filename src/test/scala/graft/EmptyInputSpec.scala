@@ -196,8 +196,10 @@ class EmptyInputSpec extends AnyFunSuite {
       "commitlog_skipping" -> CommitLogRead.commitLogSkippingQ(d),
       "commitlog_clone" -> CommitLogRead.commitLogCloneQ(d),
       // round 17: the constraint script short-circuits on a day-one
-      // corpus (nothing to validate, nothing to reject)
+      // corpus (nothing to validate, nothing to reject), and the DV
+      // update has nothing to match
       "commitlog_constraint" -> CommitLogRead.commitLogConstraintQ(d),
+      "commitlog_update_dv" -> CommitLogRead.commitLogUpdateDvQ(d),
       "commitlog_zorder" -> CommitLogRead.commitLogZorderQ(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("user_id", LongType),
