@@ -410,6 +410,11 @@ object SparkEntry {
     // the naive (the advisor→consumer pattern, series edition)
     "forecast_planned" -> ((s, d) =>
       ForecastBacktest.forecastPlannedQ(Tables.events(s, d))),
+    // round 17: the forward forecast with UNCERTAINTY — empirical
+    // prediction intervals from the backtest's signed rolling-origin
+    // residuals, rank-selected 10/90 percentiles per (type, horizon)
+    "forecast_interval" -> ((s, d) =>
+      ForecastBacktest.forecastIntervalQ(Tables.events(s, d))),
     // round 16: the Hyndman STL strength diagnostics — is a series
     // trend-dominated, calendar-dominated, or noise? exact integer
     // variance stats over the decompose components, one guarded ratio
@@ -719,6 +724,11 @@ object SparkEntry {
     // the gate; visible row sets DuckDB-checked
     "commitlog_constraint" -> ((s, d) =>
       CommitLogRead.commitLogConstraintQ(Tables.documents(s, d))),
+    // round 17: MERGE INTO as a first-class file-granular verb — matched
+    // rows take the source image, unmatched insert, one commit; v1's
+    // match-free files require'd untouched on disk
+    "commitlog_merge" -> ((s, d) =>
+      CommitLogRead.commitLogMergeQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -775,6 +785,14 @@ object SparkEntry {
       PairIndexStore.splitLeakageIndexedQ(Tables.documents(s, d))),
     "source_dup_rate_indexed" -> ((s, d) =>
       PairIndexStore.sourceDupRateIndexedQ(Tables.documents(s, d))),
+    // round 17: the ASYMMETRIC similarity algebra — containment
+    // C = inter/min(n1,n2) catches near-supersets Jaccard is blind to
+    // (doc-in-doc embeddings); a pure map over the same τ=0 stats, so
+    // the indexed twin rides the persisted mine at zero extra cost
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentQ(Tables.documents(s, d))),
+    "dedup_containment_indexed" -> ((s, d) =>
+      PairIndexStore.containmentIndexedQ(Tables.documents(s, d))),
     "l_diversity_audit" -> ((s, d) => LDiversity.lDiversityAuditQ(Tables.documents(s, d))),
     "t_closeness_audit" -> ((s, d) => TCloseness.tClosenessAuditQ(Tables.documents(s, d))),
     "substring_clean" -> ((s, d) => SubstringDedup.substringCleanQ(Tables.documents(s, d))),
@@ -1033,6 +1051,7 @@ object SparkEntry {
     "commitlog_cdf" -> CommitLogRead.commitLogCdfSql,
     "commitlog_clone" -> CommitLogRead.commitLogCloneSql,
     "commitlog_constraint" -> CommitLogRead.commitLogConstraintSql,
+    "commitlog_merge" -> CommitLogRead.commitLogMergeSql,
     "commitlog_update_dv" -> CommitLogRead.commitLogUpdateDvSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,
@@ -1052,6 +1071,8 @@ object SparkEntry {
     // the indexed twins are row-identical to their inline forms by
     // construction (InfraSpec pins it) — same oracles verbatim
     "dedup_ngram_jaccard_indexed" -> Dedup.ngramJaccardSql,
+    "dedup_containment" -> Dedup.containmentSql,
+    "dedup_containment_indexed" -> Dedup.containmentSql,
     "dedup_cluster_indexed" -> Dedup.dedupClustersSql,
     "dedup_cluster_keep_best_indexed" -> Dedup.dedupClusterKeepBestSql,
     "dedup_threshold_sweep_indexed" -> ThresholdSweep.dedupThresholdSweepSql,
@@ -1086,6 +1107,7 @@ object SparkEntry {
     "seasonal_forecast" -> SeasonalAnomaly.seasonalForecastSql,
     "forecast_backtest" -> ForecastBacktest.forecastBacktestSql,
     "forecast_planned" -> ForecastBacktest.forecastPlannedSql,
+    "forecast_interval" -> ForecastBacktest.forecastIntervalSql,
     "seasonal_strength" -> SeasonalAnomaly.seasonalStrengthSql,
     "event_burstiness" -> Burstiness.eventBurstinessSql,
     "transition_stationary" -> MarkovStationary.transitionStationarySql,

@@ -293,6 +293,80 @@ object CommitLogRead {
       .orderBy("version", "doc_id")
   }
 
+  /** MERGE INTO in the gate (round 17) — the upsert verb with on-disk
+    * evidence ([[CommitLog.mergeInto]] — until now MERGE semantics were
+    * gate-checked only through cdc_apply's in-memory form):
+    *  - v0 APPEND thirds-0
+    *  - v1 APPEND thirds-1 minus fifths (files the merge must not touch)
+    *  - v2 MERGE  source = fifths-of-thirds-0 (matched → full-image
+    *              update: source='merged', n_chars·2+1) ∪
+    *              sevenths-of-thirds-2 (unmatched → insert, same
+    *              transform)
+    * In-query require: v1's files survive the merge untouched (no
+    * thirds-1 key is in the source — the file-granular contract on the
+    * actual directory). Emits all three versions tagged; the oracle
+    * recomputes them as a LEFT-JOIN CASE fold + anti-join insert set. */
+  def commitLogMergeQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_mrg").resolve("t").toString
+    def must(r: Either[CommitLog.Conflict, Long]): Long = r match {
+      case Right(v) => v
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 0)) // v0
+    val untouched = CommitLog.append(spark, table,
+      base.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 =!= 0)) // v1
+    val v1Files = CommitLog.commits(table, untouched).last.adds.toSet
+    val src = base
+      .filter((col("doc_id") % 3 === 0 && col("doc_id") % 5 === 0) ||
+        (col("doc_id") % 3 === 2 && col("doc_id") % 7 === 0))
+      .select(col("doc_id"), lit("merged").as("source"),
+        (col("n_chars") * 2 + 1).as("n_chars"))
+    val v2 = must(CommitLog.mergeInto(spark, table, src, "doc_id"))
+    val afterMerge = CommitLog.liveFiles(table, CommitLog.latestVersion(table)).toSet
+    require(v1Files.subsetOf(afterMerge),
+      s"file-granular merge rewrote match-free files: ${v1Files -- afterMerge}")
+    Seq(0L -> 0L, 1L -> 1L, 2L -> v2).map { case (tag, v) =>
+      val df = CommitLog.read(spark, table, Some(v))
+      val withSchema = if (df.columns.isEmpty) base.limit(0) else df
+      withSchema.select(lit(tag).as("version"), col("doc_id"), col("source"),
+        col("n_chars"))
+    }.reduce(_ unionByName _)
+      .orderBy("version", "doc_id")
+  }
+
+  /** Oracle: v0/v1 as the update gate; v2 = v1 with the matched fifths
+    * taking the source image, plus the thirds-2 sevenths inserts. */
+  val commitLogMergeSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), v01 AS (
+      |  SELECT doc_id, source, n_chars FROM base
+      |  WHERE doc_id % 3 = 0 OR (doc_id % 3 = 1 AND doc_id % 5 <> 0)
+      |), src AS (
+      |  SELECT doc_id, 'merged' AS source, n_chars * 2 + 1 AS n_chars
+      |  FROM base
+      |  WHERE (doc_id % 3 = 0 AND doc_id % 5 = 0)
+      |     OR (doc_id % 3 = 2 AND doc_id % 7 = 0)
+      |), v AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, doc_id, source, n_chars
+      |  FROM base WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), doc_id, source, n_chars FROM v01
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), t.doc_id,
+      |         COALESCE(s.source, t.source),
+      |         COALESCE(s.n_chars, t.n_chars)
+      |  FROM v01 t LEFT JOIN src s ON s.doc_id = t.doc_id
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), s.doc_id, s.source, s.n_chars
+      |  FROM src s WHERE s.doc_id NOT IN (SELECT doc_id FROM v01)
+      |)
+      |SELECT version, doc_id, source, n_chars
+      |FROM v
+      |ORDER BY version, doc_id""".stripMargin
+
   /** RETENTION VACUUM in the gate (round 14, late) — the last lake verb
     * without driver-checked evidence ([[CommitLog.vacuum]] was
     * spec-only; vacuum_plan is the advisor): run a real retention sweep

@@ -190,6 +190,73 @@ object Dedup {
       .withColumn("jaccard", expr("CAST(inter AS DOUBLE) / (n1 + n2 - inter)"))
       .filter(col("jaccard") >= threshold)
 
+  /** Containment threshold — the kept fraction of the SMALLER set. */
+  val ContainmentThreshold = 0.8
+
+  /** CONTAINMENT-SIMILARITY MINER (round 17) — the asymmetric twin of
+    * the Jaccard miner (Broder 1997's resemblance/containment pair,
+    * public): `C = inter / min(n1, n2)`, the fraction of the SMALLER
+    * document's shingles the pair shares. This is the near-SUPERSET
+    * detector Jaccard is structurally blind to: a short document fully
+    * embedded in a long one has containment 1.0 but Jaccard
+    * `min/max ≈ 0` — boilerplate-plus-payload pages, quoted-in-full
+    * reposts, and doc-in-concatenation shapes that a training-data
+    * pipeline must catch (the same failure class dedup_substring
+    * attacks at span granularity; this is its document-granularity,
+    * index-amortizable form). Same τ=0 candidate mine and sufficient
+    * statistics as [[pairIndex]] — containment is a pure map over the
+    * stored (inter, n1, n2) integers, so the persisted index serves
+    * BOTH similarity algebras at zero extra mining cost.
+    *
+    * §6: the gate is the exact integer cross-product
+    * `inter·100 ≥ pct·min(n1, n2)` (never a float threshold);
+    * `containment` ships under the shared round-4 text;
+    * `contained_id` = the smaller side (ties → id1) names which
+    * document is the (near-)subset. Scale: identical contract to the
+    * Jaccard miner — Σ df² candidate volume, maxDf/salting dials pass
+    * through, the indexed twin amortizes the mine. */
+  def containmentPairs(documents: DataFrame,
+                       threshold: Double = ContainmentThreshold,
+                       maxDf: Option[Long] = None,
+                       saltCandidates: Option[Int] = None,
+                       broadcastSizes: Boolean = true): DataFrame =
+    containmentFromIndex(
+      ngramJaccardPairs(documents, threshold = 0.0, maxDf, saltCandidates,
+        broadcastSizes),
+      threshold)
+
+  /** Thresholded containment stream from a (persisted) [[pairIndex]]
+    * frame — the same map/filter the inline miner ends in, so inline
+    * and indexed twins are row-identical by construction. */
+  def containmentFromIndex(index: DataFrame,
+                           threshold: Double = ContainmentThreshold): DataFrame = {
+    val pct = math.round(threshold * 100)
+    index
+      .filter(expr(s"inter * 100 >= $pct * least(n1, n2)"))
+      .withColumn("containment", expr("CAST(inter AS DOUBLE) / least(n1, n2)"))
+      .withColumn("contained_id", expr("CASE WHEN n1 <= n2 THEN id1 ELSE id2 END"))
+      .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),
+        col("contained_id"), Parity.r("containment", 4))
+  }
+
+  def containmentQ(documents: DataFrame): DataFrame =
+    containmentPairs(documents).orderBy("id1", "id2")
+
+  /** DuckDB twin: the shared τ=0 `rawpairs` stats + the same integer
+    * gate and round-4 containment text. */
+  val containmentSql: String =
+    s"""WITH $ngramJaccardSqlBody, cp AS (
+       |  SELECT id1, id2, n1, n2, inter,
+       |         CASE WHEN n1 <= n2 THEN id1 ELSE id2 END AS contained_id,
+       |         CAST(inter AS DOUBLE) / least(n1, n2) AS containment
+       |  FROM rawpairs
+       |  WHERE inter * 100 >= ${math.round(ContainmentThreshold * 100)} * least(n1, n2)
+       |)
+       |SELECT id1, id2, n1, n2, inter, contained_id,
+       |       ${rsql("containment", 4, "containment")}
+       |FROM cp
+       |ORDER BY id1, id2""".stripMargin
+
   /** INCREMENTAL index maintenance (round 12): the rows a new batch
     * ADDS to a persisted [[pairIndex]] — mined WITHOUT re-touching the
     * corpus-corpus pair space. Key fact: per-doc shingle sets never

@@ -70,7 +70,18 @@ object ForecastBacktest {
     * arithmetic, two consumers — the quality_ensemble factoring
     * convention). */
   private[operators] def scoredErrors(events: DataFrame,
-                                      horizon: Int = Horizon): DataFrame = {
+                                      horizon: Int = Horizon): DataFrame =
+    scoredRaw(events, horizon)
+      .withColumn("err", expr("abs(fc_milli - ax * 1000)"))
+      .withColumn("nerr", expr("abs(level_milli - ax * 1000)"))
+      .select("event_type", "horizon", "err", "nerr")
+
+  /** The raw per-(cutoff, horizon) scored rows BEFORE the error fold —
+    * (event_type, horizon, fc_milli, level_milli, ax) — so consumers
+    * needing the SIGNED residual (the interval quantiles) share the
+    * same rolling-origin arithmetic as the |err| consumers. */
+  private[operators] def scoredRaw(events: DataFrame,
+                                   horizon: Int = Horizon): DataFrame = {
     val daily = events
       .select(col("event_type"), expr(s"unix_micros(ts) div $UsPerDay").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
@@ -119,9 +130,7 @@ object ForecastBacktest {
       // has nothing to score against and drops out
       .join(actuals, Seq("event_type", "aday"))
       .withColumn("fc_milli", expr("level_milli + coalesce(seas_milli, 0)"))
-      .withColumn("err", expr("abs(fc_milli - ax * 1000)"))
-      .withColumn("nerr", expr("abs(level_milli - ax * 1000)"))
-    scored.select("event_type", "horizon", "err", "nerr")
+    scored.select("event_type", "horizon", "fc_milli", "level_milli", "ax")
   }
 
   def forecastBacktestQ(events: DataFrame): DataFrame =
@@ -250,5 +259,104 @@ object ForecastBacktest {
        |LEFT JOIN dowm m
        |  ON m.event_type = l.event_type AND m.dow = (l.b + hs.horizon) % 7
        |LEFT JOIN choice c ON c.event_type = l.event_type
+       |ORDER BY l.event_type, day""".stripMargin
+
+  /** Lower/upper residual-quantile percentiles for the interval. */
+  val LoPct = 10
+  val HiPct = 90
+
+  /** EMPIRICAL PREDICTION INTERVALS (round 17) — the forward forecast
+    * with UNCERTAINTY attached: per (type, horizon) the backtest's
+    * SIGNED rolling-origin residuals `actual·1000 − forecast` form the
+    * empirical error distribution the model has actually exhibited at
+    * that horizon, and the interval is the forecast shifted by their
+    * rank-SELECTED [[LoPct]]/[[HiPct]] percentiles (exact index
+    * `((n−1)·p) div 100` into the sorted residuals — the
+    * length_quantiles convention: a selected data value, never an
+    * interpolation, so both engines agree bit-for-bit). This is the
+    * standard empirical-residual interval (Hyndman & Athanasopoulos,
+    * fpp3 §5.5, public design) in the family's integer-milli
+    * arithmetic.
+    *
+    * Honesty shape inherited from the backtest: residuals come from
+    * prefix-only re-fits (no leak), so the interval width reflects
+    * out-of-sample error, not training fit. A type with no evaluable
+    * cutoff (span < MinTrain+2) still forecasts but carries NULL
+    * bounds and n_resid = 0 — no evidence, no interval (the
+    * cannot-certify convention). A constant series has every residual
+    * 0 ⇒ lo = hi = forecast (a point interval, stated).
+    *
+    * Scale shape: the residual frame is the backtest's cutoff×horizon
+    * metadata (calendar-bounded per type); the quantile windows
+    * partition by (type, horizon) — catalog×7 keys, each partition
+    * cutoff-count-sized — and the bounds frame is catalog-sized,
+    * broadcast onto the 7-row-per-type forecast. Two passes over
+    * events (residual chain + forecast chain), each one map-combinable
+    * daily agg — the forecast_planned two-pass economics. */
+  def forecastInterval(events: DataFrame, horizon: Int = Horizon): DataFrame = {
+    val resid = scoredRaw(events, horizon)
+      .select(col("event_type"), col("horizon"),
+        expr("ax * 1000 - fc_milli").as("resid"))
+    val wp = Window.partitionBy("event_type", "horizon")
+    val ranked = resid
+      .withColumn("pos", row_number().over(wp.orderBy("resid")) - 1)
+      .withColumn("n", count(lit(1)).over(wp))
+    val bounds = ranked
+      .filter(col("pos") === expr(s"((n - 1) * $LoPct) div 100") ||
+        col("pos") === expr(s"((n - 1) * $HiPct) div 100"))
+      .groupBy("event_type", "horizon")
+      .agg(
+        min(when(col("pos") === expr(s"((n - 1) * $LoPct) div 100"),
+          col("resid"))).as("r_lo"),
+        min(when(col("pos") === expr(s"((n - 1) * $HiPct) div 100"),
+          col("resid"))).as("r_hi"),
+        min("n").as("n_resid"))
+    SeasonalAnomaly.forecastComponents(events, horizon)
+      .withColumn("fc", expr("trend_milli + coalesce(seas_milli, 0)"))
+      .join(broadcast(bounds), Seq("event_type", "horizon"), "left")
+      .select(col("event_type"), col("day"), col("horizon"),
+        col("fc").as("forecast_milli"),
+        (col("fc") + col("r_lo")).as("lo_milli"),
+        (col("fc") + col("r_hi")).as("hi_milli"),
+        coalesce(col("n_resid"), lit(0L)).as("n_resid"))
+  }
+
+  def forecastIntervalQ(events: DataFrame): DataFrame =
+    forecastInterval(events).orderBy("event_type", "day")
+
+  /** DuckDB twin: the planned oracle's CTE composition (decompose +
+    * forecast tail + backtest err-chain in one WITH) with the signed
+    * residual and the rank-selected quantile bounds on top. */
+  val forecastIntervalSql: String =
+    s"""WITH ${SeasonalDecompose.decomposeCtes},
+       |${SeasonalAnomaly.forecastTailCtes}, $backtestErrCtes, rsd AS (
+       |  SELECT event_type, horizon, ax * 1000 - fc_milli AS resid
+       |  FROM scored
+       |), rk AS (
+       |  SELECT event_type, horizon, resid,
+       |         row_number() OVER (PARTITION BY event_type, horizon
+       |                            ORDER BY resid) - 1 AS pos,
+       |         count(*) OVER (PARTITION BY event_type, horizon) AS n
+       |  FROM rsd
+       |), qb AS (
+       |  SELECT event_type, horizon,
+       |         CAST(min(CASE WHEN pos = ((n - 1) * $LoPct) // 100
+       |                       THEN resid END) AS BIGINT) AS r_lo,
+       |         CAST(min(CASE WHEN pos = ((n - 1) * $HiPct) // 100
+       |                       THEN resid END) AS BIGINT) AS r_hi,
+       |         CAST(min(n) AS BIGINT) AS n_resid
+       |  FROM rk GROUP BY 1, 2
+       |)
+       |SELECT l.event_type, l.b + hs.horizon AS day, hs.horizon,
+       |       l.trend_milli + COALESCE(m.seas_milli, 0) AS forecast_milli,
+       |       l.trend_milli + COALESCE(m.seas_milli, 0) + q.r_lo AS lo_milli,
+       |       l.trend_milli + COALESCE(m.seas_milli, 0) + q.r_hi AS hi_milli,
+       |       COALESCE(q.n_resid, 0) AS n_resid
+       |FROM level l
+       |CROSS JOIN hs
+       |LEFT JOIN dowm m
+       |  ON m.event_type = l.event_type AND m.dow = (l.b + hs.horizon) % 7
+       |LEFT JOIN qb q ON q.event_type = l.event_type
+       |              AND q.horizon = hs.horizon
        |ORDER BY l.event_type, day""".stripMargin
 }

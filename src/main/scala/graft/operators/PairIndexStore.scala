@@ -125,6 +125,10 @@ object PairIndexStore {
   // ---- the six driver-gated from-store twins (projections/orderings
   // ---- identical to their inline twins; each shares that twin's oracle)
 
+  def containmentIndexedQ(documents: DataFrame): DataFrame =
+    Dedup.containmentFromIndex(indexFor(documents))
+      .orderBy("id1", "id2")
+
   def ngramJaccardIndexedQ(documents: DataFrame): DataFrame =
     Dedup.pairsFromIndex(indexFor(documents))
       .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),

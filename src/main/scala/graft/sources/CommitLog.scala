@@ -1666,6 +1666,102 @@ object CommitLog {
     res
   }
 
+  /** MERGE INTO through the log (round 17) — the upsert verb as a
+    * FIRST-CLASS file-granular commit (Delta's `MERGE INTO ... WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`, public
+    * design; until now MERGE lived only as the cdc_apply + replaceFiles
+    * spec composition). Semantics: source rows are keyed by `key`
+    * (REQUIRED unique in the source — Delta errors when multiple source
+    * rows match one target row; enforced loudly here); every matched
+    * TARGET row takes the source row's full image column-by-column
+    * (per-column cast to the target schema — duplicate target keys stay
+    * duplicated, each row updated, standard UPDATE semantics); source
+    * rows matching nothing INSERT. One serializable commit carries the
+    * affected-file rewrites AND the insert files.
+    *
+    * File-granular economics shared with [[updateWhere]]: only live
+    * files CONTAINING a matched key are rewritten (the semi-join-tagged
+    * scan); a merge touching 0.1% of files rewrites 0.1% of the table
+    * plus the batch-sized insert set. The insert anti-join reads ONLY
+    * the key column of the live set (parquet column pruning — at
+    * 100 TB that is one slim columnar pass, not a row scan). The
+    * matched scan is DV-applied (merge-on-read deletes never
+    * resurrect) and the staged images pass the table's CHECK
+    * constraints like any append. An empty source commits NOTHING
+    * (the no-op convention). */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+                key: String): Either[Conflict, Long] = {
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    if (source.isEmpty) return Right(head)
+    val live = liveFiles(table, head)
+    val schema = schemaAt(table, head)
+    // no live rows: every source row inserts — one append-shaped commit
+    val dups = source.groupBy(key).count().filter(col("count") > 1).limit(1).count()
+    require(dups == 0L, s"mergeInto: source has duplicate '$key' keys")
+    if (live.isEmpty) {
+      val adds = stage(table, source)
+      validateConstraints(spark, table, source, "merge")
+      val res = replaceFiles(table, head, Nil, adds)
+      if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+      return res
+    }
+    val paths = live.map(f => Paths.get(table, f).toString)
+    val base = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    require(source.columns.sorted.sameElements(base.columns.sorted),
+      s"mergeInto: source columns (${source.columns.sorted.mkString(", ")}) " +
+        s"must match $table's (${base.columns.sorted.mkString(", ")})")
+    base.columns.filter(_.startsWith("_graft_")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"mergeInto: column '$c' on $table collides with the reserved " +
+          "'_graft_' helper-column prefix")
+    }
+    // align + cast the source image to the target schema once; both the
+    // affected-file rewrite and the insert set read this frame
+    val src = base.schema.fields.foldLeft(source) { (df, f) =>
+      df.withColumn(f.name, col(f.name).cast(f.dataType))
+    }.select(base.columns.map(col): _*).localCheckpoint()
+    val tagged = applyDvs(spark, table,
+      base.withColumn("_graft_file", input_file_name()), liveDvs(table, head))
+    val srcKeys = src.select(col(key)).distinct()
+    val affectedPaths = tagged.join(srcKeys, Seq(key), "left_semi")
+      .select("_graft_file").distinct().collect().map(_.getString(0)).toSet
+    val affected = affectedOf(live, affectedPaths)
+    // matched rows take the source image column-by-column; a left join
+    // against the key-unique source makes the match flag per target row
+    val others = base.columns.filterNot(_ == key)
+    val srcPref = src.select(
+      col(key) +: (others.map(c => col(c).as(s"_graft_src_$c")) :+
+        lit(true).as("_graft_m")): _*)
+    val rewritten =
+      if (affected.isEmpty) None
+      else {
+        val aff = tagged.filter(col("_graft_file").isin(affectedPaths.toSeq: _*))
+          .join(srcPref, Seq(key), "left")
+        val merged = others.foldLeft(aff) { (df, c) =>
+          df.withColumn(c, when(coalesce(col("_graft_m"), lit(false)),
+            col(s"_graft_src_$c")).otherwise(col(c)))
+        }
+        Some(merged.select(base.columns.map(col): _*))
+      }
+    // inserts: source keys absent from the ENTIRE live set (key-column-
+    // pruned scan), not just the affected files
+    val inserts = src.join(tagged.select(col(key)), Seq(key), "left_anti")
+      .select(base.columns.map(col): _*)
+    val staged = rewritten match {
+      case Some(r) => r.unionByName(inserts)
+      case None => inserts
+    }
+    validateConstraints(spark, table, staged, "merge")
+    val adds = stage(table, staged)
+    val res = replaceFiles(table, head, affected, adds)
+    if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    res
+  }
+
   /** RENAME COLUMN (round 14 — the non-widening half of schema
     * evolution): copy-on-write + a schema metadata action in ONE
     * serializable commit (Delta without column mapping does exactly

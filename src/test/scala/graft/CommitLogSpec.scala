@@ -1569,4 +1569,79 @@ class CommitLogSpec extends AnyFunSuite {
       })))
     assert(Set(0L, 1L).subsetOf(wide))
   }
+
+  test("mergeInto: matched rows take the source image, unmatched insert, match-free files survive; duplicate targets stay duplicated") {
+    val t = tmpTable()
+    // v0 holds ids 1-4 with id 2 DUPLICATED (two target rows, one key);
+    // v1 holds 5-6 — no v1 key is in the source, so v1's file must
+    // survive the merge on disk (the file-granular contract)
+    CommitLog.append(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (2L, "b2", 21L), (3L, "c", 30L),
+        (4L, "d", 40L)).toDF("id", "s", "n"))
+    val v1 = CommitLog.append(spark, t,
+      Seq((5L, "e", 50L), (6L, "f", 60L)).toDF("id", "s", "n"))
+    val v1Files = CommitLog.commits(t, v1).last.adds.toSet
+    val src = Seq((2L, "X", 200L), (10L, "new", 100L)).toDF("id", "s", "n")
+    val v2 = CommitLog.mergeInto(spark, t, src, "id") match {
+      case Right(v) => v
+      case Left(c) => fail(s"unexpected conflict: $c")
+    }
+    val rows = CommitLog.read(spark, t, Some(v2))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted
+    assert(rows.toSeq == Seq((1L, "a", 10L), (2L, "X", 200L), (2L, "X", 200L),
+      (3L, "c", 30L), (4L, "d", 40L), (5L, "e", 50L), (6L, "f", 60L),
+      (10L, "new", 100L)),
+      s"merge image mismatch: ${rows.mkString(";")}")
+    val live = CommitLog.liveFiles(t, v2).toSet
+    assert(v1Files.subsetOf(live), "match-free file rewritten by the merge")
+    // older versions untouched (snapshot isolation across the merge)
+    assert(CommitLog.read(spark, t, Some(v1)).count() == 7)
+  }
+
+  test("mergeInto: duplicate SOURCE keys fail loudly; empty source no-ops; all-insert path on a live-empty table") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, "a")).toDF("id", "s"))
+    intercept[IllegalArgumentException] {
+      CommitLog.mergeInto(spark, t,
+        Seq((7L, "x"), (7L, "y")).toDF("id", "s"), "id")
+    }
+    val head = CommitLog.latestVersion(t)
+    assert(CommitLog.mergeInto(spark, t,
+      Seq.empty[(Long, String)].toDF("id", "s"), "id") == Right(head),
+      "empty source must not commit")
+    // drain the table to zero live rows: merge then inserts everything
+    CommitLog.deleteWhere(spark, t, col("id") >= 0L)
+    val r = CommitLog.mergeInto(spark, t,
+      Seq((8L, "ins")).toDF("id", "s"), "id")
+    assert(r.isRight)
+    assert(CommitLog.read(spark, t).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSeq == Seq((8L, "ins")))
+  }
+
+  test("mergeInto x deletion vectors: a DV-deleted row is NOT matched — the source row inserts once, never resurrects the old image") {
+    val t = tmpTable()
+    CommitLog.append(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    CommitLog.deleteWhereDv(spark, t, col("id") === 2L)
+    val r = CommitLog.mergeInto(spark, t,
+      Seq((2L, "reborn")).toDF("id", "s"), "id")
+    assert(r.isRight)
+    val rows = CommitLog.read(spark, t).collect()
+      .map(x => (x.getLong(0), x.getString(1))).sorted
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "reborn"), (3L, "c")),
+      s"DV'd key must re-enter as a fresh insert exactly once: ${rows.mkString(";")}")
+  }
+
+  test("mergeInto: staged images pass CHECK constraints like any write") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, 10L)).toDF("id", "n"))
+    assert(CommitLog.addConstraint(spark, t, "n_pos", "n > 0").isRight)
+    val head = CommitLog.latestVersion(t)
+    intercept[IllegalStateException] {
+      CommitLog.mergeInto(spark, t, Seq((1L, -5L)).toDF("id", "n"), "id")
+    }
+    assert(CommitLog.latestVersion(t) == head, "rejected merge must not commit")
+    assert(CommitLog.mergeInto(spark, t,
+      Seq((1L, 99L)).toDF("id", "n"), "id").isRight)
+  }
 }

@@ -111,6 +111,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("containment flags the planted doc-in-doc pair the jaccard miner is blind to") {
+    import spark.implicits._
+    // doc 2 (4 bigrams) is fully embedded in doc 1 (7 bigrams):
+    // containment 4/4 = 1.0, jaccard 4/7 ≈ 0.571 < 0.8 — the asymmetric
+    // algebra's reason to exist, pinned in BOTH directions. doc 4 shares
+    // one bigram with doc 1 (containment 1/3) and stays below the gate.
+    val docs4 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "iota kappa lambda mu"),
+      (4L, "alpha beta nu xi")).toDF("doc_id", "text")
+    val cp = Dedup.containmentPairs(docs4).collect()
+    assert(cp.length == 1, s"exactly the planted pair: ${cp.mkString(";")}")
+    val r = cp.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(5) == 2L, "contained_id = the smaller (embedded) side")
+    assert(r.getDouble(6) == 1.0, "full embedding => containment exactly 1")
+    assert(Dedup.ngramJaccardPairs(docs4).count() == 0L,
+      "the jaccard miner at its own threshold misses the embedded doc")
+  }
+
+  test("containment inline == from the persisted pair index (row identity)") {
+    val inline = Dedup.containmentQ(docs).collect().map(_.toString)
+    val indexed = Dedup.containmentFromIndex(Dedup.pairIndex(docs))
+      .orderBy("id1", "id2").collect().map(_.toString)
+    assert(inline.sameElements(indexed))
+    assert(inline.nonEmpty, "gate corpus must exercise the miner")
+  }
+
   test("dedup clusters: chained near-dups collapse into one component") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps on running far"

@@ -44,6 +44,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "corpus_filter" -> TextOps.corpusFilter(d),
       "corpus_split" -> TextOps.corpusSplit(d),
       "ngram_jaccard" -> Dedup.ngramJaccardPairs(d),
+      "dedup_containment" -> Dedup.containmentPairs(d),
       "ngram_jaccard_salted" -> Dedup.ngramJaccardPairs(d, saltCandidates = Some(4)),
       "dedup_clusters" -> Dedup.dedupClusters(d),
       "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBest(d),
@@ -229,6 +230,10 @@ class EmptyInputSpec extends AnyFunSuite {
           StructType(Seq(StructField("event_type", StringType),
             StructField("ts", TimestampType))))),
       "forecast_planned" -> ForecastBacktest.forecastPlanned(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("event_type", StringType),
+            StructField("ts", TimestampType))))),
+      "forecast_interval" -> ForecastBacktest.forecastInterval(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("event_type", StringType),
             StructField("ts", TimestampType))))),

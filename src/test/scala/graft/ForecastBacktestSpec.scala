@@ -122,6 +122,75 @@ class ForecastBacktestSpec extends AnyFunSuite {
     assert(short.nonEmpty && short.forall(_.getString(3) == "naive"))
   }
 
+  /** The interval reference: per horizon the SIGNED residuals
+    * `x(d)·1000 − fc` across cutoffs, sorted, rank-selected at
+    * ((n−1)·p) div 100 — the operator's own arithmetic in plain Scala. */
+  private def referenceResiduals(xs: Seq[Long]): Map[Long, Vector[Long]] = {
+    val n = xs.length
+    val acc = scala.collection.mutable.Map.empty[Long, Vector[Long]]
+      .withDefaultValue(Vector.empty)
+    (ForecastBacktest.MinTrain until n - 1).foreach { b =>
+      val trend = (0 to b).map { d =>
+        val lo = math.max(0, d - 3); val hi = math.min(b, d + 3)
+        (lo to hi).map(xs).sum * 1000L / (hi - lo + 1)
+      }
+      val detr = (0 to b).map(d => xs(d) * 1000L - trend(d))
+      val seas = (0 until 7).map { w =>
+        val idx = (0 to b).filter(_ % 7 == w)
+        val ds = idx.map(detr).sum
+        if (ds < 0) -((-ds) / idx.length) else ds / idx.length
+      }
+      val level = trend(b)
+      (1 to ForecastBacktest.Horizon).foreach { h =>
+        val d = b + h
+        if (d < n) {
+          val fc = level + seas(d % 7)
+          acc(h.toLong) = acc(h.toLong) :+ (xs(d) * 1000L - fc)
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  test("forecast_interval: bounds match the sorted-residual rank select on a pseudorandom series") {
+    val xs = (0 until 35).map(d => ((d * 11 + 5) % 17).toLong)
+    val res = referenceResiduals(xs)
+    val out = ForecastBacktest.forecastInterval(eventsFor(xs))
+      .orderBy("day").collect()
+    assert(out.length == ForecastBacktest.Horizon)
+    out.foreach { r =>
+      val h = r.getLong(2); val fc = r.getLong(3)
+      val sorted = res(h).sorted
+      val n = sorted.length
+      val kLo = ((n - 1).toLong * ForecastBacktest.LoPct) / 100
+      val kHi = ((n - 1).toLong * ForecastBacktest.HiPct) / 100
+      assert(r.getLong(4) == fc + sorted(kLo.toInt), s"h=$h lo")
+      assert(r.getLong(5) == fc + sorted(kHi.toInt), s"h=$h hi")
+      assert(r.getLong(6) == n.toLong, s"h=$h n_resid")
+      assert(r.getLong(4) <= r.getLong(5), s"h=$h bracket")
+    }
+  }
+
+  test("forecast_interval: constant series collapses to a point interval; short span carries NULL bounds") {
+    val const = ForecastBacktest.forecastInterval(eventsFor(Seq.fill(20)(7L)))
+      .collect()
+    assert(const.nonEmpty)
+    const.foreach { r =>
+      assert(r.getLong(3) == 7000L)
+      assert(r.getLong(4) == 7000L && r.getLong(5) == 7000L,
+        "zero residuals => lo = hi = forecast")
+      assert(r.getLong(6) > 0L)
+    }
+    // span 8: forecastable (decompose exists) but zero evaluable cutoffs
+    val short = ForecastBacktest.forecastInterval(eventsFor(Seq.fill(8)(5L)))
+      .collect()
+    assert(short.nonEmpty, "forecast still ships without evidence")
+    short.foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5), "no evidence => no interval")
+      assert(r.getLong(6) == 0L)
+    }
+  }
+
   test("two types evaluate independently") {
     // +1 keeps the span's END days observed (a zero count on the last
     // day would shrink the operator's dense axis — the span is defined
