@@ -729,6 +729,11 @@ object SparkEntry {
     // match-free files require'd untouched on disk
     "commitlog_merge" -> ((s, d) =>
       CommitLogRead.commitLogMergeQ(Tables.documents(s, d))),
+    // round 17: Hive/Delta partition layout — value-pure files make
+    // equality pruning EXACT through the existing stats machinery;
+    // census cut + zero-residual + checkpoint stability require'd
+    "commitlog_partition" -> ((s, d) =>
+      CommitLogRead.commitLogPartitionQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -1052,6 +1057,7 @@ object SparkEntry {
     "commitlog_clone" -> CommitLogRead.commitLogCloneSql,
     "commitlog_constraint" -> CommitLogRead.commitLogConstraintSql,
     "commitlog_merge" -> CommitLogRead.commitLogMergeSql,
+    "commitlog_partition" -> CommitLogRead.commitLogPartitionSql,
     "commitlog_update_dv" -> CommitLogRead.commitLogUpdateDvSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,

@@ -293,6 +293,69 @@ object CommitLogRead {
       .orderBy("version", "doc_id")
   }
 
+  /** PARTITIONED LAYOUT in the gate (round 17) — [[CommitLog
+    * .appendPartitioned]] with its pruning contract require'd on the
+    * actual directory:
+    *  - v0 PARTITIONED APPEND evens by `source`
+    *  - v1 PARTITIONED APPEND odds  by `source` (partitions accumulate)
+    *  - CHECKPOINT, then probe `source = min(source)`
+    * In-query requires (≥ 2 distinct sources): the pruned census is
+    * strictly smaller than the live set, the kept files are EXACTLY
+    * the probe partition's (the pruned read carries ZERO non-matching
+    * rows — value purity makes equality pruning exact, not a band),
+    * and the census is checkpoint-stable. Emits the head (tag 0) and
+    * the probe partition (tag 1), both DuckDB-checked. */
+  def commitLogPartitionQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_prt").resolve("t").toString
+    if (base.isEmpty)
+      return base.limit(0).select(lit(0L).as("version"), col("doc_id"),
+        col("source"), col("n_chars"))
+    CommitLog.appendPartitioned(spark, table,
+      base.filter(col("doc_id") % 2 === 0), Seq("source")) // v0
+    CommitLog.appendPartitioned(spark, table,
+      base.filter(col("doc_id") % 2 === 1), Seq("source")) // v1
+    val probe = base.agg(min("source")).head().getString(0)
+    val cond = col("source") === probe
+    val nLive = CommitLog.liveFiles(table, CommitLog.latestVersion(table)).size
+    val kept = CommitLog.prunedLiveFiles(spark, table, cond)
+    val nSources = base.select("source").distinct().count()
+    if (nSources >= 2) {
+      require(kept.size < nLive,
+        s"partition pruning must cut the live set: kept ${kept.size} of $nLive")
+      require(CommitLog.readPruned(spark, table, cond)
+        .filter(!cond).isEmpty,
+        "value-pure layout must make equality pruning EXACT (zero " +
+          "non-matching rows in the kept files)")
+    }
+    CommitLog.checkpoint(table)
+    require(CommitLog.prunedLiveFiles(spark, table, cond).sorted == kept.sorted,
+      "partition stats must fold through checkpoints unchanged")
+    CommitLog.read(spark, table)
+      .select(lit(0L).as("version"), col("doc_id"), col("source"), col("n_chars"))
+      .unionByName(CommitLog.readWhere(spark, table, cond)
+        .select(lit(1L).as("version"), col("doc_id"), col("source"),
+          col("n_chars")))
+      .orderBy("version", "doc_id")
+  }
+
+  /** Oracle: the full corpus (tag 0) + the min-source partition
+    * (tag 1). */
+  val commitLogPartitionSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), v AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, doc_id, source, n_chars
+      |  FROM base
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), doc_id, source, n_chars FROM base
+      |  WHERE source = (SELECT min(source) FROM base)
+      |)
+      |SELECT version, doc_id, source, n_chars
+      |FROM v
+      |ORDER BY version, doc_id""".stripMargin
+
   /** MERGE INTO in the gate (round 17) — the upsert verb with on-disk
     * evidence ([[CommitLog.mergeInto]] — until now MERGE semantics were
     * gate-checked only through cdc_apply's in-memory form):

@@ -1203,6 +1203,88 @@ object CommitLog {
                       ctsMillis: Option[Long] = None): Long =
     appendWithRetries(spark, table, df, maxRetries, ctsMillis, withStats = true)._1
 
+  /** PARTITIONED APPEND (round 17) — the Hive/Delta partition-layout
+    * verb: one append whose staged files are each VALUE-PURE in the
+    * partition column(s) (every row of a file shares one partition
+    * tuple — the write routes rows through a `partitionBy` directory
+    * layout, then flattens the leaves into the table's flat namespace).
+    * On a value-pure file the partition column's riding stats collapse
+    * to min == max == the value, so the EXISTING skipping machinery
+    * ([[prunedLiveFiles]]/[[readWhere]]) turns an equality/IN probe on
+    * a partition column into EXACT partition pruning: the kept set is
+    * precisely the matching partitions' files and the scan reads zero
+    * non-matching rows — the first-order 100 TB layout primitive
+    * (partition on the column every query filters by; stats banding
+    * remains the second-order cut within a partition).
+    *
+    * Stated divergence from Delta: partition values STAY in the data
+    * files (a plain parquet reader sees the full schema; dictionary/RLE
+    * encoding makes a constant column ~free) instead of being lifted
+    * into partitionValues-only log metadata — the pruning contract is
+    * the same, and no read-path reconstruction is needed. Partition
+    * columns are REQUIRED low-cardinality by design (the partition_plan
+    * advisor's contract) — the leaf walk is |partitions|-bounded driver
+    * metadata. */
+  def appendPartitioned(spark: SparkSession, table: String, df: DataFrame,
+                        partCols: Seq[String], maxRetries: Int = 50,
+                        ctsMillis: Option[Long] = None): Long = {
+    require(partCols.nonEmpty, "appendPartitioned: no partition columns")
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"appendPartitioned: no column '$c' (${df.columns.mkString(", ")})"))
+    validateConstraints(spark, table, df, "append")
+    val adds = stagePartitioned(table, df, partCols)
+    val stats = statsFor(spark, table, adds)
+    var v = latestVersion(table) + 1
+    var tries = 0
+    while (!tryCommit(table, v, adds, Nil, addStats = stats,
+      ctsMillis = ctsMillis)) {
+      tries += 1
+      require(tries <= maxRetries,
+        s"appendPartitioned lost $maxRetries commit races on $table")
+      v = math.max(v + 1, latestVersion(table) + 1)
+    }
+    v
+  }
+
+  /** [[stage]] through a `partitionBy` directory write: rows route to
+    * per-tuple leaf directories (duplicated `_graft_p_*` helper columns
+    * feed the router so the DATA files keep the original columns —
+    * Spark's partitionBy drops its partition columns from file data),
+    * then every leaf part-file flattens into the table root under the
+    * staged-name convention. Value purity per file is the router's
+    * guarantee. */
+  private def stagePartitioned(table: String, df: DataFrame,
+                               partCols: Seq[String]): Seq[String] = {
+    Files.createDirectories(Paths.get(table))
+    df.columns.filter(_.startsWith("_graft_")).foreach { c =>
+      throw new IllegalArgumentException(
+        s"appendPartitioned: column '$c' collides with the reserved " +
+          "'_graft_' helper-column prefix")
+    }
+    val prefix = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = Paths.get(table, s"_tmp_$prefix")
+    val helpers = partCols.map(c => s"_graft_p_$c")
+    val dup = partCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"_graft_p_$c", col(c)))
+    dup.write.mode("overwrite").partitionBy(helpers: _*).parquet(tmp.toString)
+    val walk = Files.walk(tmp)
+    val leaves =
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toVector.sortBy(_.toString)
+      finally walk.close()
+    val named = leaves.zipWithIndex.map { case (p, i) =>
+      val name = f"$prefix-part-$i%05d.parquet"
+      Files.move(p, Paths.get(table, name))
+      name
+    }
+    // recursive cleanup of the now-empty partition directory tree
+    val sweep = Files.walk(tmp)
+    val all = try sweep.iterator().asScala.toVector finally sweep.close()
+    all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    named
+  }
+
   /** Latest transaction version recorded for `appId` at or below table
     * version `asOf` (−1 if none) — the idempotence watermark. Scans the
     * log BACKWARD and stops at the FIRST commit carrying a txn for this

@@ -1632,6 +1632,43 @@ class CommitLogSpec extends AnyFunSuite {
       s"DV'd key must re-enter as a fresh insert exactly once: ${rows.mkString(";")}")
   }
 
+  test("appendPartitioned: every staged file is value-pure; equality pruning is exact; multi-column tuples route correctly") {
+    val t = tmpTable()
+    val df = (0L until 60L).map(i =>
+      (i, s"src${i % 3}", s"lang${i % 2}", i * 10)).toDF("id", "src", "lang", "n")
+    val v = CommitLog.appendPartitioned(spark, t, df, Seq("src", "lang"))
+    // value purity ON DISK: each live file holds exactly one (src, lang)
+    CommitLog.liveFiles(t, v).foreach { f =>
+      val one = spark.read.parquet(java.nio.file.Paths.get(t, f).toString)
+      assert(one.select("src", "lang").distinct().count() == 1L,
+        s"file $f is not partition-value-pure")
+      assert(one.columns.toSeq == Seq("id", "src", "lang", "n"),
+        "data files must keep the full schema (no dropped partition cols)")
+    }
+    // exact pruning on the tuple: kept census == the one partition's files,
+    // zero non-matching rows in the kept set
+    val cond = col("src") === "src1" && col("lang") === "lang0"
+    val kept = CommitLog.prunedLiveFiles(spark, t, cond)
+    assert(kept.size < CommitLog.liveFiles(t, v).size)
+    val pruned = CommitLog.readPruned(spark, t, cond)
+    assert(pruned.filter(!cond).isEmpty, "equality pruning must be exact")
+    assert(CommitLog.readWhere(spark, t, cond).count() ==
+      df.filter(col("src") === "src1" && col("lang") === "lang0").count())
+  }
+
+  test("appendPartitioned coexists with plain appends: pruning stays sound, reads stay whole") {
+    val t = tmpTable()
+    CommitLog.appendPartitioned(spark, t,
+      (0L until 20L).map(i => (i, s"p${i % 2}")).toDF("id", "s"), Seq("s"))
+    CommitLog.append(spark, t, // stats-less plain files: never pruned
+      (20L until 30L).map(i => (i, "p0")).toDF("id", "s"))
+    val cond = col("s") === "p0"
+    val rows = CommitLog.readWhere(spark, t, cond).collect().map(_.getLong(0)).toSet
+    assert(rows == ((0L until 20L).filter(_ % 2 == 0) ++ (20L until 30L)).toSet,
+      "a stats-less file must be kept, not lost, by the pruning cut")
+    assert(CommitLog.read(spark, t).count() == 30L)
+  }
+
   test("mergeInto: staged images pass CHECK constraints like any write") {
     val t = tmpTable()
     CommitLog.append(spark, t, Seq((1L, 10L)).toDF("id", "n"))
