@@ -798,6 +798,8 @@ object SparkEntry {
       Dedup.containmentQ(Tables.documents(s, d))),
     "dedup_containment_indexed" -> ((s, d) =>
       PairIndexStore.containmentIndexedQ(Tables.documents(s, d))),
+    "dedup_containment_incremental" -> ((s, d) =>
+      Dedup.containmentIncrementalQ(Tables.documents(s, d))),
     "l_diversity_audit" -> ((s, d) => LDiversity.lDiversityAuditQ(Tables.documents(s, d))),
     "t_closeness_audit" -> ((s, d) => TCloseness.tClosenessAuditQ(Tables.documents(s, d))),
     "substring_clean" -> ((s, d) => SubstringDedup.substringCleanQ(Tables.documents(s, d))),
@@ -1079,6 +1081,7 @@ object SparkEntry {
     "dedup_ngram_jaccard_indexed" -> Dedup.ngramJaccardSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_containment_indexed" -> Dedup.containmentSql,
+    "dedup_containment_incremental" -> Dedup.containmentIncrementalSql,
     "dedup_cluster_indexed" -> Dedup.dedupClustersSql,
     "dedup_cluster_keep_best_indexed" -> Dedup.dedupClusterKeepBestSql,
     "dedup_threshold_sweep_indexed" -> ThresholdSweep.dedupThresholdSweepSql,

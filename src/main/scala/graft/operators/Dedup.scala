@@ -319,6 +319,40 @@ object Dedup {
   def pairIndexDeltaQ(documents: DataFrame): DataFrame =
     pairIndexDelta(documents).orderBy("id1", "id2")
 
+  /** Containment admission at BATCH cost (round 17): the batch-touching
+    * containment pairs — [[pairIndexDelta]]'s two bounded joins feed the
+    * same [[containmentFromIndex]] map, so a standing corpus admits new
+    * documents against the asymmetric algebra without re-touching the
+    * corpus×corpus pair space (a batch doc that is a near-subset OR
+    * near-superset of any standing doc surfaces here; the incremental
+    * matrix's containment cell). Oracle = the FULL τ=0 stats filtered to
+    * batch-touching + the containment gate — agreement proves the delta
+    * mine is exactly the full mine's increment under this algebra too. */
+  def containmentIncremental(documents: DataFrame,
+                             batchMod: Long = IncrementalBatchMod): DataFrame =
+    containmentFromIndex(pairIndexDelta(documents, batchMod))
+
+  def containmentIncrementalQ(documents: DataFrame): DataFrame =
+    containmentIncremental(documents).orderBy("id1", "id2")
+
+  /** DuckDB twin: [[pairIndexDeltaSql]]'s batch-touching filter composed
+    * with [[containmentSql]]'s gate over the shared rawpairs stats.
+    * (lazy: [[IncrementalBatchMod]] initializes below this point — an
+    * eager val would interpolate 0.) */
+  lazy val containmentIncrementalSql: String =
+    s"""WITH $ngramJaccardSqlBody, cp AS (
+       |  SELECT id1, id2, n1, n2, inter,
+       |         CASE WHEN n1 <= n2 THEN id1 ELSE id2 END AS contained_id,
+       |         CAST(inter AS DOUBLE) / least(n1, n2) AS containment
+       |  FROM rawpairs
+       |  WHERE inter * 100 >= ${math.round(ContainmentThreshold * 100)} * least(n1, n2)
+       |    AND (id1 % $IncrementalBatchMod = 0 OR id2 % $IncrementalBatchMod = 0)
+       |)
+       |SELECT id1, id2, n1, n2, inter, contained_id,
+       |       ${rsql("containment", 4, "containment")}
+       |FROM cp
+       |ORDER BY id1, id2""".stripMargin
+
   /** The PERSISTED gram index's row shape (round 16 — the r15 weak
     * finding on the streaming label maintainer): one row per (doc,
     * distinct shingle hash), each carrying the doc's shingle count —

@@ -140,6 +140,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(inline.nonEmpty, "gate corpus must exercise the miner")
   }
 
+  test("containment incremental == full containment restricted to batch-touching pairs") {
+    val mod = Dedup.IncrementalBatchMod
+    val full = Dedup.containmentQ(docs).collect()
+      .filter(r => r.getLong(0) % mod == 0 || r.getLong(1) % mod == 0)
+      .map(_.toString)
+    val inc = Dedup.containmentIncrementalQ(docs).collect().map(_.toString)
+    assert(inc.sameElements(full),
+      s"incremental ${inc.length} vs full-restricted ${full.length}")
+  }
+
   test("dedup clusters: chained near-dups collapse into one component") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog and keeps on running far"
