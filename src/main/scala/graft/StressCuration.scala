@@ -185,6 +185,11 @@ object StressCuration {
       time(s"threshold_sweep_maxdf_$tag") {
         ThresholdSweep.dedupThresholdSweep(docs, maxDf = Some(1000L))
       }
+      // round 17: the asymmetric algebra — same τ=0 mine + a map (its
+      // cost class IS threshold_sweep's pair stream); the incremental
+      // form pays only batch-touching joins
+      time(s"containment_$tag") { Dedup.containmentPairs(docs) }
+      time(s"containment_incremental_$tag") { Dedup.containmentIncremental(docs) }
       // round 10: the session's corpus-scaled additions — the θ-sampled
       // heavy hitters (map-side sample kill + vocab-bounded top-K), the
       // window skyline (one per-source sort), the shared-shingle

@@ -1400,7 +1400,15 @@ object CommitLog {
     val live = liveFiles(table, head)
     if (live.isEmpty) return Right(head)
     val schema = schemaAt(table, head)
-    val paths = live.map(f => Paths.get(table, f).toString)
+    // stats/partition cut on the MATCH SCAN (round 17): a file whose
+    // committed stats exclude `cond` cannot contain a match — the
+    // affected-file discovery reads only the possible candidates (on a
+    // partitioned or clustered table, a selective DELETE scans its
+    // partition, not the table; pruning is a necessary condition, so
+    // the affected set is identical)
+    val candidates = prunedLiveFiles(spark, table, cond, Some(head))
+    if (candidates.isEmpty) return Right(head)
+    val paths = candidates.map(f => Paths.get(table, f).toString)
     // DV-applied scan (round 16): a copy-on-write rewrite of a file
     // carrying a deletion vector must not resurrect its DV'd rows
     val tagged = applyDvs(spark, table, (schema match {
@@ -1482,7 +1490,11 @@ object CommitLog {
     val live = liveFiles(table, head)
     if (live.isEmpty) return Right(head)
     val schema = schemaAt(table, head)
-    val paths = live.map(f => Paths.get(table, f).toString)
+    // stats/partition cut on the match scan (round 17, deleteWhere's
+    // rationale): only possible-match files feed the position discovery
+    val candidates = prunedLiveFiles(spark, table, cond, Some(head))
+    if (candidates.isEmpty) return Right(head)
+    val paths = candidates.map(f => Paths.get(table, f).toString)
     val base = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
@@ -1558,7 +1570,11 @@ object CommitLog {
     val live = liveFiles(table, head)
     if (live.isEmpty) return Right(head)
     val schema = schemaAt(table, head)
-    val paths = live.map(f => Paths.get(table, f).toString)
+    // stats/partition cut on the match scan (round 17, deleteWhere's
+    // rationale): only possible-match files feed the position discovery
+    val candidates = prunedLiveFiles(spark, table, cond, Some(head))
+    if (candidates.isEmpty) return Right(head)
+    val paths = candidates.map(f => Paths.get(table, f).toString)
     val base = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
@@ -1690,7 +1706,11 @@ object CommitLog {
     val live = liveFiles(table, head)
     if (live.isEmpty) return Right(head)
     val schema = schemaAt(table, head)
-    val paths = live.map(f => Paths.get(table, f).toString)
+    // stats/partition cut on the match scan (round 17, deleteWhere's
+    // rationale): only possible-match files feed the rewrite discovery
+    val candidates = prunedLiveFiles(spark, table, cond, Some(head))
+    if (candidates.isEmpty) return Right(head)
+    val paths = candidates.map(f => Paths.get(table, f).toString)
     val base = schema match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)

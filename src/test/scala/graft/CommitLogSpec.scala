@@ -1669,6 +1669,35 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.read(spark, t).count() == 30L)
   }
 
+  test("DML match scans are stats-pruned: a predicate-excluded file is never opened (cow and mor verbs)") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val t = tmpTable()
+    CommitLog.appendWithStats(spark, t,
+      (0L until 80L).map(i => (i, s"s$i")).toDF("id", "s")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"))
+    val cond = col("id") <= 9L
+    val head = CommitLog.latestVersion(t)
+    val live = CommitLog.liveFiles(t, head)
+    val kept = CommitLog.prunedLiveFiles(spark, t, cond).toSet
+    assert(kept.size < live.size, "layout must allow a cut")
+    // physically EXILE a file the stats exclude: if the match scan read
+    // the whole live set, the verb would fail on the missing file — the
+    // pruned scan never lists it
+    val exiled = live.filterNot(kept.contains).last
+    JFiles.move(JPaths.get(t, exiled), JPaths.get(t, exiled + ".bak"))
+    val v = CommitLog.deleteWhere(spark, t, cond)
+    assert(v.isRight, s"pruned cow scan must not touch $exiled: $v")
+    val v2 = CommitLog.updateWhereDv(spark, t, col("id") === 12L,
+      Seq("s" -> lit("upd")))
+    assert(v2.isRight, s"pruned mor scan must not touch $exiled: $v2")
+    JFiles.move(JPaths.get(t, exiled + ".bak"), JPaths.get(t, exiled))
+    // with the file back, the table reads whole and both verbs applied
+    val ids = CommitLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(ids == (10L until 80L).toSet)
+    assert(CommitLog.read(spark, t).filter(col("s") === "upd")
+      .collect().map(_.getLong(0)).toSeq == Seq(12L))
+  }
+
   test("mergeInto: staged images pass CHECK constraints like any write") {
     val t = tmpTable()
     CommitLog.append(spark, t, Seq((1L, 10L)).toDF("id", "n"))
