@@ -734,6 +734,11 @@ object SparkEntry {
     // census cut + zero-residual + checkpoint stability require'd
     "commitlog_partition" -> ((s, d) =>
       CommitLogRead.commitLogPartitionQ(Tables.documents(s, d))),
+    // round 17: GENERATED ALWAYS AS — writers omit the derived column
+    // (materialized) or must agree with it (loud reject, require'd);
+    // the canonical derived-partition-column use drives exact pruning
+    "commitlog_gencol" -> ((s, d) =>
+      CommitLogRead.commitLogGencolQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -1060,6 +1065,7 @@ object SparkEntry {
     "commitlog_constraint" -> CommitLogRead.commitLogConstraintSql,
     "commitlog_merge" -> CommitLogRead.commitLogMergeSql,
     "commitlog_partition" -> CommitLogRead.commitLogPartitionSql,
+    "commitlog_gencol" -> CommitLogRead.commitLogGencolSql,
     "commitlog_update_dv" -> CommitLogRead.commitLogUpdateDvSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,

@@ -356,6 +356,80 @@ object CommitLogRead {
       |FROM v
       |ORDER BY version, doc_id""".stripMargin
 
+  /** GENERATED COLUMNS in the gate (round 17) — Delta's `GENERATED
+    * ALWAYS AS`, driver-checked end-to-end with the canonical use (a
+    * derived partition column):
+    *  - v0 APPEND thirds-0 WITH a `len_kb` column (= n_chars div 1000)
+    *  - ADD GENERATED len_kb = n_chars div 1000 (existing rows conform)
+    *  - PARTITIONED APPEND thirds-1 WITHOUT len_kb — materialized by
+    *    the definition, routed into value-pure partition files
+    *  - a WRONG len_kb append is rejected un-committed (require'd)
+    *  - probe len_kb = 0 via readWhere — pruning rides the generated
+    *    partition values (census cut require'd when both buckets exist)
+    * Emits the head (tag 0) + the probe (tag 1); the oracle derives
+    * len_kb straight from n_chars. */
+  def commitLogGencolQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_gen").resolve("t").toString
+    if (base.isEmpty)
+      return base.limit(0).select(lit(0L).as("version"), col("doc_id"),
+        col("source"), col("n_chars"), col("n_chars").as("len_kb"))
+    def must(r: Either[CommitLog.Conflict, Long]): Long = r match {
+      case Right(v) => v
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 0)
+      .withColumn("len_kb", expr("n_chars div 1000"))) // v0
+    must(CommitLog.addGeneratedColumn(spark, table, "len_kb", "n_chars div 1000"))
+    // the canonical use: the writer OMITS the derived column; the
+    // definition materializes it and the partition router uses it
+    CommitLog.appendPartitioned(spark, table,
+      base.filter(col("doc_id") % 3 === 1), Seq("len_kb"))
+    val headBefore = CommitLog.latestVersion(table)
+    val rejected =
+      try {
+        CommitLog.append(spark, table, base.filter(col("doc_id") % 3 === 2)
+          .withColumn("len_kb", lit(-1L)))
+        false
+      } catch { case _: IllegalStateException => true }
+    require(rejected, "a wrong generated value must be rejected loudly")
+    require(CommitLog.latestVersion(table) == headBefore,
+      "the rejected append must not commit")
+    val cond = col("len_kb") === 0L
+    val nLive = CommitLog.liveFiles(table, headBefore).size
+    val kept = CommitLog.prunedLiveFiles(spark, table, cond)
+    val buckets = CommitLog.read(spark, table).select("len_kb").distinct().count()
+    if (buckets >= 2)
+      require(kept.size < nLive,
+        s"generated-partition pruning must cut the live set: ${kept.size}/$nLive")
+    CommitLog.read(spark, table)
+      .select(lit(0L).as("version"), col("doc_id"), col("source"),
+        col("n_chars"), col("len_kb"))
+      .unionByName(CommitLog.readWhere(spark, table, cond)
+        .select(lit(1L).as("version"), col("doc_id"), col("source"),
+          col("n_chars"), col("len_kb")))
+      .orderBy("version", "doc_id")
+  }
+
+  /** Oracle: thirds-0 ∪ thirds-1 with len_kb derived; the probe keeps
+    * the sub-1000-char rows. */
+  val commitLogGencolSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, n_chars, n_chars // 1000 AS len_kb
+      |  FROM documents
+      |  WHERE doc_id % 3 = 0 OR doc_id % 3 = 1
+      |), v AS (
+      |  SELECT CAST(0 AS BIGINT) AS version, doc_id, source, n_chars, len_kb
+      |  FROM base
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), doc_id, source, n_chars, len_kb
+      |  FROM base WHERE len_kb = 0
+      |)
+      |SELECT version, doc_id, source, n_chars, len_kb
+      |FROM v
+      |ORDER BY version, doc_id""".stripMargin
+
   /** MERGE INTO in the gate (round 17) — the upsert verb with on-disk
     * evidence ([[CommitLog.mergeInto]] — until now MERGE semantics were
     * gate-checked only through cdc_apply's in-memory form):

@@ -74,7 +74,9 @@ object CommitLog {
                     dvs: Vector[(String, String)] = Vector.empty,
                     dvRms: Vector[String] = Vector.empty,
                     constraints: Vector[(String, String)] = Vector.empty,
-                    constraintRms: Vector[String] = Vector.empty)
+                    constraintRms: Vector[String] = Vector.empty,
+                    gencols: Vector[(String, String)] = Vector.empty,
+                    gencolRms: Vector[String] = Vector.empty)
 
   /** A serializable rewrite lost the race: someone committed
     * `actualLatest` ≥ the version this writer needed. */
@@ -96,6 +98,9 @@ object CommitLog {
   private val ConstraintRe =
     """\{"constraint":\{"name":"([A-Za-z0-9_]+)","exprB64":"([A-Za-z0-9+/=]+)"\}\}""".r
   private val ConstraintRmRe = """\{"constraintrm":"([A-Za-z0-9_]+)"\}""".r
+  private val GencolRe =
+    """\{"gencol":\{"name":"([A-Za-z0-9_]+)","exprB64":"([A-Za-z0-9+/=]+)"\}\}""".r
+  private val GencolRmRe = """\{"gencolrm":"([A-Za-z0-9_]+)"\}""".r
 
   /** Parsed action lines of one commit or checkpoint body. `dvs` =
     * deletion-vector attachments (dvfile, target data file) — the
@@ -108,7 +113,9 @@ object CommitLog {
                              dvs: Vector[(String, String)],
                              dvRms: Vector[String],
                              constraints: Vector[(String, String)],
-                             constraintRms: Vector[String])
+                             constraintRms: Vector[String],
+                             gencols: Vector[(String, String)],
+                             gencolRms: Vector[String])
 
   /** Parse one commit's lines, FAILING LOUDLY on anything that matches
     * no action pattern — a malformed or future-extended line must
@@ -123,6 +130,8 @@ object CommitLog {
     val dvRms = Vector.newBuilder[String]
     val constraints = Vector.newBuilder[(String, String)]
     val constraintRms = Vector.newBuilder[String]
+    val gencols = Vector.newBuilder[(String, String)]
+    val gencolRms = Vector.newBuilder[String]
     var meta: Option[String] = None
     var cts: Option[Long] = None
     lines.foreach {
@@ -136,13 +145,16 @@ object CommitLog {
       case DvRmRe(t) => dvRms += t
       case ConstraintRe(n, b64) => constraints += (n -> b64)
       case ConstraintRmRe(n) => constraintRms += n
+      case GencolRe(n, b64) => gencols += (n -> b64)
+      case GencolRmRe(n) => gencolRms += n
       case l if l.trim.isEmpty => ()
       case l => throw new IllegalStateException(
         s"unparseable action line in $where: '$l'")
     }
     Actions(adds.result(), removes.result(), txns.result(), meta,
       stats.result(), cts, dvs.result(), dvRms.result(),
-      constraints.result(), constraintRms.result())
+      constraints.result(), constraintRms.result(),
+      gencols.result(), gencolRms.result())
   }
 
   /** Data-file names are embedded in JSON string literals without
@@ -248,7 +260,8 @@ object CommitLog {
                         addStats: Map[String, String],
                         ctsMax: Option[Long],
                         dvs: Vector[(String, String)],
-                        constraints: Vector[(String, String)])
+                        constraints: Vector[(String, String)],
+                        gencols: Vector[(String, String)])
 
   private def readCheckpoint(table: String, v: Long): Cp = {
     val f = checkpointFile(table, v)
@@ -258,8 +271,9 @@ object CommitLog {
     require(a.removes.isEmpty, s"checkpoint $f contains removes")
     require(a.dvRms.isEmpty, s"checkpoint $f contains dv clears")
     require(a.constraintRms.isEmpty, s"checkpoint $f contains constraint drops")
+    require(a.gencolRms.isEmpty, s"checkpoint $f contains gencol drops")
     Cp(a.adds, a.txns, a.meta, complete, a.addStats, a.ctsMillis, a.dvs,
-      a.constraints)
+      a.constraints, a.gencols)
   }
 
   /** Write a checkpoint of the folded state AT `version` — the log-
@@ -284,6 +298,7 @@ object CommitLog {
     val stats = scala.collection.mutable.Map.empty[String, String]
     val dvs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val cons = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var meta: Option[String] = None
     var ctsMax = -1L
     commits(table, v).foreach { c =>
@@ -294,6 +309,8 @@ object CommitLog {
       c.dvRms.foreach(dvs.remove)
       c.constraints.foreach { case (n, b64) => cons(n) = b64 }
       c.constraintRms.foreach(cons.remove)
+      c.gencols.foreach { case (n, b64) => gens(n) = b64 }
+      c.gencolRms.foreach(gens.remove)
       c.txns.foreach { case (app, tv) =>
         txns(app) = math.max(txns.getOrElse(app, -1L), tv)
       }
@@ -313,6 +330,9 @@ object CommitLog {
       // must survive log compaction like every other table invariant
       cons.map { case (n, b64) =>
         s"""{"constraint":{"name":"$n","exprB64":"$b64"}}""" } ++
+      // live generated-column definitions fold through (round 17)
+      gens.map { case (n, b64) =>
+        s"""{"gencol":{"name":"$n","exprB64":"$b64"}}""" } ++
       // live deletion-vector attachments fold through too (round 16) —
       // a checkpointed table must not resurrect merge-on-read deletes
       dvs.map { case (t, p) => s"""{"dv":{"path":"$p","target":"$t"}}""" } ++
@@ -387,7 +407,7 @@ object CommitLog {
     val f = commitFile(table, v)
     val a = parseActions(Files.readAllLines(f).asScala, f)
     Commit(v, a.adds, a.removes, a.txns, a.meta, a.addStats, a.ctsMillis,
-      a.dvs, a.dvRms, a.constraints, a.constraintRms)
+      a.dvs, a.dvRms, a.constraints, a.constraintRms, a.gencols, a.gencolRms)
   }
 
   // ------------------------------------------------- schema evolution
@@ -1069,6 +1089,121 @@ object CommitLog {
     else Left(Conflict(head + 1, latestVersion(table)))
   }
 
+  // ------------------------------------------------ generated columns
+
+  /** Live generated-column definitions at `asOf`: column → SQL
+    * expression text (round 17 — Delta's public generated-columns
+    * surface; same metadata fold as [[constraintsAt]]). */
+  def generatedAt(table: String, asOf: Long = -2L): Map[String, String] = {
+    val v = if (asOf == -2L) latestVersion(table) else asOf
+    if (v < 0) return Map.empty
+    val gens = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def fold(c: Commit): Unit = {
+      c.gencols.foreach { case (n, b64) => gens(n) = b64 }
+      c.gencolRms.foreach(gens.remove)
+    }
+    latestCheckpoint(table, v) match {
+      case None => commits(table, v).foreach(fold)
+      case Some(cp) =>
+        val s = readCheckpoint(table, cp)
+        s.gencols.foreach { case (n, b64) => gens(n) = b64 }
+        ((cp + 1) to v).foreach(u => fold(commits0(table, u)))
+    }
+    gens.map { case (n, b64) =>
+      n -> new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+    }.toMap
+  }
+
+  /** The write-side half of generated columns: a frame LACKING a
+    * generated column gets it MATERIALIZED from the expression (the
+    * writer never has to compute it — Delta's generated-column promise);
+    * a frame that DOES carry it is VALIDATED against the expression
+    * (one agg pass counting null-safe mismatches — a writer supplying
+    * wrong values would silently break every downstream consumer that
+    * trusts the invariant, so it fails loudly instead). Returns the
+    * possibly-augmented frame; every write verb routes its staged rows
+    * through here before constraints validate. */
+  private def applyGenerated(spark: SparkSession, table: String,
+                             df: DataFrame, verb: String): DataFrame = {
+    val gens = generatedAt(table).toSeq
+    if (gens.isEmpty || df.columns.isEmpty) return df
+    gens.foldLeft(df) { case (d, (name, sql)) =>
+      val e =
+        try expr(sql)
+        catch {
+          case ex: Throwable => throw new IllegalArgumentException(
+            s"$verb on $table: generated column '$name' expression failed " +
+              s"to parse: $sql", ex)
+        }
+      if (!d.columns.contains(name)) d.withColumn(name, e)
+      else {
+        val bad = d.agg(sum(when(!(col(name) <=> e), 1L).otherwise(0L))).head()
+        if (!bad.isNullAt(0) && bad.getLong(0) > 0)
+          throw new IllegalStateException(
+            s"$verb on $table rejected: ${bad.getLong(0)} row(s) of " +
+              s"supplied '$name' disagree with its generation " +
+              s"expression ($sql)")
+        d
+      }
+    }
+  }
+
+  /** ADD a generated column (round 17 — Delta's `GENERATED ALWAYS AS`,
+    * public design; stated divergence: Delta declares them at CREATE
+    * TABLE, here one may be added to a live table PROVIDED the column
+    * already exists and every existing row conforms — the addConstraint
+    * shape). The expression must resolve against the schema WITHOUT the
+    * column (that is the materialize contract: a writer omits the
+    * column and the expression fills it). From then on every write verb
+    * materializes-or-validates; the canonical use is a derived
+    * partition column ([[appendPartitioned]] on it gives exact pruning
+    * for probes on the generated value). */
+  def addGeneratedColumn(spark: SparkSession, table: String,
+                         name: String, exprSql: String): Either[Conflict, Long] = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"generated column name must be [A-Za-z0-9_]+, got '$name'")
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    require(!generatedAt(table, head).contains(name),
+      s"generated column '$name' already exists on $table")
+    val cur = read(spark, table, Some(head))
+    if (cur.columns.nonEmpty) {
+      require(cur.columns.contains(name),
+        s"addGeneratedColumn: no column '$name' on $table " +
+          s"(${cur.columns.mkString(", ")}) — evolve the schema first")
+      // the expression must be computable WITHOUT the generated column —
+      // a self-referential definition could never materialize
+      try cur.drop(name).select(expr(exprSql)).queryExecution.analyzed
+      catch {
+        case e: Throwable => throw new IllegalArgumentException(
+          s"addGeneratedColumn on $table: ($exprSql) does not resolve " +
+            s"without '$name'", e)
+      }
+      val viol = cur.filter(!(col(name) <=> expr(exprSql))).count()
+      if (viol > 0) throw new IllegalStateException(
+        s"addGeneratedColumn on $table: $viol existing row(s) disagree " +
+          s"with ($exprSql)")
+    }
+    val b64 = java.util.Base64.getEncoder
+      .encodeToString(exprSql.getBytes("UTF-8"))
+    if (tryCommit(table, head + 1, Nil, Nil, gencols = Seq(name -> b64)))
+      Right(head + 1)
+    else Left(Conflict(head + 1, latestVersion(table)))
+  }
+
+  /** DROP a generated-column definition (metadata only — the column and
+    * its data stay; only the write-side materialize/validate contract
+    * ends). Loud on an unknown name. */
+  def dropGeneratedColumn(table: String, name: String): Either[Conflict, Long] = {
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    require(generatedAt(table, head).contains(name),
+      s"no generated column '$name' on $table")
+    if (tryCommit(table, head + 1, Nil, Nil, gencolRms = Seq(name)))
+      Right(head + 1)
+    else Left(Conflict(head + 1, latestVersion(table)))
+  }
+
   /** Stage a frame's rows as immutable data files in the table directory
     * WITHOUT committing them — invisible to every reader until a commit
     * references them (the two-phase shape both [[append]] and
@@ -1113,15 +1248,17 @@ object CommitLog {
                 dvs: Seq[(String, String)] = Nil,
                 dvRms: Seq[String] = Nil,
                 constraints: Seq[(String, String)] = Nil,
-                constraintRms: Seq[String] = Nil): Boolean = {
-    constraints.foreach { case (n, b64) =>
+                constraintRms: Seq[String] = Nil,
+                gencols: Seq[(String, String)] = Nil,
+                gencolRms: Seq[String] = Nil): Boolean = {
+    (constraints ++ gencols).foreach { case (n, b64) =>
       require(n.matches("[A-Za-z0-9_]+"),
-        s"constraint name must be [A-Za-z0-9_]+, got '$n'")
+        s"constraint/gencol name must be [A-Za-z0-9_]+, got '$n'")
       require(b64.matches("[A-Za-z0-9+/=]+"),
-        s"constraint payload must be base64, got '${b64.take(40)}'")
+        s"constraint/gencol payload must be base64, got '${b64.take(40)}'")
     }
-    constraintRms.foreach(n => require(n.matches("[A-Za-z0-9_]+"),
-      s"constraint name must be [A-Za-z0-9_]+, got '$n'"))
+    (constraintRms ++ gencolRms).foreach(n => require(n.matches("[A-Za-z0-9_]+"),
+      s"constraint/gencol name must be [A-Za-z0-9_]+, got '$n'"))
     (adds ++ removes).foreach(requireSafeName)
     txn.foreach { case (app, v) =>
       requireSafeName(app)
@@ -1146,6 +1283,9 @@ object CommitLog {
       constraintRms.map(n => s"""{"constraintrm":"$n"}""") ++
       constraints.map { case (n, b64) =>
         s"""{"constraint":{"name":"$n","exprB64":"$b64"}}""" } ++
+      gencolRms.map(n => s"""{"gencolrm":"$n"}""") ++
+      gencols.map { case (n, b64) =>
+        s"""{"gencol":{"name":"$n","exprB64":"$b64"}}""" } ++
       dvRms.map(t => s"""{"dvrm":"$t"}""") ++
       dvs.map { case (p, t) => s"""{"dv":{"path":"$p","target":"$t"}}""" } ++
       adds.map(f => addStats.get(f) match {
@@ -1178,8 +1318,9 @@ object CommitLog {
                         maxRetries: Int = 50,
                         ctsMillis: Option[Long] = None,
                         withStats: Boolean = false): (Long, Int) = {
-    validateConstraints(spark, table, df, "append") // before anything stages
-    val adds = stage(table, df)
+    val gdf = applyGenerated(spark, table, df, "append")
+    validateConstraints(spark, table, gdf, "append") // before anything stages
+    val adds = stage(table, gdf)
     val stats = if (withStats) statsFor(spark, table, adds) else Map.empty[String, String]
     var v = latestVersion(table) + 1
     var tries = 0
@@ -1229,10 +1370,13 @@ object CommitLog {
                         partCols: Seq[String], maxRetries: Int = 50,
                         ctsMillis: Option[Long] = None): Long = {
     require(partCols.nonEmpty, "appendPartitioned: no partition columns")
-    partCols.foreach(c => require(df.columns.contains(c),
-      s"appendPartitioned: no column '$c' (${df.columns.mkString(", ")})"))
-    validateConstraints(spark, table, df, "append")
-    val adds = stagePartitioned(table, df, partCols)
+    // generated columns materialize FIRST — a derived partition column
+    // may be absent from the writer's frame (the canonical gencol use)
+    val gdf = applyGenerated(spark, table, df, "append")
+    partCols.foreach(c => require(gdf.columns.contains(c),
+      s"appendPartitioned: no column '$c' (${gdf.columns.mkString(", ")})"))
+    validateConstraints(spark, table, gdf, "append")
+    val adds = stagePartitioned(table, gdf, partCols)
     val stats = statsFor(spark, table, adds)
     var v = latestVersion(table) + 1
     var tries = 0
@@ -1336,8 +1480,9 @@ object CommitLog {
                        maxRetries: Int = 50,
                        withStats: Boolean = false): Option[Long] = {
     if (txnLatest(table, appId) >= txnVersion) return None
-    validateConstraints(spark, table, df, "append") // before anything stages
-    val adds = stage(table, df)
+    val gdf = applyGenerated(spark, table, df, "append")
+    validateConstraints(spark, table, gdf, "append") // before anything stages
+    val adds = stage(table, gdf)
     // stats ride the idempotent sink's adds too (round 17 — the
     // streaming maintainer's gram index prunes its per-batch probe on
     // them); data-skipping metadata only, same as appendWithStats
@@ -1632,6 +1777,7 @@ object CommitLog {
         base.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"updateWhereDv must preserve the schema of $table: " +
         s"${base.schema.simpleString} -> ${images.schema.simpleString}")
+    applyGenerated(spark, table, images, "update") // validate-only: all cols present
     validateConstraints(spark, table, images, "update")
     val adds = stage(table, images)
     val res =
@@ -1760,7 +1906,10 @@ object CommitLog {
       s"updateWhere must preserve the schema of $table: " +
         s"${base.schema.simpleString} -> ${updated.schema.simpleString}")
     // an UPDATE can manufacture violations — the rewritten images must
-    // pass the table's CHECK constraints like any append (round 17)
+    // pass the table's CHECK constraints AND generated-column
+    // invariants like any append (round 17): SET the base column
+    // without its generated derivative and the reject names it
+    applyGenerated(spark, table, updated, "update") // validate-only
     validateConstraints(spark, table, updated, "update")
     val adds = stage(table, updated)
     val res = replaceFiles(table, head, affected, adds)
@@ -1798,12 +1947,15 @@ object CommitLog {
     if (source.isEmpty) return Right(head)
     val live = liveFiles(table, head)
     val schema = schemaAt(table, head)
-    // no live rows: every source row inserts — one append-shaped commit
-    val dups = source.groupBy(key).count().filter(col("count") > 1).limit(1).count()
+    // generated columns materialize-or-validate on the source up front
+    // (round 17): an omitted gencol fills in, a wrong one fails loudly
+    val source1 = applyGenerated(spark, table, source, "merge")
+    val dups = source1.groupBy(key).count().filter(col("count") > 1).limit(1).count()
     require(dups == 0L, s"mergeInto: source has duplicate '$key' keys")
+    // no live rows: every source row inserts — one append-shaped commit
     if (live.isEmpty) {
-      val adds = stage(table, source)
-      validateConstraints(spark, table, source, "merge")
+      validateConstraints(spark, table, source1, "merge")
+      val adds = stage(table, source1)
       val res = replaceFiles(table, head, Nil, adds)
       if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
       return res
@@ -1813,8 +1965,8 @@ object CommitLog {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
-    require(source.columns.sorted.sameElements(base.columns.sorted),
-      s"mergeInto: source columns (${source.columns.sorted.mkString(", ")}) " +
+    require(source1.columns.sorted.sameElements(base.columns.sorted),
+      s"mergeInto: source columns (${source1.columns.sorted.mkString(", ")}) " +
         s"must match $table's (${base.columns.sorted.mkString(", ")})")
     base.columns.filter(_.startsWith("_graft_")).foreach { c =>
       throw new IllegalArgumentException(
@@ -1823,7 +1975,7 @@ object CommitLog {
     }
     // align + cast the source image to the target schema once; both the
     // affected-file rewrite and the insert set read this frame
-    val src = base.schema.fields.foldLeft(source) { (df, f) =>
+    val src = base.schema.fields.foldLeft(source1) { (df, f) =>
       df.withColumn(f.name, col(f.name).cast(f.dataType))
     }.select(base.columns.map(col): _*).localCheckpoint()
     val tagged = applyDvs(spark, table,
@@ -1928,6 +2080,21 @@ object CommitLog {
             "longer resolve — drop it first", e)
       }
     }
+    // same interplay for generated columns: the column must survive and
+    // its expression must still resolve without it
+    generatedAt(table, head).foreach { case (n, sql) =>
+      val probe = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rewritten.schema)
+      val ok =
+        try {
+          probe.schema.fieldNames.contains(n) && {
+            probe.drop(n).select(expr(sql)).queryExecution.analyzed; true
+          }
+        } catch { case _: Throwable => false }
+      if (!ok) throw new IllegalArgumentException(
+        s"cannot $what on $table: generated column '$n' ($sql) would be " +
+          "orphaned — drop its definition first")
+    }
     val b64 = java.util.Base64.getEncoder
       .encodeToString(rewritten.schema.json.getBytes("UTF-8"))
     val removes = liveFiles(table, head)
@@ -1979,8 +2146,11 @@ object CommitLog {
     val enc = java.util.Base64.getEncoder
     val cons = constraintsAt(source, v).toSeq
       .map { case (n, sql) => n -> enc.encodeToString(sql.getBytes("UTF-8")) }
+    // generated-column definitions clone too (round 17) — same rationale
+    val gens = generatedAt(source, v).toSeq
+      .map { case (n, sql) => n -> enc.encodeToString(sql.getBytes("UTF-8")) }
     require(tryCommit(target, 0L, refs, Nil, meta = meta, addStats = stats,
-      dvs = dvs, constraints = cons),
+      dvs = dvs, constraints = cons, gencols = gens),
       s"clone target $target saw a concurrent commit")
     0L
   }

@@ -1698,6 +1698,93 @@ class CommitLogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(12L))
   }
 
+  test("generated columns: materialize-if-absent, validate-if-present, loud reject; checkpoint fold and clone inherit") {
+    val t = tmpTable()
+    CommitLog.append(spark, t,
+      Seq((1L, 10L, 1L), (2L, 25L, 2L)).toDF("id", "n", "dec"))
+    assert(CommitLog.addGeneratedColumn(spark, t, "dec", "n div 10").isRight)
+    // absent => materialized
+    CommitLog.append(spark, t, Seq((3L, 37L)).toDF("id", "n"))
+    val rows = CommitLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(rows.toSeq == Seq((1L, 10L, 1L), (2L, 25L, 2L), (3L, 37L, 3L)))
+    // present-correct lands; present-wrong rejects un-committed
+    CommitLog.append(spark, t, Seq((4L, 44L, 4L)).toDF("id", "n", "dec"))
+    val head = CommitLog.latestVersion(t)
+    intercept[IllegalStateException] {
+      CommitLog.append(spark, t, Seq((5L, 50L, 99L)).toDF("id", "n", "dec"))
+    }
+    assert(CommitLog.latestVersion(t) == head)
+    // fold through a v2 checkpoint: the definition must survive
+    CommitLog.checkpoint(t)
+    assert(CommitLog.generatedAt(t) == Map("dec" -> "n div 10"))
+    intercept[IllegalStateException] {
+      CommitLog.append(spark, t, Seq((6L, 60L, 99L)).toDF("id", "n", "dec"))
+    }
+    // clone inherits the definition
+    val c = tmpTable() + "/clone"
+    CommitLog.shallowClone(t, c)
+    assert(CommitLog.generatedAt(c) == Map("dec" -> "n div 10"))
+    // drop re-opens; unknown drop loud
+    assert(CommitLog.dropGeneratedColumn(t, "dec").isRight)
+    assert(CommitLog.append(spark, t,
+      Seq((7L, 70L, 99L)).toDF("id", "n", "dec")) > 0L)
+    intercept[IllegalArgumentException] {
+      CommitLog.dropGeneratedColumn(t, "nope")
+    }
+  }
+
+  test("generated columns: add validates existing rows; self-reference refused; UPDATE images validate; rename/drop refuse to orphan") {
+    val t = tmpTable()
+    CommitLog.append(spark, t, Seq((1L, 10L, 7L)).toDF("id", "n", "dec"))
+    // existing rows disagree -> loud
+    intercept[IllegalStateException] {
+      CommitLog.addGeneratedColumn(spark, t, "dec", "n div 10")
+    }
+    val t2 = tmpTable()
+    CommitLog.append(spark, t2, Seq((1L, 10L, 1L)).toDF("id", "n", "dec"))
+    // a definition that cannot resolve WITHOUT the column is refused
+    intercept[IllegalArgumentException] {
+      CommitLog.addGeneratedColumn(spark, t2, "dec", "dec + 0")
+    }
+    assert(CommitLog.addGeneratedColumn(spark, t2, "dec", "n div 10").isRight)
+    // an UPDATE that breaks the invariant (SET n without dec) rejects
+    intercept[IllegalStateException] {
+      CommitLog.updateWhere(spark, t2, col("id") === 1L,
+        Seq("n" -> lit(99L)))
+    }
+    // SET both consistently lands
+    assert(CommitLog.updateWhere(spark, t2, col("id") === 1L,
+      Seq("n" -> lit(99L), "dec" -> lit(9L))).isRight)
+    // rename/drop of either side refuse to orphan the definition
+    intercept[IllegalArgumentException] {
+      CommitLog.dropColumn(spark, t2, "dec")
+    }
+    intercept[IllegalArgumentException] {
+      CommitLog.renameColumn(spark, t2, "n", "m")
+    }
+  }
+
+  test("generated columns x partitioned append: an omitted derived partition column routes value-pure and prunes") {
+    val t = tmpTable()
+    CommitLog.append(spark, t,
+      Seq((1L, 100L, 0L)).toDF("id", "n", "bucket"))
+    assert(CommitLog.addGeneratedColumn(spark, t, "bucket", "n div 1000").isRight)
+    // writer omits the derived column entirely — the partition router
+    // still gets it, and every staged file is value-pure in it
+    val v = CommitLog.appendPartitioned(spark, t,
+      (0L until 40L).map(i => (10L + i, i * 100L)).toDF("id", "n"),
+      Seq("bucket"))
+    CommitLog.commits(t, v).last.adds.foreach { f =>
+      val one = spark.read.parquet(java.nio.file.Paths.get(t, f).toString)
+      assert(one.select("bucket").distinct().count() == 1L)
+    }
+    val kept = CommitLog.prunedLiveFiles(spark, t, col("bucket") === 2L)
+    assert(kept.size < CommitLog.liveFiles(t, CommitLog.latestVersion(t)).size)
+    assert(CommitLog.readWhere(spark, t, col("bucket") === 2L).count() ==
+      (0L until 40L).count(i => (i * 100L) / 1000L == 2L))
+  }
+
   test("mergeInto: staged images pass CHECK constraints like any write") {
     val t = tmpTable()
     CommitLog.append(spark, t, Seq((1L, 10L)).toDF("id", "n"))
