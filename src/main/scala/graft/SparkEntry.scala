@@ -805,6 +805,11 @@ object SparkEntry {
       PairIndexStore.containmentIndexedQ(Tables.documents(s, d))),
     "dedup_containment_incremental" -> ((s, d) =>
       Dedup.containmentIncrementalQ(Tables.documents(s, d))),
+    // round 17: the indexed-twin family's amortization advisor — exact
+    // integer candidate-row cost model from the df histogram; when does
+    // the persisted pair index pay for its build?
+    "pair_index_plan" -> ((s, d) =>
+      PairIndexPlan.pairIndexPlanQ(Tables.documents(s, d))),
     "l_diversity_audit" -> ((s, d) => LDiversity.lDiversityAuditQ(Tables.documents(s, d))),
     "t_closeness_audit" -> ((s, d) => TCloseness.tClosenessAuditQ(Tables.documents(s, d))),
     "substring_clean" -> ((s, d) => SubstringDedup.substringCleanQ(Tables.documents(s, d))),
@@ -1088,6 +1093,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_containment_indexed" -> Dedup.containmentSql,
     "dedup_containment_incremental" -> Dedup.containmentIncrementalSql,
+    "pair_index_plan" -> PairIndexPlan.pairIndexPlanSql,
     "dedup_cluster_indexed" -> Dedup.dedupClustersSql,
     "dedup_cluster_keep_best_indexed" -> Dedup.dedupClusterKeepBestSql,
     "dedup_threshold_sweep_indexed" -> ThresholdSweep.dedupThresholdSweepSql,

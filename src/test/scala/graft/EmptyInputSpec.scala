@@ -46,6 +46,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "ngram_jaccard" -> Dedup.ngramJaccardPairs(d),
       "dedup_containment" -> Dedup.containmentPairs(d),
       "dedup_containment_incremental" -> Dedup.containmentIncremental(d),
+      "pair_index_plan" -> PairIndexPlan.pairIndexPlan(d),
       "ngram_jaccard_salted" -> Dedup.ngramJaccardPairs(d, saltCandidates = Some(4)),
       "dedup_clusters" -> Dedup.dedupClusters(d),
       "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBest(d),

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{GroupingSetsAgg, KnnMutual, PartitionPlan}
+import graft.operators.{GroupingSetsAgg, KnnMutual, PairIndexPlan, PartitionPlan}
 
 /** Round-13 trio: GROUPING SETS semantics + single-scan plan, the
   * partition-column advisor's two penalty arms (hand-computed), and
@@ -56,6 +56,28 @@ class PlanAdvisorSpec extends AnyFunSuite {
     // lang and len_bucket tie at 10⁶ with 1 partition each → name ASC
     assert(rec == Set("lang"), s"recommended: $rec")
   }
+
+  test("pair-index advisor: hand-computed integer costs; a single consumer never indexes, two do on a shared-shingle corpus") {
+    import spark.implicits._
+    // dfs: "a b" -> 3, "b c"/"b d"/"b e" -> 1 each
+    // mine_rows = 9 + 1 + 1 + 1 = 12; pair_rows = 3 + 0 + 0 + 0 = 3
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b e"))
+      .toDF("doc_id", "text")
+    val out = PairIndexPlan.pairIndexPlan(docs).collect()
+    assert(out.length == PairIndexPlan.MaxConsumers)
+    val byK = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(byK(1L) == ((12L, 15L, false)), s"k=1: ${byK(1L)}")
+    assert(byK(2L) == ((24L, 18L, true)), s"k=2: ${byK(2L)}")
+    assert(byK(6L) == ((72L, 30L, true)), s"k=6: ${byK(6L)}")
+    // the gate corpus (six registered indexed twins exist): k=6 must
+    // recommend the index — the StressPairIndex measurement's answer
+    val gate = PairIndexPlan.pairIndexPlan(docs4Gate).collect()
+      .find(_.getLong(0) == 6L).get
+    assert(gate.getBoolean(3), "k=6 on the corpus must recommend indexing")
+  }
+
+  private lazy val docs4Gate = Tables.documents(spark, sf)
 
   test("mutual-kNN clusters: a midpoint hub welds threshold-CC into one blob but stays a SINGLETON under mutual-CC") {
     import graft.operators.Similarity
