@@ -739,6 +739,11 @@ object SparkEntry {
     // the canonical derived-partition-column use drives exact pruning
     "commitlog_gencol" -> ((s, d) =>
       CommitLogRead.commitLogGencolQ(Tables.documents(s, d))),
+    // round 17: OPTIMIZE ... WHERE — the hot partition's small-file
+    // debt pays down without touching the cold 99% (both sides
+    // require'd on the actual directory)
+    "commitlog_optimize_where" -> ((s, d) =>
+      CommitLogRead.commitLogOptimizeWhereQ(Tables.documents(s, d))),
     // …and mixture compilation: target per-mille weights + global token
     // budget → per-doc replication plan (full epochs + deterministic
     // partial-pass admission), all-integer
@@ -1071,6 +1076,7 @@ object SparkEntry {
     "commitlog_merge" -> CommitLogRead.commitLogMergeSql,
     "commitlog_partition" -> CommitLogRead.commitLogPartitionSql,
     "commitlog_gencol" -> CommitLogRead.commitLogGencolSql,
+    "commitlog_optimize_where" -> CommitLogRead.commitLogOptimizeWhereSql,
     "commitlog_update_dv" -> CommitLogRead.commitLogUpdateDvSql,
     "mixture_plan" -> MixturePlan.mixturePlanSql,
     "doc_chunk" -> DocChunk.docChunkSql,

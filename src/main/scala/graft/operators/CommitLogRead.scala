@@ -356,6 +356,59 @@ object CommitLogRead {
       |FROM v
       |ORDER BY version, doc_id""".stripMargin
 
+  /** PARTITION-SCOPED OPTIMIZE in the gate (round 17) —
+    * [[CommitLog.compactWhere]] with both sides of the scope require'd
+    * on the actual directory:
+    *  - v0/v1 PARTITIONED APPENDs by `source` (each partition now holds
+    *    ≥ 2 small files)
+    *  - OPTIMIZE WHERE source = min(source): that partition's files
+    *    collapse to ONE; every OTHER partition's file list is
+    *    byte-for-byte the same names (require'd — the cold 99% never
+    *    moves)
+    * Emits the head (tag 0) + the optimized partition (tag 1) — content
+    * identity through a scoped compaction, DuckDB-checked. */
+  def commitLogOptimizeWhereQ(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val table = Files.createTempDirectory("graft_cl_ow").resolve("t").toString
+    if (base.isEmpty)
+      return base.limit(0).select(lit(0L).as("version"), col("doc_id"),
+        col("source"), col("n_chars"))
+    CommitLog.appendPartitioned(spark, table,
+      base.filter(col("doc_id") % 2 === 0), Seq("source")) // v0
+    CommitLog.appendPartitioned(spark, table,
+      base.filter(col("doc_id") % 2 === 1), Seq("source")) // v1
+    val probe = base.agg(min("source")).head().getString(0)
+    val cond = col("source") === probe
+    val headBefore = CommitLog.latestVersion(table)
+    val selectedBefore = CommitLog.prunedLiveFiles(spark, table, cond).toSet
+    val othersBefore =
+      CommitLog.liveFiles(table, headBefore).filterNot(selectedBefore).sorted
+    val v = CommitLog.compactWhere(spark, table, cond) match {
+      case Right(x) => x
+      case Left(c) => throw new IllegalStateException(s"unexpected conflict: $c")
+    }
+    val liveAfter = CommitLog.liveFiles(table, v)
+    val othersAfter = liveAfter.filterNot(selectedBefore).sorted
+    val newFiles = liveAfter.filter(f =>
+      !selectedBefore.contains(f) && !othersBefore.contains(f))
+    require(newFiles.size == 1,
+      s"scoped OPTIMIZE must collapse the partition to one file: $newFiles")
+    require(othersBefore == othersAfter.filterNot(newFiles.contains),
+      "scoped OPTIMIZE must not move any other partition's files")
+    CommitLog.read(spark, table)
+      .select(lit(0L).as("version"), col("doc_id"), col("source"), col("n_chars"))
+      .unionByName(CommitLog.readWhere(spark, table, cond)
+        .select(lit(1L).as("version"), col("doc_id"), col("source"),
+          col("n_chars")))
+      .orderBy("version", "doc_id")
+  }
+
+  /** Oracle: identical to the partition gate's — a scoped compaction
+    * changes layout, never content. (lazy: the shared text initializes
+    * below this point.) */
+  lazy val commitLogOptimizeWhereSql: String = commitLogPartitionSql
+
   /** GENERATED COLUMNS in the gate (round 17) — Delta's `GENERATED
     * ALWAYS AS`, driver-checked end-to-end with the canonical use (a
     * derived partition column):

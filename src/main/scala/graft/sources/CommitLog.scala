@@ -1478,15 +1478,27 @@ object CommitLog {
   def appendIdempotent(spark: SparkSession, table: String, df: DataFrame,
                        appId: String, txnVersion: Long,
                        maxRetries: Int = 50,
-                       withStats: Boolean = false): Option[Long] = {
+                       withStats: Boolean = false,
+                       partitionBy: Seq[String] = Nil): Option[Long] = {
     if (txnLatest(table, appId) >= txnVersion) return None
     val gdf = applyGenerated(spark, table, df, "append")
     validateConstraints(spark, table, gdf, "append") // before anything stages
-    val adds = stage(table, gdf)
+    // partitionBy (round 17): a streaming sink lands value-pure
+    // partition files exactly-once — [[stagePartitioned]]'s router
+    // under [[appendIdempotent]]'s txn watermark; stats always ride a
+    // partitioned write (they ARE its pruning payload)
+    val adds =
+      if (partitionBy.isEmpty) stage(table, gdf)
+      else {
+        partitionBy.foreach(c => require(gdf.columns.contains(c),
+          s"appendIdempotent: no partition column '$c' " +
+            s"(${gdf.columns.mkString(", ")})"))
+        stagePartitioned(table, gdf, partitionBy)
+      }
     // stats ride the idempotent sink's adds too (round 17 — the
     // streaming maintainer's gram index prunes its per-batch probe on
     // them); data-skipping metadata only, same as appendWithStats
-    val stats = if (withStats) statsFor(spark, table, adds)
+    val stats = if (withStats || partitionBy.nonEmpty) statsFor(spark, table, adds)
                 else Map.empty[String, String]
     var tries = 0
     while (true) {
@@ -2338,6 +2350,42 @@ object CommitLog {
     // a lost race leaves the staged rewrite referenced by nothing: clean
     // it up here so retry loops don't leak (vacuum's orphan sweep is the
     // backstop for callers that crash before reaching this line)
+    if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    res
+  }
+
+  /** PARTITION-SCOPED OPTIMIZE (round 17 — Delta's `OPTIMIZE ... WHERE`,
+    * public design): compact ONLY the live files whose stats possibly
+    * match `cond` — on a partitioned/clustered table, the hot
+    * partition's small-file debt pays down without touching the cold
+    * 99% (the whole-table [[compact]] is a 100 TB-sized rewrite; this
+    * is a partition-sized one). File-granular content identity: every
+    * selected file's rows are carried whole (a selected file's
+    * non-matching rows move with it — selection is by FILE, the
+    * pruning census, not by row), deletion vectors on selected files
+    * are applied and rebased away (their attachments clear with the
+    * removes, the OPTIMIZE interplay), untouched files keep theirs.
+    * Stats recompute on the rewrite ([[compact]]'s rationale). A
+    * predicate selecting nothing no-ops without committing. */
+  def compactWhere(spark: SparkSession, table: String,
+                   cond: org.apache.spark.sql.Column,
+                   targetFiles: Int = 1): Either[Conflict, Long] = {
+    val head = latestVersion(table)
+    require(head >= 0, s"commit-log table $table has no commits")
+    val selected = prunedLiveFiles(spark, table, cond, Some(head))
+    if (selected.isEmpty) return Right(head)
+    val schema = schemaAt(table, head)
+    val paths = selected.map(f => Paths.get(table, f).toString)
+    val base = schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val selectedSet = selected.toSet
+    val dvApplied = applyDvs(spark, table, base,
+      liveDvs(table, head).filter { case (t, _) => selectedSet.contains(t) })
+    val adds = stage(table, dvApplied.repartition(targetFiles))
+    val res = replaceFiles(table, head, selected, adds,
+      statsFor(spark, table, adds))
     if (res.isLeft) adds.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
     res
   }

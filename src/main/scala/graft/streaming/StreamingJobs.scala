@@ -844,6 +844,24 @@ object StreamingJobs {
     ()
   }
 
+  /** [[commitLogSinkBatch]] into a PARTITIONED layout (round 17): each
+    * micro-batch lands through [[graft.sources.CommitLog
+    * .appendIdempotent]]'s partitioned path — value-pure partition
+    * files with riding stats, under the same txn watermark, so the
+    * standard production shape "stream into a partitioned lake table,
+    * exactly-once" is one line of foreachBatch. Generated partition
+    * columns compose: a derived partition column absent from the
+    * stream materializes at the sink ([[graft.sources.CommitLog
+    * .addGeneratedColumn]]). */
+  def commitLogSinkBatchPartitioned(table: String, appId: String,
+                                    partCols: Seq[String])
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    graft.sources.CommitLog.appendIdempotent(
+      batch.sparkSession, table, batch, appId, batchId,
+      partitionBy = partCols)
+    ()
+  }
+
   /** STREAMING INCREMENTAL CLUSTERING (round 15; STORE-BACKED round 16
     * — the r15 verdict's #1 order, its weak finding): near-dup LABEL
     * MAINTENANCE as a foreachBatch sink over the exactly-once pipe, the

@@ -441,6 +441,46 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.latestVersion(t) == v1, "replay created new versions")
   }
 
+  test("partitioned idempotent sink: exactly-once AND value-pure partition files; replay adds nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val t = tmpTable()
+    val src = Files.createTempDirectory("graft_clpsink_src").toString
+    val events = Tables.events(spark, sf).select("event_id", "user_id", "event_type")
+    val ordered = events.orderBy("event_id").collect()
+    def runStream(ckpt: String): Unit =
+      ordered.grouped(math.max(ordered.length / 3, 1)).zipWithIndex.foreach { case (c, _) =>
+        spark.createDataFrame(spark.sparkContext.parallelize(c.toSeq, 1), events.schema)
+          .write.mode("append").parquet(src)
+        val q = spark.readStream.schema(events.schema).parquet(src)
+          .writeStream
+          .foreachBatch(StreamingJobs.commitLogSinkBatchPartitioned(
+            t, "evp_sink", Seq("event_type")))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+      }
+    runStream(Files.createTempDirectory("graft_clpsink_ck1").toString)
+    val after1 = CommitLog.read(spark, t).select("event_id").as[Long].collect().sorted.toSeq
+    assert(after1 == ordered.map(_.getLong(0)).sorted.toSeq,
+      "partitioned sink must land every event exactly once")
+    // every landed file is value-pure in the partition column, and an
+    // equality probe prunes exactly (zero non-matching rows kept)
+    val v1 = CommitLog.latestVersion(t)
+    CommitLog.liveFiles(t, v1).foreach { f =>
+      val one = spark.read.parquet(java.nio.file.Paths.get(t, f).toString)
+      assert(one.select("event_type").distinct().count() == 1L,
+        s"sink file $f not partition-value-pure")
+    }
+    val probe = CommitLog.read(spark, t).select("event_type")
+      .orderBy("event_type").head().getString(0)
+    assert(CommitLog.readPruned(spark, t, col("event_type") === probe)
+      .filter(col("event_type") =!= probe).isEmpty,
+      "partitioned sink stats must prune exactly")
+    // full from-scratch replay: the txn watermark rejects every batch
+    runStream(Files.createTempDirectory("graft_clpsink_ck2").toString)
+    assert(CommitLog.latestVersion(t) == v1, "replay created new versions")
+  }
+
   test("exactly-once PIPE: idempotent sink -> incremental source, end to end through one table") {
     // round 14: the two exactly-once halves composed — a replayable
     // writer lands each micro-batch once (appendIdempotent) while a
@@ -1783,6 +1823,43 @@ class CommitLogSpec extends AnyFunSuite {
     assert(kept.size < CommitLog.liveFiles(t, CommitLog.latestVersion(t)).size)
     assert(CommitLog.readWhere(spark, t, col("bucket") === 2L).count() ==
       (0L until 40L).count(i => (i * 100L) / 1000L == 2L))
+  }
+
+  test("compactWhere: scoped compaction rebases the scope's DVs, keeps others' files and DVs, stays prune-exact") {
+    val t = tmpTable()
+    CommitLog.appendPartitioned(spark, t,
+      (0L until 20L).map(i => (i, s"p${i % 2}")).toDF("id", "s"), Seq("s"))
+    CommitLog.appendPartitioned(spark, t,
+      (20L until 40L).map(i => (i, s"p${i % 2}")).toDF("id", "s"), Seq("s"))
+    // DV one row in EACH partition: the scope's DV must rebase away,
+    // the other partition's must survive untouched
+    CommitLog.deleteWhereDv(spark, t, col("id") === 0L || col("id") === 1L)
+    val head0 = CommitLog.latestVersion(t)
+    val p0Before = CommitLog.prunedLiveFiles(spark, t, col("s") === "p0").toSet
+    val othersBefore = CommitLog.liveFiles(t, head0).filterNot(p0Before).sorted
+    val dvsBefore = CommitLog.liveDvs(t, head0)
+    val v = CommitLog.compactWhere(spark, t, col("s") === "p0") match {
+      case Right(x) => x
+      case Left(c) => fail(s"unexpected conflict: $c")
+    }
+    val liveAfter = CommitLog.liveFiles(t, v)
+    assert(othersBefore == liveAfter.filter(othersBefore.contains).sorted,
+      "out-of-scope files must not move")
+    val dvsAfter = CommitLog.liveDvs(t, v)
+    assert(!dvsAfter.keySet.exists(p0Before.contains),
+      "in-scope DVs must rebase away")
+    assert(dvsAfter == dvsBefore.filter { case (tg, _) => !p0Before.contains(tg) },
+      "out-of-scope DVs must survive untouched")
+    // content identity: the two DV'd rows stay deleted, everything else whole
+    val ids = CommitLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(ids == (2L until 40L).toSet)
+    // the compacted partition is one file and still prune-exact
+    val p0After = CommitLog.prunedLiveFiles(spark, t, col("s") === "p0")
+    assert(p0After.size == 1, s"scope must collapse to one file: $p0After")
+    assert(CommitLog.readPruned(spark, t, col("s") === "p0")
+      .filter(col("s") =!= "p0").isEmpty, "recomputed stats stay exact")
+    // nothing-selected no-ops without committing
+    assert(CommitLog.compactWhere(spark, t, col("s") === "zz") == Right(v))
   }
 
   test("mergeInto: staged images pass CHECK constraints like any write") {
