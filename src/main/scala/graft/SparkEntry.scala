@@ -810,6 +810,11 @@ object SparkEntry {
       PairIndexStore.containmentIndexedQ(Tables.documents(s, d))),
     "dedup_containment_incremental" -> ((s, d) =>
       Dedup.containmentIncrementalQ(Tables.documents(s, d))),
+    // round 17: boilerplate-FAMILY clusters — CC over the containment
+    // graph through the persisted mine (doc-in-doc chains collapse;
+    // a Jaccard clustering leaves them singletons, spec-pinned)
+    "dedup_containment_clusters" -> ((s, d) =>
+      PairIndexStore.containmentClustersIndexedQ(Tables.documents(s, d))),
     // round 17: the indexed-twin family's amortization advisor — exact
     // integer candidate-row cost model from the df histogram; when does
     // the persisted pair index pay for its build?
@@ -1100,6 +1105,7 @@ object SparkEntry {
     "dedup_containment_indexed" -> Dedup.containmentSql,
     "dedup_containment_incremental" -> Dedup.containmentIncrementalSql,
     "pair_index_plan" -> PairIndexPlan.pairIndexPlanSql,
+    "dedup_containment_clusters" -> Dedup.containmentClustersSql,
     "dedup_cluster_indexed" -> Dedup.dedupClustersSql,
     "dedup_cluster_keep_best_indexed" -> Dedup.dedupClusterKeepBestSql,
     "dedup_threshold_sweep_indexed" -> ThresholdSweep.dedupThresholdSweepSql,

@@ -242,6 +242,47 @@ object Dedup {
   def containmentQ(documents: DataFrame): DataFrame =
     containmentPairs(documents).orderBy("id1", "id2")
 
+  /** BOILERPLATE-FAMILY clusters: connected components over the
+    * containment pair graph — chains of doc-in-doc embeddings
+    * (template + payload, quote-of-a-quote) collapse into one family
+    * labeled by its min doc_id, exactly the [[dedupClusters]] shape
+    * under the asymmetric algebra. A Jaccard clustering leaves these
+    * documents singletons (the spec pins both directions). */
+  def containmentClusters(documents: DataFrame,
+                          threshold: Double = ContainmentThreshold,
+                          maxIters: Int = 20): DataFrame =
+    clustersFromPairs(documents,
+      containmentPairs(documents, threshold).select("id1", "id2"), maxIters)
+
+  /** [[containmentClusters]] fed from a (persisted) [[pairIndex]] frame
+    * — the registered, mine-amortized form. */
+  def containmentClustersFromIndex(documents: DataFrame, index: DataFrame,
+                                   threshold: Double = ContainmentThreshold,
+                                   maxIters: Int = 20): DataFrame =
+    clustersFromPairs(documents,
+      containmentFromIndex(index, threshold).select("id1", "id2"), maxIters)
+
+  /** DuckDB twin: [[dedupClustersSql]]'s recursive closure over the
+    * containment-gated pair set. */
+  lazy val containmentClustersSql: String =
+    s"""WITH RECURSIVE $ngramJaccardSqlBody, cpairs AS (
+       |  SELECT id1, id2 FROM rawpairs
+       |  WHERE inter * 100 >= ${math.round(ContainmentThreshold * 100)} * least(n1, n2)
+       |), edges AS (
+       |  SELECT id1 AS u, id2 AS v FROM cpairs
+       |  UNION ALL
+       |  SELECT id2 AS u, id1 AS v FROM cpairs
+       |), reach AS (
+       |  SELECT doc_id AS doc, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.u AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.v
+       |), cc AS (
+       |  SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc
+       |)
+       |SELECT d.doc_id, cc.cluster_id, d.doc_id = cc.cluster_id AS is_canonical
+       |FROM documents d JOIN cc ON cc.doc = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB twin: the shared τ=0 `rawpairs` stats + the same integer
     * gate and round-4 containment text. */
   val containmentSql: String =

@@ -129,6 +129,10 @@ object PairIndexStore {
     Dedup.containmentFromIndex(indexFor(documents))
       .orderBy("id1", "id2")
 
+  def containmentClustersIndexedQ(documents: DataFrame): DataFrame =
+    Dedup.containmentClustersFromIndex(documents, indexFor(documents))
+      .orderBy("doc_id")
+
   def ngramJaccardIndexedQ(documents: DataFrame): DataFrame =
     Dedup.pairsFromIndex(indexFor(documents))
       .select(col("id1"), col("id2"), col("n1"), col("n2"), col("inter"),

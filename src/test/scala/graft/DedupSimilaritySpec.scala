@@ -140,6 +140,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(inline.nonEmpty, "gate corpus must exercise the miner")
   }
 
+  test("containment clusters weld the doc-in-doc family a jaccard clustering leaves apart; inline == indexed") {
+    import spark.implicits._
+    val docs4 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "iota kappa lambda mu"),
+      (4L, "alpha beta nu xi")).toDF("doc_id", "text")
+    val cc = Dedup.containmentClusters(docs4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L),
+      s"containment must weld {1,2}: $cc")
+    val jc = Dedup.dedupClusters(docs4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(jc == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L),
+      s"jaccard at 0.8 must leave all four singletons: $jc")
+    val inline = Dedup.containmentClusters(docs).orderBy("doc_id")
+      .collect().map(_.toString)
+    val indexed = Dedup.containmentClustersFromIndex(docs, Dedup.pairIndex(docs))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(inline.sameElements(indexed))
+  }
+
   test("containment incremental == full containment restricted to batch-touching pairs") {
     val mod = Dedup.IncrementalBatchMod
     val full = Dedup.containmentQ(docs).collect()

@@ -47,6 +47,7 @@ class EmptyInputSpec extends AnyFunSuite {
       "dedup_containment" -> Dedup.containmentPairs(d),
       "dedup_containment_incremental" -> Dedup.containmentIncremental(d),
       "pair_index_plan" -> PairIndexPlan.pairIndexPlan(d),
+      "dedup_containment_clusters" -> Dedup.containmentClusters(d),
       "ngram_jaccard_salted" -> Dedup.ngramJaccardPairs(d, saltCandidates = Some(4)),
       "dedup_clusters" -> Dedup.dedupClusters(d),
       "dedup_cluster_keep_best" -> Dedup.dedupClusterKeepBest(d),
