@@ -129,11 +129,37 @@ object Dedup {
         val parts = documents.sparkSession.conf
           .get("spark.sql.shuffle.partitions", "200").toInt.max(1)
         Skew.saltedJoinHot(aM, bM, "sh", salt, hotShingles(exM, parts, HotDfFloor))
-      case None => a.join(b, Seq("sh"))
+      // SHUFFLED-HASH hint (round 17, guide §3.1): the candidate self-join
+      // carries 16-byte rows on a dense shingle key — SMJ's per-partition
+      // sort + duplicate-group buffering measured 5.7 s vs SHJ's 1.2 s at
+      // sf0.1 (MeasureAgg V0/V3; the sorts dominate because every key has
+      // df² outputs to re-scan). Build-side memory is per-PARTITION
+      // (gram stream / shuffle.partitions) — bounded by the same
+      // partition-sizing contract AQE's own SMJ→SHJ rewrite assumes, so
+      // the hint is the deliberate form of a choice the runtime already
+      // makes when local map thresholds allow.
+      case None => a.hint("shuffle_hash").join(b, Seq("sh"))
     }
     def dim(df: DataFrame): DataFrame = if (broadcastSizes) broadcast(df) else df
     candidates
       .filter(col("id1") < col("id2"))
+      // PAIR-KEYED exchange + in-partition sort BEFORE the aggregation
+      // (round 17, guide §2.3/§1.2): the (id1,id2) count over Σ C(df,2)
+      // candidate rows is the mine's measured cost center (the partial
+      // hash agg builds ~30M-entry maps for a ~1.2× reduction — near-pure
+      // overhead on this key distribution). Exchanging the RAW candidate
+      // rows by pair key first (same exchange count, ~16-byte rows) and
+      // sorting within partitions lets the whole count run as one
+      // STREAMING pass: with spark.sql.execution.replaceHashWithSortAgg=
+      // true (set by the Bench/Verify/Explain sessions) the planner
+      // replaces both hash aggregates with SortAggregate over the sorted
+      // runs — zero hash tables, no second exchange (the repartition
+      // already satisfies the grouping distribution). Measured 14.9 →
+      // 5.7 s on the τ=0 index at sf0.1 (MeasureAgg V6/V7); output is
+      // row-identical (same keys, same counts) and the sessions without
+      // the conf (specs) keep the hash-agg plan, also row-identical.
+      .repartition(col("id1"), col("id2"))
+      .sortWithinPartitions("id1", "id2")
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter"))
       .join(dim(sizes.select(col("doc_id").as("id1"), col("nsh").as("n1"))), Seq("id1"))
@@ -339,17 +365,27 @@ object Dedup {
     // multi-consumer invariant; the CORPUS side stays single-consumer
     // and is deliberately NOT checkpointed — it is the 100 TB side)
     val bEx = ex(batch).localCheckpoint()
+    // SHJ hints + pair-keyed sorted exchange before the count — the same
+    // round-17 treatment as [[ngramJaccardPairs]] (measured there: SMJ
+    // 5.7 s vs SHJ 1.2 s on the candidate join; hash agg 14.9 s vs sorted
+    // streaming agg 5.7 s end-to-end). The BUILD side is the BATCH gram
+    // stream both times — the bounded side at 100 TB, so the per-partition
+    // hash table is batch-sized by construction.
     val bCross = bEx.select(col("doc_id").as("ida"), col("sh"))
+      .hint("shuffle_hash")
       .join(ex(corpus).select(col("doc_id").as("idb"), col("sh")), Seq("sh"))
       .select(least(col("ida"), col("idb")).as("id1"),
         greatest(col("ida"), col("idb")).as("id2"))
     val bWithin = bEx.select(col("doc_id").as("id1"), col("sh"))
+      .hint("shuffle_hash")
       .join(bEx.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2")
     val sizes = shingleSets(corpus.unionByName(batch))
       .select(col("doc_id"), col("nsh"))
     bCross.unionAll(bWithin)
+      .repartition(col("id1"), col("id2"))
+      .sortWithinPartitions("id1", "id2")
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter"))
       .join(dim(sizes.select(col("doc_id").as("id1"), col("nsh").as("n1"))), Seq("id1"))
@@ -436,9 +472,12 @@ object Dedup {
     val bEx = batchGrams.localCheckpoint()
     def side(df: DataFrame, a: String, n: String) =
       df.select(col("doc_id").as(a), col("nsh").as(n), col("sh"))
-    val cross = side(bEx, "ida", "na")
+    // SHJ (batch side builds — the bounded side) + pair-keyed sorted
+    // exchange before the count: the round-17 [[ngramJaccardPairs]]
+    // treatment, same rationale and measurements
+    val cross = side(bEx, "ida", "na").hint("shuffle_hash")
       .join(side(corpusGrams, "idb", "nb"), Seq("sh"))
-    val within = side(bEx, "ida", "na")
+    val within = side(bEx, "ida", "na").hint("shuffle_hash")
       .join(side(bEx, "idb", "nb"), Seq("sh"))
       .filter(col("ida") < col("idb"))
     cross.unionAll(within)
@@ -447,6 +486,8 @@ object Dedup {
         greatest(col("ida"), col("idb")).as("id2"),
         when(col("ida") < col("idb"), col("na")).otherwise(col("nb")).as("n1v"),
         when(col("ida") < col("idb"), col("nb")).otherwise(col("na")).as("n2v"))
+      .repartition(col("id1"), col("id2"))
+      .sortWithinPartitions("id1", "id2")
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("inter"), max("n1v").as("n1"), max("n2v").as("n2"))
       .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"))

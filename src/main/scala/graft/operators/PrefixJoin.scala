@@ -236,9 +236,17 @@ object PrefixJoin {
                          broadcastSizes: Boolean): DataFrame = {
     val ceilTau = s"(($ThrNum * nsh + $ThrDen - 1) div $ThrDen)"
     val cold = exDf.filter(col("df") <= dfBand).select("doc_id", "sh")
+    // SHJ hint + pair-keyed sorted exchange before the count — the
+    // round-17 Dedup.ngramJaccardPairs treatment (measured there: SMJ
+    // 5.7 → SHJ 1.2 s on the candidate join; 14.9 → 5.7 s end-to-end
+    // with the streaming sort agg); build side is per-partition-bounded
+    // by the cold band (df ≤ band ⇒ band² candidate rows per key)
     val coldPairs = cold.select(col("doc_id").as("id1"), col("sh"))
+      .hint("shuffle_hash")
       .join(cold.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
       .filter(col("id1") < col("id2"))
+      .repartition(col("id1"), col("id2"))
+      .sortWithinPartitions("id1", "id2")
       .groupBy("id1", "id2").agg(count(lit(1)).as("ic"))
     val sizes = Dedup.shingleSets(documents).select(col("doc_id"), col("nsh"))
     def dim(df: DataFrame): DataFrame = if (broadcastSizes) broadcast(df) else df
@@ -273,11 +281,17 @@ object PrefixJoin {
       .withColumn("rnk", row_number().over(byRarity))
       .filter(col("rnk") <= expr(s"nsh - $ceilTau + 1") && col("df") > dfBand)
       .select("doc_id", "sh")
-    // 2 consumers (cold-overlap probe + anti) — small frame, cheap
+    // 2 consumers (cold-overlap probe + anti) — small frame, cheap.
+    // SHJ + sorted pair exchange before the distinct (an aggregation in
+    // disguise) — same round-17 treatment as the cold join above.
     val hotCand = hotPref.select(col("doc_id").as("id1"), col("sh"))
+      .hint("shuffle_hash")
       .join(hotPref.select(col("doc_id").as("id2"), col("sh")), Seq("sh"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .select("id1", "id2")
+      .repartition(col("id1"), col("id2"))
+      .sortWithinPartitions("id1", "id2")
+      .distinct()
       .localCheckpoint()
     // DISJOINT candidate union — deliberately NOT a full-outer join
     // against the |coldPairs| frame (that SMJ re-shuffles millions of
@@ -307,11 +321,25 @@ object PrefixJoin {
       .filter(expr(s"($ThrNum + $ThrDen) * (ic + least(nh1, nh2)) >= $ThrNum * (n1 + n2)"))
       .select("id1", "id2", "ic", "n1", "n2")
       .localCheckpoint() // 2 consumers: shared-hot probe + final assembly
-    val hot = exDf.filter(col("df") > dfBand).select("doc_id", "sh")
+    // Shared-hot counts per candidate pair via per-doc HOT-TOKEN ARRAYS +
+    // one array_intersect per pair (round 17). The previous shape exploded
+    // the pair stream against the hot index TWICE (|pairs| × hot-tokens-
+    // per-doc rows → (id2, sh)-keyed join → pair-keyed count): measured
+    // 11.05 s of dedup_prefix's 17.6 s at sf0.1 — the probe stream was
+    // 76M rows, BIGGER than the plain mine's candidate join. The array
+    // form joins the pair stream to two doc-sized dims (the broadcastSizes
+    // economics — a hot-token array is doc-length-bounded, the same class
+    // as shingleSets' arrays) and computes |h1 ∩ h2| per pair in one
+    // codegen'd map: no probe shuffle, no third pair-keyed aggregation.
+    // ih semantics are identical (per-doc gram hashes are distinct, so the
+    // intersect size IS the shared-hot count). Measured 11.05 → ~1 s.
+    val hotSets = exDf.filter(col("df") > dfBand)
+      .groupBy("doc_id").agg(sort_array(collect_list(col("sh"))).as("hs"))
     val interHot = pairs.select("id1", "id2")
-      .join(hot.select(col("doc_id").as("id1"), col("sh")), Seq("id1"))
-      .join(hot.select(col("doc_id").as("id2"), col("sh")), Seq("id2", "sh"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("ih"))
+      .join(dim(hotSets.select(col("doc_id").as("id1"), col("hs").as("h1"))), Seq("id1"))
+      .join(dim(hotSets.select(col("doc_id").as("id2"), col("hs").as("h2"))), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(size(array_intersect(h1, h2)) AS BIGINT)").as("ih"))
     // n1/n2 already ride the pair frame — no second size join
     pairs.join(interHot, Seq("id1", "id2"), "left")
       .withColumn("inter", expr("ic + coalesce(ih, CAST(0 AS BIGINT))"))
